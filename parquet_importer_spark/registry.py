@@ -1,0 +1,70 @@
+"""Registry wiring operators to the driver contract (__spark_entry__.py).
+
+Every operator from SURVEY.md §2 registers here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are ANSI-SQL-expressible, the equivalent DuckDB oracle SQL.
+The driver runs both at sf0.01 and hash-compares (row count + schema +
+order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides,
+- floating aggregates go through :func:`exact_sum` (decimal-exact
+  accumulation, then cast to double) or are rounded identically,
+  because double summation order differs between engines (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a driver-checked query. ``oracle=None`` → rows-only check
+    (approx/hash-seeded/streaming ops that can never hash-match, §7.4.6)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+# --- float-parity helpers (SURVEY.md §7.4.1) --------------------------------
+# sum(double) is order-dependent; Spark's partial aggregation and DuckDB's
+# accumulate in different orders, so late-ulp drift breaks hash equality.
+# Accumulating in DECIMAL is exact and associative → both engines agree to
+# the last bit; cast the final result back to double so schemas also match.
+
+_DEC = "decimal(30,8)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent double sum: accumulate as decimal(30,8), emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def exact_avg(col: Column | str) -> Column:
+    """Order-independent double average: decimal-exact sum cast to double,
+    then one double division — both engines perform the identical IEEE op."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def oracle_exact_sum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+
+
+def oracle_exact_avg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,12 @@
+"""Driver-checked query suite.
+
+Importing this package populates :mod:`parquet_importer_spark.registry`
+with every implemented operator from SURVEY.md §2. Each submodule covers
+one inventory section.
+"""
+
+from parquet_importer_spark.suite import (  # noqa: F401
+    flagship,
+)
+
+from parquet_importer_spark.registry import QUERIES, ORACLES  # noqa: F401
