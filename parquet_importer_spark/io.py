@@ -11,8 +11,10 @@ Catalyst.
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: tables the driver generates at each scale factor (TESTDATA.md)
 TABLES = (
@@ -38,10 +40,38 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@_lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Footer-only probe for TIMESTAMP(NANOS) columns (O(1), no data scan
+    — same trick as the reference's metadata reads, app.py:91)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Schema comes from the parquet footer
-    (the distributed analog of the reference's 1-row probe, app.py:72)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    (the distributed analog of the reference's 1-row probe, app.py:72).
+
+    Parquet TIMESTAMP(NANOS) (e.g. ``events.ts``) is illegal for Spark's
+    vectorized reader; those columns are read as nano-epoch longs
+    (``legacy.parquet.nanosAsLong``) and truncated to µs TimestampType —
+    the same precision Spark would keep anyway.
+    """
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -6,7 +6,10 @@ one inventory section.
 """
 
 from parquet_importer_spark.suite import (  # noqa: F401
+    aggregates,
     flagship,
+    relational,
+    scans,
 )
 
 from parquet_importer_spark.registry import QUERIES, ORACLES  # noqa: F401

@@ -1,0 +1,157 @@
+"""§2.D — aggregations.
+
+groupBy/agg compiles to partial (map-side) aggregation + shuffle on the
+group key + final merge — at 100 TB only the per-group partials cross the
+network, never raw rows. Floating sums use the decimal-exact helpers so
+results are bit-identical regardless of partition order (registry docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import (
+    exact_avg,
+    exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
+    query,
+)
+
+
+@query("agg_running_count", oracle="SELECT COUNT(*) AS rows_processed FROM events")
+def agg_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running row count (reference accumulates per chunk app.py:99,185;
+    batch form is count, streaming form is observe() — see streaming/)."""
+    return read_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("rows_processed")
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oracle_exact_sum('o_totalprice')} AS sum_price,
+           {oracle_exact_avg('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("sum_price"),
+            exact_avg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate can't hash-match (§7.4.6)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100-TB way to count
+    distinct user_ids without a full shuffle of the key space."""
+    return read_table(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (flag,status), (flag), () — Spark expands grouping sets in
+    a single pass; GROUPING() disambiguates the null super-rows."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_linestatus,
+           {oracle_exact_sum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
+             AS returned_qty,
+           {oracle_exact_sum("CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0 END")}
+             AS big_discount_value,
+           COUNT(CASE WHEN l_tax > 0.04 THEN 1 END) AS n_high_tax
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        exact_sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)
+        ).alias("returned_qty"),
+        exact_sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice") * F.col("l_discount"),
+            ).otherwise(0.0)
+        ).alias("big_discount_value"),
+        F.count(F.when(F.col("l_tax") > 0.04, 1)).alias("n_high_tax"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
+           ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           MEDIAN(c_acctbal) AS median_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/var/corr/percentile. These are rounded (not decimal-exact):
+    variance accumulation is inherently order-dependent in doubles, and
+    ROUND(x, 4) absorbs the ulp drift; exact median via percentile."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "corr_bal_key"
+        ),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
+    )

@@ -1,0 +1,349 @@
+"""§2.B (projection/filters), §2.F (sort/limit/topk), §2.G (set ops).
+
+All builtins — the point is that Catalyst pushes every one of these
+filters into the parquet scan (PushedFilters) and prunes columns
+(ReadSchema), which the reference could never do (it always copied
+every column, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import query
+
+
+# --- §2.B projection -------------------------------------------------------
+
+@query(
+    "project_select",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select / rename / drop (reference extracts+replaces single columns
+    app.py:133,154; the general form)."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .select("custkey", "c_name", "segment")
+    )
+
+
+@query(
+    "project_derived",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_quantity * 2.5 + 1 AS scaled_qty
+    FROM lineitem
+    """,
+)
+def project_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns (reference computes WKB decode app.py:148 and a
+    progress ratio app.py:190; here pure rowwise IEEE arithmetic, which
+    both engines evaluate identically)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        (F.col("l_quantity") * 2.5 + 1).alias("scaled_qty"),
+    )
+
+
+# --- §2.B filters ----------------------------------------------------------
+
+@query(
+    "filter_compare",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+
+
+@query(
+    "filter_boolean",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_totalprice > 150000)
+      AND NOT (o_orderpriority = '5-LOW')
+    """,
+)
+def filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 150000))
+            & ~(F.col("o_orderpriority") == "5-LOW")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_name LIKE 'Customer%'
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+            & F.col("c_acctbal").between(0, 5000)
+            & F.col("c_name").like("Customer%")
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM o_orderstatus)
+             AS nullsafe_same
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'P') IS NOT NULL
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL + null-safe equality. Testdata has no physical nulls,
+    so nulls are synthesized with NULLIF — semantics identical."""
+    o = read_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.filter(F.nullif(F.col("o_orderstatus"), F.lit("P")).isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            status_or_null.alias("status_or_null"),
+            status_or_null.isNull().alias("is_open"),
+            status_or_null.eqNullSafe(F.col("o_orderstatus")).alias("nullsafe_same"),
+        )
+    )
+
+
+@query(
+    "cast_coerce",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber_big,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+           CAST(l_returnflag AS VARCHAR) AS flag_str
+    FROM lineitem
+    """,
+)
+def cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type coercion (the reference's analog is the tolerant to_pandas
+    retry ladder, app.py:114-122). Chains int→bigint, double→decimal→double,
+    timestamp→date→string. Output lands on bigint/double/string so the
+    cross-engine pandas representation is unambiguous (Decimal and date
+    objects hash differently per engine). NB: double→int CAST rounds in
+    DuckDB but truncates in Spark — deliberately absent; use floor/round."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenumber_big"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("qty_dec"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        F.col("l_returnflag").cast("string").alias("flag_str"),
+    )
+
+
+@query(
+    "cond_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket
+    FROM orders
+    """,
+)
+def cond_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-null defaulting (reference: `name or 'geometry'`
+    app.py:76, CRS fallback app.py:162-164)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_filled"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@query("filter_dtype_dispatch")  # rows-only: plan-time schema dispatch
+def filter_dtype_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-time type dispatch (reference branches on pandas dtype at
+    runtime, app.py:136-157; Spark schemas are static so the branch is
+    resolved while building the plan)."""
+    from parquet_importer_spark.operators.dispatch import normalize_by_type
+
+    return normalize_by_type(read_table(spark, sf_dir, "events"))
+
+
+# --- §2.F sort / limit / topk ---------------------------------------------
+
+@query(
+    "limit_probe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def limit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT n (reference probe rows=1 app.py:72); ordered for determinism."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(10)
+    )
+
+
+@query(
+    "sort_multikey",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+           ) AS BIGINT) AS pos
+    FROM customer
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY. The driver hashes order-insensitively, so the
+    sort position is materialized as a value (row_number over the same
+    total order) to make ordering itself verifiable."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        F.col("c_nationkey").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.orderBy(
+            F.col("c_nationkey").asc_nulls_first(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT k → Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-k, driver merges k·p rows — no global
+    sort, which is exactly the 100-TB-safe shape."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+# --- §2.G set operations ---------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (the reference's successive chunk appends app.py:178-183
+    are exactly UNION ALL into a table)."""
+    full = read_table(spark, sf_dir, "orders")
+    a = full.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    b = full.filter(F.col("o_totalprice") > 250000).select("o_orderkey", "o_totalprice")
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS c_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select("c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT nk, 'both' AS side FROM (SELECT nk FROM cust_nations INTERSECT SELECT nk FROM supp_nations)
+    UNION ALL
+    SELECT nk, 'cust_only' AS side FROM (SELECT nk FROM cust_nations EXCEPT SELECT nk FROM supp_nations)
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    only = cust.exceptAll(supp).withColumn("side", F.lit("cust_only"))
+    return both.unionByName(only)
