@@ -8,8 +8,10 @@ one inventory section.
 from parquet_importer_spark.suite import (  # noqa: F401
     aggregates,
     flagship,
+    joins,
     relational,
     scans,
+    windows,
 )
 
 from parquet_importer_spark.registry import QUERIES, ORACLES  # noqa: F401

@@ -1,0 +1,226 @@
+"""§2.C — joins. The reference has none; this is the standard surface
+plus the time-series joins (range, as-of) a 100-TB event store needs.
+
+Scale notes baked into each query:
+- dims (region/nation/supplier) are broadcast — zero shuffle of the fact;
+- equi joins on big tables shuffle both sides on the key once; AQE
+  handles skew-splitting at runtime;
+- the as-of join is the union-merge from operators/joins.py (one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.operators.joins import asof_join, range_join
+from parquet_importer_spark.registry import query
+
+
+@query(
+    "join_inner_eq",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = read_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicitly broadcast dims: the customer
+    scan never shuffles — both joins are map-side hash probes."""
+    c = read_table(spark, sf_dir, "customer")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    r = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT cn.nk AS cust_nation, sn.nk AS supp_nation, cn.n_cust, sn.n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer — null sides observable because suppliers cover fewer
+    nations than customers in the testdata."""
+    cn = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full_outer").select(
+        cn.nk.alias("cust_nation"),
+        sn.nk.alias("supp_nation"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, 'has_big_order' AS membership
+    FROM customer WHERE c_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS membership
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (existence) + left_anti (absence) — each returns only
+    left columns and never duplicates, unlike inner join + distinct."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    allk = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = (
+        c.join(big, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("membership", F.lit("has_big_order"))
+    )
+    anti = (
+        c.join(allk, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("membership", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_cross_theta",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    WHERE n.n_regionkey < r.r_regionkey
+    """,
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + theta predicate → BroadcastNestedLoopJoin (both sides
+    tiny dims here; at scale put the small side right so it broadcasts)."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).filter(
+        F.col("n_regionkey") < F.col("r_regionkey")
+    ).select("n_name", "r_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start
+      FROM events
+    )
+    SELECT e.event_id, d.day_start
+    FROM events e JOIN days d
+      ON e.ts >= d.day_start AND e.ts < d.day_start + INTERVAL 1 HOUR
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events against derived day-start intervals. The
+    interval dim is small → broadcast nested-loop; for two big sides,
+    pre-bucket on the day grain and equi-join the bucket first."""
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day_start")
+    ).distinct()
+    joined = range_join(
+        ev,
+        days,
+        (F.col("ts") >= F.col("day_start"))
+        & (F.col("ts") < F.col("day_start") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select("event_id", "day_start")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2,
+             event_type, value
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, ts2, MAX(value) AS click_value
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts2
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts2, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts2 AS purchase_ts, p.purchase_value,
+           c.ts2 AS click_ts, c.click_value
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts2 >= c.ts2
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest preceding click of the
+    same user (union-merge implementation — one shuffle, no expansion).
+    Timestamps truncated to seconds and the right side deduped per
+    (user, second) so both engines resolve ties identically."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts2")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts2"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        purch,
+        clicks.withColumnRenamed("ts2", "click_ts"),
+        on="user_id",
+        left_ts="ts2",
+        right_ts="click_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts2").alias("purchase_ts"),
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )

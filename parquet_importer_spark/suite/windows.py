@@ -1,0 +1,161 @@
+"""§2.E — window functions.
+
+Window evaluation shuffles once on partitionBy and sorts within
+partitions; at 100 TB the thing to avoid is a partition-less window
+(single-task global sort) — only `sort_multikey` uses one, deliberately,
+on a small dimension. Running double sums accumulate in DECIMAL so the
+frame-order arithmetic is bit-identical across engines (registry docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import query
+
+_DEC = "decimal(30,8)"
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "win_analytic",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2, value
+      FROM events
+    )
+    SELECT event_id, user_id, ts2, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAG(value, 2, -1.0) OVER w AS prev2_or_default
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts2, event_id)
+    """,
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first over each user's event timeline; event_id breaks
+    second-level ties so both engines walk the same order."""
+    w = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts2"),
+        "value",
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts2",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS orders_in_window
+    FROM orders
+    """,
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running / sliding ROWS frames (per-customer cumulative spend)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slide = w.rowsBetween(-2, Window.currentRow)
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(run).cast("double").alias(
+            "running_spend"
+        ),
+        F.count(F.lit(1)).over(slide).cast("bigint").alias("orders_in_window"),
+    )
+
+
+@query(
+    "win_frame_range",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+      FROM events
+    )
+    SELECT event_id, user_id, ts_sec,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+             PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_value
+    FROM ev
+    """,
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: 7-day trailing sum per user. RANGE frames are
+    tie-insensitive (all peers of the current value join the frame), so
+    no extra tiebreaker is needed."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        .cast("bigint")
+        .alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias(
+            "trailing_7d_value"
+        ),
+    )
