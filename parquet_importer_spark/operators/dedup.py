@@ -1,0 +1,203 @@
+"""Document deduplication family (SURVEY §2.J).
+
+Four public schemes, each built scale-first:
+
+- **exact**: normalize → sha256 → one groupBy. One shuffle on the hash.
+- **MinHash + LSH banding**: per-doc signature of k seeded-md5 shingle
+  minima (computed entirely inside array expressions — NO explode, no
+  shuffle); docs explode only into (band, key) rows, so candidate
+  generation is an equi-join on band keys — the pairwise step only ever
+  sees hash-colliding docs. This is the standard shingle→minhash→band
+  →bucket-join pipeline; at 100 TB the band join is the only wide op.
+- **SimHash**: 16-bit signature as a pure array fold, no shuffle at all.
+- **n-gram Jaccard**: inverted-index join on shingles (candidate pairs
+  share ≥1 shingle), exact |∩|/|∪| on the pruned pair set.
+
+Determinism: all hashing is md5 (portable hex), so a SQL oracle
+reproduces every bucket, signature, and pair exactly — unlike MLlib's
+seed-dependent MinHashLSH (kept as a rows-only alt in suite/llm_dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.functions.text import shingles, tokens
+
+
+def normalized_text_hash(text: Column) -> Column:
+    """sha256 of whitespace-collapsed lowercase text."""
+    return F.sha2(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), 256)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: content hash, copy count,
+    and the minimum id as the deterministic canonical representative."""
+    return (
+        df.withColumn("content_hash", normalized_text_hash(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _seeded_shingle_md5(shingle_arr: Column, seed: Column) -> Column:
+    return F.transform(
+        shingle_arr,
+        lambda g: F.md5(F.concat(F.lit("s"), seed.cast("string"), F.lit("|"), g)),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
+    """array<string> of ``num_hashes`` minima: sig[s] = min over the
+    doc's k-gram shingles of md5('s{s}|' || shingle). A pure nested
+    higher-order expression — evaluated per row, no shuffle."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(_seeded_shingle_md5(sh, s)),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    k: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    rows_per_band = num_hashes // bands. Two docs become a candidate
+    pair iff some band of their signatures is identical; candidates are
+    then verified with exact shingle-set Jaccard and filtered.
+    Returns (id_1, id_2, n_shared_bands, jaccard), id_1 < id_2.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+    )
+    banded = base.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.array_join(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        "|",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.select(
+        F.col("doc").alias("d1"), F.col("sh").alias("sh1"), "band", "key"
+    )
+    right = banded.select(
+        F.col("doc").alias("d2"), F.col("sh").alias("sh2"), "band", "key"
+    )
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("sh1").alias("sh1"),
+            F.first("sh2").alias("sh2"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "jaccard",
+        )
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash as a '0'/'1' string (portable across engines).
+
+    bit i weight = Σ over distinct tokens of ±1, where the sign is the
+    top bit of hex digit i of the token's md5; bit = (weight ≥ 0).
+    Pure fold — no explode, no shuffle, codegen-friendly.
+    """
+    toks = F.array_distinct(tokens(text))
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.when(
+                F.aggregate(
+                    toks,
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.md5(t).substr(i + 1, F.lit(1)) >= "8", 1).otherwise(-1),
+                )
+                >= 0,
+                "1",
+            ).otherwise("0"),
+        ),
+        "",
+    )
+
+
+def jaccard_topk_pairs(
+    df: DataFrame, text_col: str, id_col: str, top: int = 20
+) -> DataFrame:
+    """Most-similar doc pairs by exact token-set Jaccard, via inverted-
+    index candidate generation (pairs must share ≥1 token).
+
+    Scale path: with a power-law vocabulary, drop ultra-common tokens
+    from the index (document-frequency cap) before the self-join — the
+    candidate set then stays near-linear. Returns top-k pairs under a
+    deterministic total order (jaccard desc, id_1, id_2).
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+    )
+    ex = t.select("doc", F.explode("ts").alias("tok"))
+    a = ex.select(F.col("doc").alias("d1"), "tok")
+    b = ex.select(F.col("doc").alias("d2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = t.select("doc", F.size("ts").alias("n"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return (
+        out.select(
+            F.col("d1").alias("id_1"), F.col("d2").alias("id_2"), "jaccard"
+        )
+        .orderBy(F.col("jaccard").desc(), "id_1", "id_2")
+        .limit(top)
+    )

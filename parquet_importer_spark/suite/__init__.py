@@ -8,7 +8,12 @@ one inventory section.
 from parquet_importer_spark.suite import (  # noqa: F401
     aggregates,
     flagship,
+    functions,
     joins,
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
+    llm_text,
     relational,
     scans,
     windows,

@@ -1,0 +1,261 @@
+"""§2.H — scalar function surface.
+
+All JVM-side builtins (whole-stage codegen keeps these in generated
+Java; no Python boundary anywhere). Parity rules:
+
+- libm-backed fns (ln/pow) differ in the last ulp across engines →
+  rounded on both sides;
+- arrays/structs never cross the result boundary raw — flattened to
+  scalars (engines stringify containers differently);
+- floor/ceil return BIGINT in Spark but DOUBLE in DuckDB → cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS name_lower,
+           UPPER(c_mktsegment) AS seg_upper,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           TRIM(CONCAT('  ', c_name, '  ')) AS name_trimmed,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+           SPLIT_PART(c_name, '#', 2) AS after_hash
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_replaced"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           CAST(DAY(o_orderdate) AS BIGINT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS BIGINT) AS days_to_cutoff,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR
+             AS due_day,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_cutoff"),
+        F.date_add(d, 30).cast("string").alias("due_day"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_kilo_ceil,
+           ROUND(LN(l_extendedprice), 8) AS price_ln,
+           ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           LEAST(l_quantity, 25.0) AS qty_clamped,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/floor/ceil/ln/pow/sqrt/least/greatest/mod. ln and pow are
+    libm-backed (last-ulp differences across engines) → rounded; sqrt is
+    IEEE-correctly-rounded → exact. least = the reference's progress
+    clamp min(x, 1.0) app.py:190."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(q).cast("bigint").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias(
+            "price_kilo_ceil"
+        ),
+        F.round(F.log("l_extendedprice"), 8).alias("price_ln"),
+        F.round(F.pow(q, 2), 6).alias("qty_sq"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.least(q, F.lit(25.0)).alias("qty_clamped"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        (q.cast("bigint") % 7).cast("bigint").alias("qty_mod7"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) on the
+    64-dim embedding column — the building blocks for llm_sim_topk.
+    Folds accumulate in double, sequentially, in list order on both
+    engines; rounded to 6 to absorb any fold-order ulp."""
+    e = read_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x)), 6
+        ).alias("vec_sum"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vec_max"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)), 6
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           COALESCE(json_extract_string(props, '$.missing'), 'absent')
+             AS missing_filled
+    FROM events
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling on events.props ('{"k": 87}'):
+    get_json_object path extraction + from_json to a typed struct."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("missing_filled"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             {'status': o_orderstatus, 'price': o_totalprice,
+              'prio': o_orderpriority} AS meta
+      FROM orders
+    )
+    SELECT o_orderkey,
+           meta.status AS status,
+           meta.price AS price,
+           UPPER(meta.prio) AS prio_upper
+    FROM s
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access (struct stays internal; output is
+    flattened scalars so cross-engine representation is unambiguous)."""
+    o = read_table(spark, sf_dir, "orders")
+    meta = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    s = o.select("o_orderkey", meta.alias("meta"))
+    return s.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.price").alias("price"),
+        F.upper(F.col("meta.prio")).alias("prio_upper"),
+    )
+
+
+@query(
+    "fn_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_linestatus = 'O' AND l_discount > 0.05 THEN 'open_discounted'
+                WHEN l_quantity >= 40 THEN 'bulk'
+                ELSE 'regular' END AS line_class,
+           CASE l_linestatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END
+             AS status_code
+    FROM lineitem
+    """,
+)
+def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when((F.col("l_linestatus") == "O") & (F.col("l_discount") > 0.05),
+              "open_discounted")
+        .when(F.col("l_quantity") >= 40, "bulk")
+        .otherwise("regular")
+        .alias("line_class"),
+        F.when(F.col("l_linestatus") == "O", 1)
+        .when(F.col("l_linestatus") == "F", 2)
+        .otherwise(0)
+        .alias("status_code"),
+    )

@@ -1,0 +1,184 @@
+"""§2.J — deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+plus the MLlib MinHashLSH alternative (rows-only — hash-seed-dependent).
+
+The deterministic md5 variants in operators/dedup.py are fully
+SQL-oracle-checked: DuckDB reproduces every signature, band key, and
+candidate pair bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_topk_pairs,
+    minhash_lsh_pairs,
+    simhash16,
+)
+from parquet_importer_spark.registry import query
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+# 2-gram shingles (distinct), DuckDB side
+_SH2 = (
+    "list_distinct(CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+@query(
+    "llm_dedup_exact",
+    oracle=r"""
+    SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text sha256 → one groupBy (one shuffle on
+    the hash; at 100 TB this is the cheapest possible dedup pass)."""
+    return exact_dedup_groups(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "llm_dedup_near",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH2} AS grams FROM t),
+    sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, grams, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             COUNT(*) AS n_shared_bands,
+             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS id_1, d2 AS id_2,
+           CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+           ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                 / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
+             AS jaccard
+    FROM cand
+    WHERE ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6) >= 0.1
+    """,
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 seeded-md5 hashes over 2-gram shingles) → 4-band LSH →
+    bucket-join candidates → exact Jaccard verify ≥ 0.1."""
+    return minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        jaccard_threshold=0.1,
+        k=2,
+    )
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, i.i,
+             (SELECT SUM(CASE WHEN substr(md5(t.tok), CAST(i.i + 1 AS INT), 1) >= '8'
+                              THEN 1 ELSE -1 END)
+              FROM unnest(toks) AS t(tok)) AS w
+      FROM t, (SELECT unnest(range(0, 16)) AS i) i
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN w >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc, as a portable bit string. Near-dups have
+    small Hamming distance; banding the bits gives the LSH scale path."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash16(F.col("text")).alias("simhash")
+    )
+
+
+@query(
+    "llm_dedup_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(ts) AS n FROM t)
+    SELECT d1 AS id_1, d2 AS id_2,
+           ROUND(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    ORDER BY jaccard DESC, id_1 ASC, id_2 ASC
+    LIMIT 20
+    """,
+)
+def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar pairs by exact token-set Jaccard via
+    inverted-index candidate generation."""
+    return jaccard_topk_pairs(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", top=20
+    )
+
+
+@query("llm_dedup_minhash_mllib")  # rows-only: MLlib hash seeds ≠ oracle
+def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH approxSimilarityJoin — the library alternative to
+    the hand-rolled pipeline above. Seed-dependent → rows-only check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from parquet_importer_spark.functions.text import shingles
+
+    # 2-gram shingles, not unigrams: the corpus vocabulary is tiny, so
+    # unigram token sets are near-identical across docs and any threshold
+    # explodes into ~n² pairs — shingling is what keeps LSH selective
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles(F.col("text"), 2).alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
+    feat = tf.transform(docs).filter(F.size("toks") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_1"),
+            F.col("datasetB.doc_id").alias("id_2"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""§2.J — similarity search over the embeddings table.
+
+Brute-force cosine top-k (broadcast query, no corpus shuffle) as the
+exact baseline; LSH sign-bucketed pairwise as the scale path. Both are
+pure higher-order-function arithmetic — fold order is list order, so
+DuckDB reproduces every similarity bit-for-bit (rounded to 6 to absorb
+nothing: the folds are identical — rounding only guards future drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.functions.vectors import oracle_cosine
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.operators.similarity import (
+    bucketed_topk_pairs,
+    topk_cosine,
+)
+from parquet_importer_spark.registry import query
+
+
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND({oracle_cosine('embedding', 'qvec')}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 by cosine against the vec_id=0 query vector.
+    Plan: broadcast 1-row query → codegen'd fold per row →
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return topk_cosine(emb, qdf, "embedding", "vec_id", k=10)
+
+
+@query(
+    "llm_sim_pairs_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(range(1, 5),
+               i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    )
+    SELECT x.bucket, x.vec_id AS id_1, y.vec_id AS id_2,
+           ROUND({oracle_cosine('x.embedding', 'y.embedding')}, 6) AS cos_sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ORDER BY cos_sim DESC, id_1 ASC, id_2 ASC
+    LIMIT 20
+    """,
+)
+def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest pairs: sign-bit LSH buckets (first 4 dims →
+    16 buckets) shrink the pairwise space ~16×; exact cosine within
+    buckets; top-20 deterministic. At production scale swap fixed dims
+    for seeded random hyperplanes + multi-probe — same plan shape."""
+    return bucketed_topk_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        bucket_dims=4,
+        top=20,
+    )
+
+
+@query(
+    "llm_sim_nearest_per_label",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT label, vec_id,
+             ROUND({oracle_cosine('embedding', 'qvec')}, 6) AS cos_sim
+      FROM embeddings CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT label, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT label, vec_id, cos_sim FROM ranked WHERE rn = 1
+    """,
+)
+def llm_sim_nearest_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ANN: the single nearest vector to the query within each
+    label class — window top-1 over the scored scan (one shuffle on
+    label, which rides the same partitioning as any later per-label agg)."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    scored = emb.crossJoin(qdf).select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "vec_id", "cos_sim")
+    )

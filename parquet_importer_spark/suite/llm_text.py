@@ -1,0 +1,234 @@
+"""§2.J — text analysis: stats, token counting, lang-ID, quality,
+fingerprinting, TF-IDF. All pure-builtin expressions over `documents`
+(see functions/text.py for the shared builders and the portability rules
+— md5-only hashing, rounded libm, no murmur3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.functions.text import (
+    LANG_LEXICON,
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import (
+    exact_avg,
+    oracle_exact_avg,
+    query,
+)
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           {oracle_exact_avg('CAST(n_tok AS DOUBLE)')} AS avg_tokens,
+           {oracle_exact_avg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM d GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, token/char averages,
+    source diversity — the first pass any training-data pipeline runs."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        exact_avg(F.col("n_tok").cast("double")).alias("avg_tokens"),
+        exact_avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (GPT-2-pre-tokenizer-shaped regex) counts."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def _oracle_hits(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"''{w}''" for w in words).replace("''", "'")
+    return f"CAST(len(list_filter({_TOKS}, t -> t IN ({inlist}))) AS BIGINT)"
+
+
+_LANG_CASE = " ".join(
+    f"WHEN hits_{lang} = best THEN '{lang}'" for lang in LANG_LEXICON
+)
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_oracle_hits(words)} AS hits_{lang}"
+                        for lang, words in LANG_LEXICON.items())}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, GREATEST({", ".join(f"hits_{lang}" for lang in LANG_LEXICON)}) AS best
+      FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} ELSE 'und' END AS lang_pred,
+           best AS best_hits
+    FROM best
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID (n-gram heuristic): argmax of per-lang
+    stopword hits, fixed tie-break order, 'und' when no signal."""
+    from parquet_importer_spark.functions.text import lexicon_hits
+
+    d = read_table(spark, sf_dir, "documents")
+    hits = {
+        lang: lexicon_hits(F.col("text"), words)
+        for lang, words in LANG_LEXICON.items()
+    }
+    best = F.greatest(*hits.values())
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        best.alias("best_hits"),
+    )
+
+
+@query(
+    "llm_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter({_TOKS},
+                  t -> t IN ({", ".join("'" + w + "'" for w in STOPWORDS)})))
+                  AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS DOUBLE) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(n_tok / 20.0, 1.0)
+               + 0.2 * LEAST((n_stop / n_tok) * 5.0, 1.0)
+               + 0.2 * (CASE WHEN (n_chars - (n_tok - 1)) / n_tok >= 2.0
+                              AND (n_chars - (n_tok - 1)) / n_tok <= 12.0
+                         THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (n_alpha / n_chars), 6) AS quality
+    FROM q
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score ∈ [0,1] blending length adequacy,
+    stopword ratio, mean token length sanity, alpha ratio."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           list_min(list_transform(grams, g -> md5(g))) AS fingerprint
+    FROM sh
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: lexicographic min of
+    md5 over 3-gram shingles — near-identical docs collide."""
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text"), 3).alias("fingerprint")
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 8)
+             AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id ASC, term ASC
+    LIMIT 50
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame ops (explode → two aggregations → join);
+    smoothed idf = ln((N+1)/(df+1)) + 1. The docs-side aggregation is
+    map-combinable; the term-df table is tiny → broadcast back."""
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, footer-served; folded into the plan as a literal
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 8).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
+        .limit(50)
+    )
