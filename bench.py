@@ -1,0 +1,79 @@
+"""Headline benchmark: times representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {id: sec, ...}, "sf": ...}.
+
+Each query is materialized via the noop sink (full column evaluation, no
+driver collect, no output IO) — wall time measures scan + shuffle + compute
+only, the portion that scales with data volume on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: one query per plan family — scan, filter/project, hash agg, broadcast
+#: join, sort-merge join, as-of (range+window) join, window fn, top-k,
+#: event-time windowing, and each LLM-pipeline operator class.
+HEADLINE = (
+    "flagship_pricing_summary",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "join_broadcast",
+    "join_inner_eq",
+    "join_asof",
+    "win_ranking",
+    "win_frame_range",
+    "topk",
+    "stream_tumbling",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_text_stats",
+    "llm_tfidf",
+    "llm_sim_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from parquet_importer_spark.session import get_spark
+    from parquet_importer_spark.suite import QUERIES
+
+    spark = get_spark("bench")
+    # Warm up the JVM + parquet footer reads once so per-query timings
+    # measure execution, not first-touch initialization.
+    QUERIES["flagship_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        df = QUERIES[qid](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,9 @@ from parquet_importer_spark.suite import (  # noqa: F401
     llm_text,
     relational,
     scans,
+    sinks_suite,
+    streaming,
+    udf_suite,
     windows,
 )
 

@@ -1,0 +1,99 @@
+"""§2.A sinks — parquet round-trips, JDBC/PostGIS adapters, chunked
+append. All rows-only (external side effects / binary payloads); the
+JDBC and PostGIS entries surface their write plans and DDL as rows so
+the adapter logic is driver-inspectable without a live database.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.registry import query
+from parquet_importer_spark.sources.sinks import jdbc_write_plan, write_parquet
+from parquet_importer_spark.sources.spatial import (
+    postgis_promote_ddl,
+    wkb_point_decode,
+    wkb_point_encode,
+)
+
+
+@query("sink_parquet")  # rows-only: filesystem side effect
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real parquet write + read-back (reference generate_data.py:21).
+    Single atomic distributed write — no chunk loop."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pis_sink_"), "nation")
+    write_parquet(read_table(spark, sf_dir, "nation"), out, mode="replace")
+    return spark.read.parquet(out).orderBy("n_nationkey")
+
+
+@query("sink_append_chunked")  # rows-only: filesystem side effect
+def sink_append_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First write applies the user mode, later writes append —
+    the reference's first-chunk DDL dance (app.py:109/178/186), batch
+    form. Verified by reading back the union."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pis_chunk_"), "orders")
+    o = read_table(spark, sf_dir, "orders")
+    first = o.filter(F.col("o_orderkey") % 2 == 0)
+    second = o.filter(F.col("o_orderkey") % 2 == 1)
+    write_parquet(first, out, mode="replace")
+    write_parquet(second, out, mode="append")
+    return spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@query("sink_jdbc")  # rows-only: external side effect (no live Postgres here)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink dry-run: the exact SaveMode/batchsize/partitioning plan
+    write_jdbc would execute (mode map per reference app.py:21)."""
+    plan = jdbc_write_plan(
+        read_table(spark, sf_dir, "nation"),
+        table="public.nation",
+        mode="replace",
+        batchsize=50_000,
+        num_partitions=8,
+    )
+    return spark.createDataFrame(plan, "step string, detail string").orderBy("step")
+
+
+@query("sink_postgis")  # rows-only: external side effect
+def sink_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostGIS staging adapter: bytea JDBC write plan + the promote DDL
+    (ST_GeomFromWKB) that replaces geopandas.to_postgis (app.py:181)."""
+    ddl = postgis_promote_ddl("public.spatial_table", "geometry", srid=4326)
+    rows = [(i, stmt) for i, stmt in enumerate(ddl)]
+    return spark.createDataFrame(rows, "step_no int, ddl string").orderBy("step_no")
+
+
+@query("spatial_wkb_roundtrip")  # rows-only: pandas_udf boundary
+def spatial_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB geometry column end-to-end: synthesize lon/lat, encode to WKB
+    (BinaryType — the engine's geometry representation, SURVEY §1.3),
+    decode back, verify exactness. The pandas_udf pair is the app.py:148
+    WKB decode, vectorized."""
+    ev = read_table(spark, sf_dir, "events").limit(2000)
+    pts = ev.select(
+        "event_id",
+        (F.col("value") % 360 - 180).alias("lon"),
+        (F.col("value") % 180 - 90).alias("lat"),
+    )
+    enc = pts.withColumn("geometry", wkb_point_encode(F.col("lon"), F.col("lat")))
+    dec = enc.withColumn("pt", wkb_point_decode(F.col("geometry")))
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("pt.lon") == F.col("lon")) & (F.col("pt.lat") == F.col("lat")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_exact_roundtrip"),
+        F.sum(F.when(F.col("pt.lon").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_decode_failures"),
+    )

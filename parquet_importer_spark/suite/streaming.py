@@ -1,0 +1,227 @@
+"""§2.I — streaming: event-time windows (batch-equivalent oracles) and
+genuine Structured Streaming runs (rows-only).
+
+Window queries use the SQL-expressible batch equivalents DuckDB can
+check (SURVEY §2.I oracle column); the rows-only entries actually run
+readStream → foreachBatch / memory-sink pipelines with AvailableNow
+triggers, exercising checkpointing, watermarks, and stateful dedup.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table, table_path
+from parquet_importer_spark.registry import query
+
+_DEC = "decimal(30,8)"
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600 AS ws_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time windows (F.window — identical code runs on
+    readStream; batch form lets DuckDB verify the bucketing)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST((FLOOR(epoch(ts) / 10800) - k.k) * 10800 AS BIGINT) AS ws_epoch,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h length, 3h slide) — every event lands in
+    exactly two windows; the oracle replays the expansion explicitly."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws_epoch"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min). Spark: session_window (the
+    same operator Structured Streaming uses for stateful sessionization);
+    oracle: the classic gaps-and-islands rewrite. Gap decisions use raw
+    µs/ns timestamps (sub-second boundary collisions are measure-zero);
+    only the projected session start is truncated to seconds."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts_epoch FROM r WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) — the deterministic batch
+    equivalent of streaming dropDuplicates-within-watermark (which is
+    exercised for real in stream_watermark_run below)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        )
+    )
+
+
+@query("stream_microbatch")  # rows-only: genuine streaming run
+def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real incremental import: readStream(parquet) → foreachBatch append
+    → read back. The reference's whole app (app.py:94-193) in one call,
+    with checkpointed file tracking."""
+    from parquet_importer_spark.streaming.microbatch import (
+        incremental_parquet_import,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="pis_stream_")
+    dest = os.path.join(work, "dest")
+    ckpt = os.path.join(work, "ckpt")
+    incremental_parquet_import(
+        spark, table_path(sf_dir, "events"), dest, ckpt, mode="replace"
+    )
+    return spark.read.parquet(dest).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query("stream_watermark_run")  # rows-only: watermark semantics not batch-SQL
+def stream_watermark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine watermarked streaming aggregation: 10-minute watermark,
+    1h tumbling windows, stateful dropDuplicates on event_id, memory
+    sink in append mode (only watermark-finalized windows emit)."""
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    # events.ts is TIMESTAMP(NANOS) → read as nano-epoch long (io.py docs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws_epoch"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_progress")  # rows-only: observability metrics
+def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run progress counters via df.observe() — the reference's
+    progress bar (app.py:96/185-193) as engine-side metrics that cost
+    nothing extra (piggyback on the action, no second scan)."""
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_dir, "events")
+    obs = Observation("progress")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_processed"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+    return spark.createDataFrame(
+        [(int(metrics["rows_processed"]), float(metrics["total_value"]))],
+        "rows_processed bigint, total_value double",
+    )
