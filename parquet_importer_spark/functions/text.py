@@ -87,15 +87,28 @@ def quality_score(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles: array of 'w1 w2 w3' strings (distinct)."""
+    """Word k-gram shingles: array of 'w1 w2 w3' strings (distinct).
+
+    Built by zip_with over shifted slices — NEVER element_at(expr, i)
+    inside a transform lambda: a lambda body re-evaluates any outer
+    expression subtree per element, turning tokenization O(n) into
+    O(n·k·grams) per row (measured 4× the whole pipeline's cost).
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
-    )
+    grams = toks
+    for j in range(1, k):
+        # pair each gram prefix with the token j positions ahead;
+        # concat_ws tolerates the null tail, sliced off below
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(
-        F.when(n >= k, F.transform(idx, gram)).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(
+            n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1)))
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 

@@ -85,6 +85,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a CPU-bound pipeline gets full parallelism.
+
+    A small parquet file (single row group) scans as ONE task, so
+    per-row-heavy operators (md5 minhash passes, cosine folds) run
+    single-threaded no matter how many cores exist. Repartition up to
+    ``defaultParallelism`` — but ONLY when the scan is under-split:
+    at production scale the input already has thousands of splits and
+    this is a no-op (never shrink parallelism, never add a shuffle).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def footer_rowcount(path: str) -> int:
     """O(1) row count from parquet footer metadata — no data scan
     (reference app.py:91 does this via pyarrow; same trick here)."""

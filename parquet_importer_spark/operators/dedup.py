@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.functions.text import shingles, tokens
+from parquet_importer_spark.io import parallelize
 
 
 def normalized_text_hash(text: Column) -> Column:
@@ -79,48 +80,72 @@ def minhash_lsh_pairs(
     Returns (id_1, id_2, n_shared_bands, jaccard), id_1 < id_2.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    base = parallelize(df).select(
         F.col(id_col).alias("doc"),
         shingles(F.col(text_col), k).alias("sh"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
     )
+    # Candidate generation over SLIM (doc, band, key) rows only — the
+    # shingle arrays (the wide payload) never enter the band shuffle.
     banded = base.select(
         "doc",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.cast("int").alias("band"),
+                    # band b's key = minima for seeds [b*rpb, (b+1)*rpb) —
+                    # each seeded hash pass runs exactly once across bands
                     F.array_join(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        F.transform(
+                            F.sequence(
+                                b * rows_per_band,
+                                (b + 1) * rows_per_band - 1,
+                            ),
+                            lambda s: F.array_min(
+                                _seeded_shingle_md5(F.col("sh"), s)
+                            ),
+                        ),
                         "|",
                     ).alias("key"),
                 ),
             )
         ).alias("bk"),
-    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    left = banded.select(
-        F.col("doc").alias("d1"), F.col("sh").alias("sh1"), "band", "key"
+    # Bucket-group pair generation instead of a self-join: one pass over
+    # the minhash pipeline, one slim shuffle on (band, key), pairs built
+    # inside each bucket. LSH keeps buckets small; at production scale
+    # add a bucket-size cap here to bound any adversarial hot bucket.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    right = banded.select(
-        F.col("doc").alias("d2"), F.col("sh").alias("sh2"), "band", "key"
-    )
-    cand = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_bands"),
-            F.first("sh1").alias("sh1"),
-            F.first("sh2").alias("sh2"),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
         )
     )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    # Exact-Jaccard verify: join shingle sets back onto the (small)
+    # candidate set — both lookups hash-partition `base` by doc, so the
+    # second reuses the first's exchange.
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select(
             F.col("d1").alias("id_1"),
@@ -136,24 +161,26 @@ def simhash16(text: Column) -> Column:
 
     bit i weight = Σ over distinct tokens of ±1, where the sign is the
     top bit of hex digit i of the token's md5; bit = (weight ≥ 0).
-    Pure fold — no explode, no shuffle, codegen-friendly.
+    Pure fold — no explode, no shuffle, codegen-friendly. ONE pass over
+    the tokens with an array<int>[16] accumulator: each token is md5'd
+    exactly once. (A per-bit outer loop would re-evaluate the token-hash
+    subtree 16× — lambda bodies re-evaluate outer subtrees per element.)
     """
-    toks = F.array_distinct(tokens(text))
-    return F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda i: F.when(
-                F.aggregate(
-                    toks,
-                    F.lit(0),
-                    lambda acc, t: acc
-                    + F.when(F.md5(t).substr(i + 1, F.lit(1)) >= "8", 1).otherwise(-1),
-                )
-                >= 0,
-                "1",
-            ).otherwise("0"),
+    hashes = F.transform(F.array_distinct(tokens(text)), lambda t: F.md5(t))
+    weights = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.when(h.substr(i + 1, F.lit(1)) >= "8", 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
         ),
-        "",
+    )
+    return F.array_join(
+        F.transform(weights, lambda w: F.when(w >= 0, "1").otherwise("0")), ""
     )
 
 
@@ -168,7 +195,7 @@ def jaccard_topk_pairs(
     candidate set then stays near-linear. Returns top-k pairs under a
     deterministic total order (jaccard desc, id_1, id_2).
     """
-    t = df.select(
+    t = parallelize(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(tokens(F.col(text_col))).alias("ts"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.functions.vectors import cosine
+from parquet_importer_spark.io import parallelize
 
 
 def topk_cosine(
@@ -35,7 +36,7 @@ def topk_cosine(
     cross join keeps the corpus scan shuffle-free.
     """
     q = F.broadcast(query_vec_df)
-    scored = corpus.crossJoin(q).select(
+    scored = parallelize(corpus).crossJoin(q).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
     )
@@ -67,7 +68,7 @@ def bucketed_topk_pairs(
     fully deterministic. Returns top pairs under the total order
     (cos_sim desc, id_1, id_2).
     """
-    b = df.select(
+    b = parallelize(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_importer_spark.io import read_table
+from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_topk_pairs,
@@ -120,7 +120,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc, as a portable bit string. Near-dups have
     small Hamming distance; banding the bits gives the LSH scale path."""
-    return read_table(spark, sf_dir, "documents").select(
+    return parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", simhash16(F.col("text")).alias("simhash")
     )
 

@@ -18,7 +18,7 @@ from parquet_importer_spark.functions.text import (
     token_count,
     tokens,
 )
-from parquet_importer_spark.io import read_table
+from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.registry import (
     exact_avg,
     oracle_exact_avg,
@@ -49,7 +49,7 @@ _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc counts, token/char averages,
     source diversity — the first pass any training-data pipeline runs."""
-    d = read_table(spark, sf_dir, "documents").select(
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
         "lang",
         "source",
         token_count(F.col("text")).alias("n_tok"),
@@ -77,7 +77,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish (GPT-2-pre-tokenizer-shaped regex) counts."""
-    return read_table(spark, sf_dir, "documents").select(
+    return parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
@@ -119,7 +119,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hits, fixed tie-break order, 'und' when no signal."""
     from parquet_importer_spark.functions.text import lexicon_hits
 
-    d = read_table(spark, sf_dir, "documents")
+    d = parallelize(read_table(spark, sf_dir, "documents"))
     hits = {
         lang: lexicon_hits(F.col("text"), words)
         for lang, words in LANG_LEXICON.items()
@@ -160,7 +160,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score ∈ [0,1] blending length adequacy,
     stopword ratio, mean token length sanity, alpha ratio."""
-    return read_table(spark, sf_dir, "documents").select(
+    return parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     )
 
@@ -186,7 +186,7 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint: lexicographic min of
     md5 over 3-gram shingles — near-identical docs collide."""
-    return read_table(spark, sf_dir, "documents").select(
+    return parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", doc_fingerprint(F.col("text"), 3).alias("fingerprint")
     )
 
@@ -218,7 +218,9 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable; the term-df table is tiny → broadcast back."""
     d = read_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar, footer-served; folded into the plan as a literal
-    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    ex = parallelize(d).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
