@@ -112,3 +112,88 @@ def extract_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+
+def resize_media(mm: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage: payload in → downscaled payload out, 1:1 rows.
+
+    STUB decode/scale (no image libs in this container): deterministic
+    downsample of the raw bytes standing in for pixel resampling —
+    swap the inner function for PIL ``Image.resize`` in production; the
+    mapInPandas plumbing, schema, and batch shape are the real thing.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained: executor workers don't have this package
+        import hashlib
+
+        def fake_resize(b: bytes, cap: int) -> tuple[int, int, bytes]:
+            w, h = (len(b) % 640) + 1, (len(b) % 480) + 1
+            scale = max(w, h) / cap if max(w, h) > cap else 1.0
+            stride = max(int(scale), 1)
+            return int(w / scale), int(h / scale), b[::stride]
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "resized": [], "resized_sha": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, out = fake_resize(bytes(raw), max_dim)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["resized"].append(out)
+                rows["resized_sha"].append(hashlib.sha256(out).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(mm: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: video payload in → N frame rows out (1→N).
+
+    STUB frame extraction (no ffmpeg here): the payload is cut into
+    ``n_frames`` evenly spaced byte slices standing in for decoded
+    frames — swap for an ffmpeg/pyav keyframe pull in production. The
+    1→N mapInPandas fan-out (schema, batch shape, row explosion) is the
+    production plumbing.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "frame_sha": [],
+                    "n_frame_bytes": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = b[i * step : (i + 1) * step]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+                    rows["n_frame_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(_batches, FRAME_SCHEMA)

@@ -55,6 +55,52 @@ def sign_bucket(vec: Column, dims: int = 8) -> Column:
     )
 
 
+def bucketed_scored_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """All within-bucket vector pairs with exact cosine, id_1 < id_2.
+
+    The shared pruning stage: cross-bucket pairs are never scored, so
+    the pairwise space shrinks ~2^bucket_dims×. Columns
+    (bucket, id_1, id_2, cos_sim).
+
+    Shape: ONE scan → group per bucket → in-bucket pair expansion, not a
+    bucket self-join — half the scans/shuffles, and it sidesteps a Spark
+    self-join-dedup bug where higher-order-function lambdas in a filter
+    merged into the join condition keep stale attribute ids
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution). Buckets must fit
+    in executor memory — cap bucket size / add more bits at scale."""
+    b = parallelize(df).select(
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("x"),
+    )
+    buckets = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(
+        "bucket", F.explode(pair_structs).alias("p")
+    ).select(
+        "bucket",
+        F.col("p.a.id").alias("id_1"),
+        F.col("p.b.id").alias("id_2"),
+        F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), 6).alias("cos_sim"),
+    )
+
+
 def bucketed_topk_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -68,24 +114,91 @@ def bucketed_topk_pairs(
     fully deterministic. Returns top pairs under the total order
     (cos_sim desc, id_1, id_2).
     """
-    b = parallelize(df).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-    )
-    left = b.select(
-        F.col("id").alias("id_1"), F.col("v").alias("v1"), "bucket"
-    )
-    right = b.select(
-        F.col("id").alias("id_2"), F.col("v").alias("v2"), "bucket"
-    )
-    pairs = left.join(right, "bucket").filter(F.col("id_1") < F.col("id_2"))
-    scored = pairs.select(
-        "bucket",
-        "id_1",
-        "id_2",
-        F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim"),
-    )
-    return scored.orderBy(
+    return bucketed_scored_pairs(df, vec_col, id_col, bucket_dims).orderBy(
         F.col("cos_sim").desc(), F.col("id_1").asc(), F.col("id_2").asc()
     ).limit(top)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_dims: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sign buckets prune the
+    pairwise space, exact cosine ≥ threshold confirms. Near-identical
+    vectors agree on every sign bit, so true near-dups stay in-bucket
+    (misses only arise from components straddling zero — add multi-probe
+    over flipped low-|value| bits at production scale)."""
+    return (
+        bucketed_scored_pairs(df, vec_col, id_col, bucket_dims)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Index: every vector is assigned to its nearest centroid (one slim
+    shuffle on vec id via max_by). Search: score the query against the
+    tiny centroid table, probe the ``nprobe`` best clusters, and run
+    exact cosine ONLY inside them — scanning ~nprobe/n_centroids of the
+    corpus instead of all of it.
+
+    Centroids here are the deterministic seed set (vectors with
+    id < n_centroids) so a SQL oracle reproduces the index exactly; at
+    production scale swap in sampled k-means centroids (same plan —
+    centroids stay broadcast-small either way, and the assignment /
+    probe machinery is unchanged).
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    base = parallelize(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    # assignment: broadcast centroids, per-vector argmax by (sim, -cid)
+    # (the -cid tiebreak keeps both engines deterministic on exact ties)
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("csim"),
+    )
+    assigned = scored.groupBy("id").agg(
+        F.max_by(
+            F.struct("cid", "v"), F.struct(F.col("csim"), -F.col("cid"))
+        ).alias("best")
+    ).select("id", F.col("best.cid").alias("cluster"), F.col("best.v").alias("v"))
+    # probe list: nprobe clusters nearest to the query
+    probes = (
+        cent.crossJoin(F.broadcast(query_vec_df))
+        .select(
+            "cid",
+            F.round(cosine(F.col("cvec"), F.col("qvec")), 6).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("cluster"))
+    )
+    hits = assigned.join(F.broadcast(probes), "cluster")
+    return (
+        hits.crossJoin(F.broadcast(query_vec_df))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster"),
+            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -10,6 +10,8 @@ from parquet_importer_spark.io import read_table
 from parquet_importer_spark.operators.multimodal import (
     attach_payload,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 from parquet_importer_spark.registry import query
 
@@ -24,3 +26,32 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(mm.select("doc_id", "payload"))
     meta = mm.select("doc_id", F.col("media_meta.sha").alias("sha"))
     return feats.join(meta, "doc_id").orderBy("doc_id")
+
+
+@query("llm_multimodal_resize")  # rows-only: Python decode stage
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline stage (1:1): payload → downscaled payload +
+    integrity sha. Aggregated read-back proves the binary round-trip."""
+    docs = read_table(spark, sf_dir, "documents")
+    mm = attach_payload(docs, "text", "doc_id")
+    resized = resize_media(mm.select("doc_id", "payload"), max_dim=64)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("resized_sha").alias("n_distinct_payloads"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+@query("llm_multimodal_frames")  # rows-only: Python decode stage
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (1→N fan-out): each payload yields 4 frame
+    rows with per-frame hashes — the video-keyframe extraction shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    mm = attach_payload(docs, "text", "doc_id")
+    frames = sample_frames(mm.select("doc_id", "payload"), n_frames=4)
+    return frames.groupBy("frame_no").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("frame_sha").alias("n_distinct_frames"),
+        F.sum("n_frame_bytes").alias("total_bytes"),
+    )

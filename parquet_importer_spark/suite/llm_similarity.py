@@ -16,6 +16,8 @@ from parquet_importer_spark.functions.vectors import oracle_cosine
 from parquet_importer_spark.io import read_table
 from parquet_importer_spark.operators.similarity import (
     bucketed_topk_pairs,
+    embedding_near_dup_pairs,
+    ivf_topk,
     topk_cosine,
 )
 from parquet_importer_spark.registry import query
@@ -71,6 +73,80 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         bucket_dims=4,
         top=20,
+    )
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(range(1, 5),
+               i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    )
+    SELECT id_1, id_2, cos_sim FROM (
+      SELECT x.vec_id AS id_1, y.vec_id AS id_2,
+             ROUND({oracle_cosine('x.embedding', 'y.embedding')}, 6) AS cos_sim
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bit LSH prune →
+    exact cosine ≥ threshold. The synthetic corpus is random (max
+    in-bucket cosine ~0.5), so the demo threshold is 0.4; real embedding
+    spaces use ~0.95 — same plan, one constant."""
+    return embedding_near_dup_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        bucket_dims=4,
+        threshold=0.4,
+    )
+
+
+@query(
+    "llm_sim_ivf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+      SELECT id, cid AS cluster, v FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({oracle_cosine('e.embedding', 'c.cvec')}, 6)
+                            DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid AS cluster FROM cent CROSS JOIN q
+      ORDER BY ROUND({oracle_cosine('cvec', 'qvec')}, 6) DESC, cid ASC
+      LIMIT 4
+    )
+    SELECT a.id AS vec_id, a.cluster,
+           ROUND({oracle_cosine('a.v', 'qvec')}, 6) AS cos_sim
+    FROM assigned a JOIN probes USING (cluster) CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, the scale path past brute force: assign every vector to
+    its nearest of 16 deterministic centroids (one slim max_by shuffle),
+    probe the 4 clusters nearest the query, exact-score only inside them
+    — ~4/16 of the corpus scanned instead of all of it."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(
+        emb, qdf, "embedding", "vec_id", n_centroids=16, nprobe=4, k=10
     )
 
 
