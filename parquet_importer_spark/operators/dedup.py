@@ -36,7 +36,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One row per distinct normalized text: content hash, copy count,
     and the minimum id as the deterministic canonical representative."""
     return (
-        df.withColumn("content_hash", normalized_text_hash(F.col(text_col)))
+        parallelize(df)
+        .withColumn("content_hash", normalized_text_hash(F.col(text_col)))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
