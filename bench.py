@@ -34,9 +34,11 @@ HEADLINE = (
     "stream_tumbling",
     "llm_dedup_exact",
     "llm_dedup_near",
+    "llm_dedup_embedding",
     "llm_text_stats",
     "llm_tfidf",
     "llm_sim_topk",
+    "llm_sim_ivf",
 )
 
 

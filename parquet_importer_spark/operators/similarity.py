@@ -72,10 +72,21 @@ def bucketed_scored_pairs(
     self-join-dedup bug where higher-order-function lambdas in a filter
     merged into the join condition keep stale attribute ids
     (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution). Buckets must fit
-    in executor memory — cap bucket size / add more bits at scale."""
+    in executor memory — cap bucket size / add more bits at scale.
+
+    Each vector's L2 norm is computed ONCE at scan time and carried with
+    it, so the O(pairs) stage runs a single dot fold per pair instead of
+    three — the values are bit-identical to norm-per-pair (same
+    expression, same inputs), so SQL oracles need no reformulation."""
+    from parquet_importer_spark.functions.vectors import dot, sq_norm
+
     b = parallelize(df).select(
         sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("x"),
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(sq_norm(F.col(vec_col))).alias("nrm"),
+        ).alias("x"),
     )
     buckets = (
         b.groupBy("bucket")
@@ -91,13 +102,17 @@ def bucketed_scored_pairs(
             ),
         )
     )
+    sim = F.when(
+        (F.col("p.a.nrm") > 0) & (F.col("p.b.nrm") > 0),
+        dot(F.col("p.a.v"), F.col("p.b.v")) / (F.col("p.a.nrm") * F.col("p.b.nrm")),
+    ).otherwise(F.lit(0.0))
     return buckets.select(
         "bucket", F.explode(pair_structs).alias("p")
     ).select(
         "bucket",
         F.col("p.a.id").alias("id_1"),
         F.col("p.b.id").alias("id_2"),
-        F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), 6).alias("cos_sim"),
+        F.round(sim, 6).alias("cos_sim"),
     )
 
 

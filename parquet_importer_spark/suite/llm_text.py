@@ -222,7 +222,10 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df(term) = #distinct docs containing it = tf's row count per term —
+    # deriving it FROM tf (not a second explode over ex) lets Catalyst
+    # reuse the (doc_id, term) exchange for both branches of the join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
         tf.join(F.broadcast(dfreq), "term")

@@ -205,6 +205,59 @@ def stream_watermark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query("stream_stateful_count")  # rows-only: custom stateful operator
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count kept in explicit GroupState across
+    micro-batches — the extension point for stateful logic Spark's
+    built-in aggregates can't express (per-key models, custom windows,
+    CEP). AvailableNow drains the fixture; the state machinery is the
+    production shape."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def running_count(key, pdfs, state):
+        # self-contained: executor workers don't import this package
+        import pandas as pd  # noqa: PLC0415
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_count,
+            outputStructType="user_id bigint, n_events bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest state per user = the final running counts
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )
+    return latest
+
+
 @query("stream_progress")  # rows-only: observability metrics
 def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-run progress counters via df.observe() — the reference's
