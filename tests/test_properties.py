@@ -1,0 +1,139 @@
+"""Property-based invariants (SURVEY §5.4) on tiny generated frames.
+
+Hypothesis drives the inputs; each Spark job is a few rows, so examples
+are capped low — the value is edge-case coverage (empty strings,
+whitespace runs, duplicate rows, unicode), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.functions.text import shingles, token_count, tokens
+from parquet_importer_spark.operators.dedup import (
+    exact_dedup_groups,
+    normalized_text_hash,
+    simhash16,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+docs = st.lists(
+    st.text(alphabet=" abcdeé\t", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@SETTINGS
+@given(texts=docs)
+def test_exact_dedup_partitions_rows(spark, texts):
+    """Dedup groups partition the input: copy counts sum to row count,
+    and identical normalized text always lands in one group."""
+    df = _doc_df(spark, texts)
+    groups = exact_dedup_groups(df, "text", "doc_id").collect()
+    assert sum(g.n_copies for g in groups) == len(texts)
+    hashes = [g.content_hash for g in groups]
+    assert len(hashes) == len(set(hashes))
+
+
+@SETTINGS
+@given(texts=docs)
+def test_dedup_hash_is_whitespace_invariant(spark, texts):
+    """Normalization: leading/trailing space and case changes never
+    split a group."""
+    df = _doc_df(spark, texts)
+    a = df.select(normalized_text_hash(F.col("text")).alias("h"))
+    b = df.select(
+        normalized_text_hash(F.upper(F.concat(F.lit("  "), F.col("text")))).alias("h")
+    )
+    assert [r.h for r in a.collect()] == [r.h for r in b.collect()]
+
+
+@SETTINGS
+@given(texts=docs, k=st.integers(min_value=2, max_value=4))
+def test_shingle_count_bound(spark, texts, k):
+    """Non-empty docs yield between 1 and n_tokens-k+1 distinct
+    k-gram shingles (distinct can only shrink), never zero."""
+    df = _doc_df(spark, texts)
+    rows = df.select(
+        token_count(F.col("text")).alias("n"),
+        F.size(shingles(F.col("text"), k)).alias("s"),
+    ).collect()
+    for r in rows:
+        assert 1 <= r.s <= max(r.n - k + 1, 1)
+
+
+@SETTINGS
+@given(texts=docs)
+def test_simhash_shape_and_determinism(spark, texts):
+    """SimHash is 16 chars of 0/1 and a pure function of the text."""
+    df = _doc_df(spark, texts)
+    one = df.select(simhash16(F.col("text")).alias("h")).collect()
+    two = df.select(simhash16(F.col("text")).alias("h")).collect()
+    assert one == two
+    for r in one:
+        assert len(r.h) == 16 and set(r.h) <= {"0", "1"}
+
+
+@SETTINGS
+@given(
+    xs=st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=10),
+    ys=st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=10),
+)
+def test_union_all_counts_add(spark, xs, ys):
+    a = spark.createDataFrame([(v,) for v in xs], "v int")
+    b = spark.createDataFrame([(v,) for v in ys], "v int")
+    assert a.union(b).count() == len(xs) + len(ys)
+    assert a.union(b).distinct().count() == len(set(xs) | set(ys))
+
+
+@SETTINGS
+@given(xs=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=12))
+def test_filter_partitions_input(spark, xs):
+    """pred + NOT pred partition every (non-null) row — the filter
+    complement invariant behind filter_boolean/filter_null."""
+    df = spark.createDataFrame([(v,) for v in xs], "v int")
+    p = F.col("v") > 0
+    assert df.filter(p).count() + df.filter(~p).count() == len(xs)
+
+
+@SETTINGS
+@given(
+    xs=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=12),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_topk_is_sorted_prefix(spark, xs, k):
+    """ORDER BY + LIMIT k (TakeOrderedAndProject) must equal the first k
+    of the fully sorted output."""
+    df = spark.createDataFrame([(v,) for v in xs], "v int")
+    top = [r.v for r in df.orderBy(F.col("v").desc()).limit(k).collect()]
+    assert top == sorted(xs, reverse=True)[:k]
+
+
+@SETTINGS
+@given(texts=docs)
+def test_tokens_roundtrip_token_count(spark, texts):
+    """token_count == size(tokens) — the two builders never drift."""
+    df = _doc_df(spark, texts)
+    rows = df.select(
+        token_count(F.col("text")).alias("a"),
+        F.size(tokens(F.col("text"))).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in rows)
