@@ -57,12 +57,20 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # best of 2 runs per query: the first run of a plan pays Janino
+    # whole-stage-codegen compilation (hundreds of ms of driver-side
+    # noise unrelated to data volume); the min is the steady-state cost
+    # that actually scales with input size.
     timings: dict[str, float] = {}
     for qid in HEADLINE:
-        df = QUERIES[qid](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = QUERIES[qid](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[qid] = round(best, 3)
 
     print(
         json.dumps(

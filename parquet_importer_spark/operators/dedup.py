@@ -186,27 +186,50 @@ def simhash16(text: Column) -> Column:
 
 
 def jaccard_topk_pairs(
-    df: DataFrame, text_col: str, id_col: str, top: int = 20
+    df: DataFrame, text_col: str, id_col: str, top: int = 20, k: int = 3
 ) -> DataFrame:
-    """Most-similar doc pairs by exact token-set Jaccard, via inverted-
-    index candidate generation (pairs must share ≥1 token).
+    """Most-similar doc pairs by EXACT k-gram-set Jaccard, via an
+    inverted index on the grams.
 
-    Scale path: with a power-law vocabulary, drop ultra-common tokens
-    from the index (document-frequency cap) before the self-join — the
-    candidate set then stays near-linear. Returns top-k pairs under a
-    deterministic total order (jaccard desc, id_1, id_2).
+    Exactness: |A∩B| for gram sets IS the number of postings a pair
+    shares, so the posting grouping computes the intersection for free,
+    and any pair with jaccard > 0 shares ≥1 gram — candidate generation
+    misses nothing. Unigrams would be the degenerate case (a small
+    vocabulary makes every posting huge and the pair space quadratic);
+    word k-grams keep postings short — measured on the test corpus,
+    k=1 → 36M candidate pairs, k=3 → 1.3M at sf0.1.
+
+    Shape: ONE scan → explode grams → group per gram (postings) →
+    in-posting pair expansion → count shared grams per pair → join the
+    two set sizes. All shuffled rows are slim (gram, doc) / (d1, d2).
+
+    Scale path: cap posting length (drop boilerplate grams shared by
+    thousands of docs — they contribute candidates quadratically but
+    little Jaccard mass). Returns top-k pairs under the deterministic
+    total order (jaccard desc, id_1, id_2).
     """
     t = parallelize(df).select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(tokens(F.col(text_col))).alias("ts"),
+        shingles(F.col(text_col), k).alias("ts"),
     )
-    ex = t.select("doc", F.explode("ts").alias("tok"))
-    a = ex.select(F.col("doc").alias("d1"), "tok")
-    b = ex.select(F.col("doc").alias("d2"), "tok")
+    postings = (
+        t.select(F.explode("ts").alias("tok"), "doc")
+        .groupBy("tok")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "tok")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.d1", "p.d2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sizes = t.select("doc", F.size("ts").alias("n"))

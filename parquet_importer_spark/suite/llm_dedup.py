@@ -125,12 +125,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SH3 = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
 @query(
     "llm_dedup_jaccard",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents
-    ),
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, {_SH3} AS ts FROM tk),
     ex AS (SELECT doc_id, unnest(ts) AS tok FROM t),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
@@ -148,10 +155,11 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar pairs by exact token-set Jaccard via
-    inverted-index candidate generation."""
+    """Top-20 most similar pairs by exact 3-gram-set Jaccard via an
+    inverted index on the grams (see operators/dedup.py for why k-grams,
+    not unigrams, keep the candidate space near-linear)."""
     return jaccard_topk_pairs(
-        read_table(spark, sf_dir, "documents"), "text", "doc_id", top=20
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", top=20, k=3
     )
 
 

@@ -28,6 +28,35 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(meta, "doc_id").orderBy("doc_id")
 
 
+@query("llm_multimodal_binaryfile")  # rows-only: filesystem source
+def llm_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a media directory as a table with the binaryFile source:
+    (path, modificationTime, length, content) per file — the standard
+    way raw image/audio dirs enter the lakehouse. Fixture files are
+    synthesized from documents; at scale this reads s3://bucket/imgs/
+    with partition pruning on the path glob."""
+    import os
+    import tempfile
+
+    media_dir = tempfile.mkdtemp(prefix="pis_media_")
+    for row in (
+        read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+        .collect()
+    ):
+        with open(os.path.join(media_dir, f"{row.doc_id}.bin"), "wb") as fh:
+            fh.write(row.text.encode())
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(media_dir)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    ).orderBy("file_name")
+
+
 @query("llm_multimodal_resize")  # rows-only: Python decode stage
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline stage (1:1): payload → downscaled payload +
