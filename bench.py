@@ -62,27 +62,33 @@ def main() -> None:
     # noise unrelated to data volume); the min is the steady-state cost
     # that actually scales with input size.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in HEADLINE:
-        best = None
-        for _ in range(2):
-            df = QUERIES[qid](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[qid] = round(best, 3)
+        if qid not in QUERIES:
+            errors[qid] = "not registered"
+            continue
+        try:
+            best = None
+            for _ in range(2):
+                df = QUERIES[qid](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[qid] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the run
+            errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
