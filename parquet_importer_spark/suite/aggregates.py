@@ -155,3 +155,38 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
     )
+
+
+@query(
+    "agg_skew_salted",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {oracle_exact_sum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys: stage 1
+    groups on (key, salt) — a hot key's rows spread over 16 reducers —
+    stage 2 merges the per-salt partials. Result identical to a direct
+    groupBy (the oracle IS the direct form); the pattern is the manual
+    fallback when AQE skew handling isn't enough (e.g. one key holding
+    half of 100 TB). Salt must be deterministic for oracle parity —
+    md5 of the row's event_id, never rand()."""
+    from parquet_importer_spark.functions.text import md5_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    _DEC = "decimal(30,8)"
+    stage1 = (
+        ev.withColumn("salt", md5_bucket(F.col("event_id").cast("string"), 7, 1))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(_DEC)).alias("pv"),
+        )
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
