@@ -72,6 +72,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.2,
     k: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -79,6 +80,11 @@ def minhash_lsh_pairs(
     pair iff some band of their signatures is identical; candidates are
     then verified with exact shingle-set Jaccard and filtered.
     Returns (id_1, id_2, n_shared_bands, jaccard), id_1 < id_2.
+
+    ``max_bucket`` drops band buckets larger than the cap before pair
+    expansion — the mandatory valve at production scale (a degenerate
+    bucket of B docs emits B²/2 candidates; boilerplate-heavy corpora
+    produce them). Off by default so results stay oracle-exact.
     """
     rows_per_band = num_hashes // bands
     base = parallelize(df).select(
@@ -122,6 +128,8 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
             F.col("docs"),
@@ -186,7 +194,12 @@ def simhash16(text: Column) -> Column:
 
 
 def jaccard_topk_pairs(
-    df: DataFrame, text_col: str, id_col: str, top: int = 20, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top: int = 20,
+    k: int = 3,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Most-similar doc pairs by EXACT k-gram-set Jaccard, via an
     inverted index on the grams.
@@ -218,6 +231,12 @@ def jaccard_topk_pairs(
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
         .filter(F.size("docs") >= 2)
     )
+    if max_posting is not None:
+        # the scale valve: a gram shared by B docs emits B²/2 candidate
+        # pairs but carries almost no Jaccard information — drop it.
+        # NB: with a cap the intersection count is a lower bound, so
+        # results become approximate (document when enabling).
+        postings = postings.filter(F.size("docs") <= max_posting)
     pair_structs = F.flatten(
         F.transform(
             F.col("docs"),

@@ -60,6 +60,7 @@ def bucketed_scored_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_dims: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All within-bucket vector pairs with exact cosine, id_1 < id_2.
 
@@ -93,6 +94,10 @@ def bucketed_scored_pairs(
         .agg(F.array_sort(F.collect_list("x")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
+    if max_bucket is not None:
+        # scale valve: cap degenerate buckets (B docs → B²/2 pairs);
+        # raise bucket_dims or add multi-probe instead of raising the cap
+        buckets = buckets.filter(F.size("xs") <= max_bucket)
     pair_structs = F.flatten(
         F.transform(
             F.col("xs"),
