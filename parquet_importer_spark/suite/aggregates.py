@@ -190,3 +190,67 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. Pivot values are DECLARED, not discovered — `pivot(col)`
+    without values runs an extra distinct-scan job and, at 100 TB, can
+    explode the schema; fixing the value list keeps this a single
+    ordinary groupBy with conditional aggregates (which is exactly what
+    Catalyst lowers pivot to)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(c).cast("bigint").alias(c)
+              for c in ("click", "error", "purchase", "signup", "view")],
+        )
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT doc_id, metric, CAST(v AS BIGINT) AS value
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ) UNPIVOT (v FOR metric IN (n_chars, n_tokens))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-doc metrics melted to (doc_id, metric,
+    value) rows — the shape feature stores and plotting layers want.
+    Narrow map-side transform (stack), no shuffle."""
+    from parquet_importer_spark.functions.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return d.unpivot(
+        ids=["doc_id"],
+        values=["n_chars", "n_tokens"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
