@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: event-time windowing, and each LLM-pipeline operator class.
 HEADLINE = (
     "flagship_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "agg_groupby",
     "agg_grouping_sets",
     "join_broadcast",

@@ -7,6 +7,7 @@ one inventory section.
 
 from parquet_importer_spark.suite import (  # noqa: F401
     aggregates,
+    analytics,
     flagship,
     functions,
     joins,
