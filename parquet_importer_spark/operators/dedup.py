@@ -53,17 +53,6 @@ def _seeded_shingle_md5(shingle_arr: Column, seed: Column) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
-    """array<string> of ``num_hashes`` minima: sig[s] = min over the
-    doc's k-gram shingles of md5('s{s}|' || shingle). A pure nested
-    higher-order expression — evaluated per row, no shuffle."""
-    sh = shingles(text, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(_seeded_shingle_md5(sh, s)),
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

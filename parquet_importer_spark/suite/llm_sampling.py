@@ -69,3 +69,97 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
     )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+               AS n_tok,
+             substr(md5('s13|' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT shard,
+           CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS seq_no,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY shard, seq_no
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign docs to fixed-budget (2048
+    token) sequences by running token count. Packing is inherently
+    sequential, so it runs per SHARD (16 md5 shards here — in
+    production one shard per writer task): a window cumsum inside each
+    shard, seq_no = which sequence the doc starts in. One shuffle on
+    shard; shards are independent, so scale = add shards."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        md5_bucket(F.col("doc_id").cast("string"), 13, 1).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "seq_no", F.floor((F.col("cum") - F.col("n_tok")) / 2048).cast("bigint")
+        )
+        .groupBy("shard", "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+#: target per-language keep rates for the training mix (hex threshold
+#: over 256 md5 buckets: en keep-all, de ~50%, es ~25%, fr ~12.5%, zh ~6%)
+_MIX_CUTS = {"en": "ff", "de": "80", "es": "40", "fr": "20", "zh": "10"}
+
+
+@query(
+    "llm_mix_weighted",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             substr(md5('s17|' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE b < CASE lang
+             {" ".join(f"WHEN '{lang}' THEN '{cut}'" for lang, cut in _MIX_CUTS.items())}
+             ELSE '00' END) AS BIGINT) AS n_kept
+    FROM d GROUP BY lang
+    """,
+)
+def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing: each language is downsampled to its target
+    rate in the training mix by a deterministic id-hash threshold —
+    the distributed form of curriculum/mixture weighting. Membership is
+    a pure map; this query reports per-language total vs kept."""
+    d = read_table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id").cast("string"), 17, 2)
+    cut = F.lit("00")
+    for lang, hexcut in _MIX_CUTS.items():
+        cut = F.when(F.col("lang") == lang, F.lit(hexcut)).otherwise(cut)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(b < cut, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
