@@ -86,8 +86,10 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles: array of 'w1 w2 w3' strings (distinct).
+def shingles_all(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles with multiplicity: array of 'w1 w2 w3'
+    strings, one per sliding-window position (duplicates kept — the
+    repetition detector needs the counts).
 
     Built by zip_with over shifted slices — NEVER element_at(expr, i)
     inside a transform lambda: a lambda body re-evaluates any outer
@@ -105,11 +107,14 @@ def shingles(text: Column, k: int = 3) -> Column:
             F.slice(toks, j + 1, F.greatest(n - j, F.lit(1))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return F.array_distinct(
-        F.when(
-            n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1)))
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return F.when(
+        n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (set semantics — MinHash/Jaccard)."""
+    return F.array_distinct(shingles_all(text, k))
 
 
 def seeded_md5(col: Column, seed: int) -> Column:

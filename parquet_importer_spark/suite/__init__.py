@@ -12,6 +12,7 @@ from parquet_importer_spark.suite import (  # noqa: F401
     functions,
     joins,
     llm_dedup,
+    llm_filtering,
     llm_multimodal,
     llm_sampling,
     llm_similarity,
