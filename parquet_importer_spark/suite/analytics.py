@@ -114,3 +114,114 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-filter-aggregate with no
+    join and no group-by. All four predicates push down to the parquet
+    scan (min/max row-group pruning at scale); the aggregate is a
+    single partial+final reduction — the cheapest possible 100 TB pass."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    mixed equi + non-equi condition (hash probe on l_orderkey, residual
+    l_shipdate > o_orderdate filter). The semi join never materializes
+    lineitem columns, so only the orders side flows into the aggregate."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "subquery_above_brand_avg",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           ROUND((SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8)))
+                             AS DOUBLE) / COUNT(*)
+                  FROM part p2 WHERE p2.p_brand = p.p_brand), 6) AS brand_avg
+    FROM part p
+    WHERE p_retailprice >
+          (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+                  / COUNT(*)
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def subquery_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced above their brand's
+    average), decorrelated the Spark-idiomatic way: one window average
+    per brand partition instead of a per-row subquery — a single
+    shuffle on p_brand, no rescan of part. Oracle keeps the literal
+    correlated form to pin identical semantics."""
+    from pyspark.sql import Window
+
+    p = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(30,8)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        p.withColumn("brand_avg_raw", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg_raw"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.round("brand_avg_raw", 6).alias("brand_avg"),
+        )
+    )
