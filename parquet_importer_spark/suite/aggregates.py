@@ -254,3 +254,35 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: floor-division bucketing is
+    a pure projection, so the aggregate shuffles only ~10 bucket groups
+    — the 100 TB histogram costs one partial+final reduction, same as a
+    count(*)."""
+    bucket = (F.floor(F.col("o_totalprice") / 50000).cast("bigint") * 50000).alias(
+        "bucket_lo"
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -259,3 +259,28 @@ def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("status_code"),
     )
+
+
+@query(
+    "fn_explode_lateral",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+)
+def fn_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explosion with position (posexplode): one row per
+    (vector, dimension). The 1→N fan-out is a narrow transformation —
+    no shuffle, rows stream out of the scan partition-local; float32
+    dims widen to double (exact) so both engines emit identical bits."""
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )

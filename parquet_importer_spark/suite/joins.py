@@ -224,3 +224,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "click_value",
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the probe side salts its key into
+    SALT sub-keys (pmod of l_linenumber — deterministic, never output)
+    while the build side replicates each row SALT times, so one hot
+    orderkey spreads over SALT reducers instead of one straggler task.
+    Semantically identical to the plain join (the oracle IS the plain
+    join); at 100 TB this is the manual valve when AQE's skew-join
+    splitting can't help (e.g. the skew is in a groupBy after the join).
+    SALT=8 multiplies the build side 8×, so keep it for genuinely hot
+    keys only — AQE handles moderate skew for free."""
+    salt_n = 8
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    l = read_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(salt_n))
+    )
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

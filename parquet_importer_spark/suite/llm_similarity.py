@@ -193,3 +193,32 @@ def llm_sim_nearest_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("label", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "llm_sim_range",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({oracle_cosine('embedding', 'qvec')}, 6) AS cos_sim
+    FROM embeddings CROSS JOIN q
+    WHERE {oracle_cosine('embedding', 'qvec')} >= 0.2
+    """,
+)
+def llm_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: every vector with cosine ≥ τ against the
+    broadcast query — the retrieval-filter dual of top-k. Unlike top-k
+    there is no ordering stage at all: the plan is scan → codegen'd fold
+    → filter, embarrassingly parallel at any corpus size."""
+    from parquet_importer_spark.functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    sim = cosine(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.crossJoin(qdf)
+        .filter(sim >= 0.2)
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+    )

@@ -159,3 +159,33 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_value"
         ),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    quartiles per market segment. The custkey tie-break makes ntile
+    deterministic (frame order matters for it, unlike rank). One
+    shuffle on the partition key, shared by all three functions."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
