@@ -34,6 +34,9 @@ HEADLINE = (
     "win_frame_range",
     "topk",
     "stream_tumbling",
+    "q6_forecast_revenue",
+    "llm_filter_gopher",
+    "llm_dedup_clusters",
     "llm_dedup_exact",
     "llm_dedup_near",
     "llm_dedup_embedding",
@@ -72,8 +75,11 @@ def main() -> None:
         try:
             best = None
             for _ in range(2):
-                df = QUERIES[qid](spark, sf_dir)
+                # timer covers query construction too: iterative operators
+                # (e.g. llm_dedup_clusters) do distributed work while
+                # building their result DataFrame
                 t0 = time.perf_counter()
+                df = QUERIES[qid](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)

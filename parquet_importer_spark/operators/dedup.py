@@ -260,3 +260,43 @@ def jaccard_topk_pairs(
         .orderBy(F.col("jaccard").desc(), "id_1", "id_2")
         .limit(top)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src, dst``
+    (one direction — symmetrized here). Each round every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds, checked via the strictly-decreasing global label
+    sum (one tiny action per round). ``localCheckpoint`` truncates the
+    lineage so round N's plan does not re-execute rounds 1..N-1 — the
+    standard Spark iterative-algorithm guard. At 100 TB swap the naive
+    propagation for the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") — same driver-loop skeleton,
+    provably O(log n) rounds on high-diameter graphs; dup-cluster
+    graphs are near-star-shaped, so diameter stays small in practice.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("lab"))
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lab")
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new.agg(F.sum("lab")).first()[0]
+        labels = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

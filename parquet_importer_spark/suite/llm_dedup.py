@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     jaccard_topk_pairs,
     minhash_lsh_pairs,
+    normalized_text_hash,
     simhash16,
 )
 from parquet_importer_spark.registry import query
@@ -189,4 +191,88 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("id_2"),
             F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
         )
+    )
+
+
+_FP3 = (
+    "list_min(list_transform("
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END), g -> md5(g)))"
+)
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h1,
+             {_FP3} AS h2
+      FROM t
+    ),
+    e1 AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY h1) AS src, doc_id AS dst FROM base
+    ),
+    e2 AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY h2) AS src, doc_id AS dst FROM base
+    ),
+    edges AS (
+      SELECT src, dst FROM e1 WHERE src <> dst
+      UNION SELECT dst, src FROM e1 WHERE src <> dst
+      UNION SELECT src, dst FROM e2 WHERE src <> dst
+      UNION SELECT dst, src FROM e2 WHERE src <> dst
+    ),
+    paths(node, lab) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.dst, p.lab FROM paths p JOIN edges e ON e.src = p.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM paths GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment — the step after pair generation
+    that production dedup actually ships: connected components over the
+    union of exact-hash and fingerprint-collision edges, labeling every
+    doc with its component's min doc_id (the canonical keeper).
+
+    Edges are star-shaped (each doc → its group's min id, one window
+    min per hash — O(n) edges, never O(group²) pair expansion);
+    components come from iterative min-label propagation
+    (operators/dedup.connected_components). Oracle: DuckDB recursive
+    CTE computing the identical transitive closure."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import doc_fingerprint
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        normalized_text_hash(F.col("text")).alias("h1"),
+        doc_fingerprint(F.col("text"), 3).alias("h2"),
+    ).localCheckpoint()  # hashes feed 3 branches — compute them once
+    edges = None
+    for h in ("h1", "h2"):
+        e = base.select(
+            F.min("doc_id").over(Window.partitionBy(h)).alias("src"),
+            F.col("doc_id").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        edges = e if edges is None else edges.union(e)
+    nodes = base.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .alias("cluster_size"),
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.functions.text import md5_bucket
-from parquet_importer_spark.io import read_table
+from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.registry import query
 
 #: hex-prefix threshold: buckets 00..cb → train (~80% of 256), cc..ff → test
@@ -163,3 +163,54 @@ def llm_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(b < cut, 1).otherwise(0)).cast("bigint").alias("n_kept"),
     )
+
+
+@query(
+    "llm_mix_temperature",
+    oracle="""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS raw_share,
+             sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) AS w
+      FROM g
+    )
+    SELECT lang, n_docs,
+           ROUND(raw_share, 6) AS raw_share,
+           ROUND(w / SUM(w) OVER (), 6) AS temp_share,
+           ROUND(LEAST(1.0,
+                 (w / SUM(w) OVER ()) / raw_share * 0.2), 6) AS sample_rate
+    FROM s
+    ORDER BY lang
+    """,
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix rebalancing (the multilingual-LM
+    recipe, T=2 i.e. shares^(1/2)): raw corpus share → sqrt-flattened
+    share → per-language sampling rate hitting a 20% global budget while
+    up-weighting tail languages. The windows run over the per-language
+    aggregate (≤ dozens of rows) — cost is one groupBy of the corpus,
+    identical to llm_text_stats. sqrt (not pow) keeps the math
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    g = (
+        parallelize(read_table(spark, sf_dir, "documents"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    everything = Window.partitionBy()
+    raw_share = F.col("n_docs").cast("double") / F.sum("n_docs").over(everything)
+    w = F.sqrt(raw_share)
+    temp_share = w / F.sum(w).over(everything)
+    return g.select(
+        "lang",
+        "n_docs",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(F.least(F.lit(1.0), temp_share / raw_share * 0.2), 6).alias(
+            "sample_rate"
+        ),
+    ).orderBy("lang")

@@ -110,3 +110,53 @@ def test_scan_parquet_counts_from_footer(spark):
     df = read_table(spark, SF, "nation").groupBy().count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<>" in plan
+
+
+def test_q6_pushes_all_predicates(spark):
+    """Q6's selectivity comes entirely from scan-level pruning: every
+    predicate column must appear in PushedFilters."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+
+
+def test_q4_plans_left_semi(spark):
+    """EXISTS must decorrelate to a semi join — lineitem columns never
+    flow past the join."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_filter_gopher", "llm_repetition", "llm_pii_redact"]
+)
+def test_filter_ops_never_shuffle(spark, name):
+    """Per-doc filtering/scoring must stay embarrassingly parallel:
+    no hash-partition exchange anywhere in the plan."""
+    assert "hashpartitioning" not in plan_of(spark, name)
+
+
+def test_sim_range_no_shuffle_no_sort(spark):
+    """Range similarity search is scan → broadcast probe → filter:
+    no hash exchange, no sort stage (unlike top-k)."""
+    plan = plan_of(spark, "llm_sim_range")
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Sort " not in plan
+
+
+def test_explode_lateral_is_narrow(spark):
+    """posexplode is a 1→N narrow op — rows stream out of the scan
+    partition-local, no exchange."""
+    plan = plan_of(spark, "fn_explode_lateral")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_skew_salted_join_keys_include_salt(spark):
+    """The salted join must shuffle on (key, salt) — that's the whole
+    point: a hot orderkey spreads over SALT partitions."""
+    plan = plan_of(spark, "join_skew_salted")
+    joins = [l for l in plan.splitlines() if "Join" in l and "salt" in l]
+    assert joins, "salt missing from join keys"
