@@ -214,3 +214,71 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rate"
         ),
     ).orderBy("lang")
+
+
+# winnowing fingerprint, SQL side (same expression as llm_fingerprint)
+_FP3 = (
+    "list_min(list_transform("
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END), g -> md5(g)))"
+)
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('s9|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{_TRAIN_CUT}'
+                  THEN 'train' ELSE 'test' END AS split,
+             {_FP3} AS fingerprint
+      FROM t
+    ),
+    train AS (
+      SELECT fingerprint, COUNT(*) AS n_train_matches
+      FROM base WHERE split = 'train' GROUP BY fingerprint
+    )
+    SELECT b.doc_id, b.fingerprint,
+           CAST(n_train_matches AS BIGINT) AS n_train_matches
+    FROM base b JOIN train USING (fingerprint)
+    WHERE b.split = 'test'
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check — the eval-integrity pass every
+    training pipeline needs: test-split docs whose content fingerprint
+    (winnowing min-hash over 3-gram shingles, same as llm_fingerprint)
+    collides with any train-split doc. One fingerprint projection over
+    the corpus, one groupBy of the train side, one equi-join on the
+    fingerprint — at 100 TB both sides shuffle once on the fingerprint
+    and AQE picks broadcast when the train digest table is small. Swap
+    the fingerprint for an exploded 8-gram table to get span-level
+    overlap: same plan shape, one more explode."""
+    from parquet_importer_spark.functions.text import doc_fingerprint, md5_bucket
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.when(
+            md5_bucket(F.col("doc_id").cast("string"), 9, 2) < _TRAIN_CUT,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+        doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+    )
+    train = (
+        base.filter(F.col("split") == "train")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_train_matches"))
+    )
+    return (
+        base.filter(F.col("split") == "test")
+        .join(train, "fingerprint")
+        .select("doc_id", "fingerprint", "n_train_matches")
+    )

@@ -97,3 +97,34 @@ def spatial_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_decode_failures"),
     )
+
+
+@query("spatial_bbox_filter")  # rows-only: pandas_udf boundary
+def spatial_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range query over a WKB geometry column: decode points
+    (vectorized pandas_udf — the app.py:148 decode), filter to a
+    bounding box, aggregate per 10° longitude band. The bbox predicate
+    runs on the decoded struct AFTER the Arrow-batched decode; at scale
+    the win is storing lon/lat min/max as separate stats columns at
+    ingest so the bbox filter pushes down to parquet row groups and the
+    decode only ever runs on surviving rows."""
+    ev = read_table(spark, sf_dir, "events").limit(5000)
+    pts = ev.select(
+        "event_id",
+        (F.col("value") % 360 - 180).alias("lon"),
+        (F.col("value") % 180 - 90).alias("lat"),
+    )
+    enc = pts.select(
+        "event_id", wkb_point_encode(F.col("lon"), F.col("lat")).alias("geometry")
+    )
+    dec = enc.select("event_id", wkb_point_decode(F.col("geometry")).alias("pt"))
+    in_box = dec.filter(
+        F.col("pt.lon").between(-90.0, 90.0) & F.col("pt.lat").between(0.0, 45.0)
+    )
+    return (
+        in_box.groupBy(
+            (F.floor(F.col("pt.lon") / 10) * 10).cast("bigint").alias("lon_band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("lon_band")
+    )

