@@ -263,7 +263,10 @@ def jaccard_topk_pairs(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -278,11 +281,22 @@ def connected_components(
     "Connected Components in MapReduce") — same driver-loop skeleton,
     provably O(log n) rounds on high-diameter graphs; dup-cluster
     graphs are near-star-shaped, so diameter stays small in practice.
+
+    ``init`` (optional ``node, lab`` frame) seeds the labels: any lab
+    that is (a) ≤ its node's id and (b) the id of a node in the same
+    component preserves the fixpoint (the seed's own, smaller label
+    still propagates through it) while skipping the first rounds —
+    e.g. seeding with per-hash-group minima resolves most dup clusters
+    before the loop even starts.
     """
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = nodes.select(F.col("node"), F.col("node").alias("lab"))
+    labels = (
+        init.select("node", "lab")
+        if init is not None
+        else nodes.select(F.col("node"), F.col("node").alias("lab"))
+    )
     prev_sum = None
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(

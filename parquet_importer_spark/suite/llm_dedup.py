@@ -261,14 +261,23 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text"), 3).alias("h2"),
     ).localCheckpoint()  # hashes feed 3 branches — compute them once
     edges = None
+    minned = base
     for h in ("h1", "h2"):
-        e = base.select(
-            F.min("doc_id").over(Window.partitionBy(h)).alias("src"),
-            F.col("doc_id").alias("dst"),
+        minned = minned.withColumn(
+            f"min_{h}", F.min("doc_id").over(Window.partitionBy(h))
+        )
+        e = minned.select(
+            F.col(f"min_{h}").alias("src"), F.col("doc_id").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
         edges = e if edges is None else edges.union(e)
     nodes = base.select(F.col("doc_id").alias("node"))
-    comp = connected_components(nodes, edges)
+    # seed each doc with the smaller of its two group minima — resolves
+    # single-hop clusters before the propagation loop starts
+    init = minned.select(
+        F.col("doc_id").alias("node"),
+        F.least("min_h1", "min_h2").alias("lab"),
+    )
+    comp = connected_components(nodes, edges, init=init)
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster_id"),

@@ -128,3 +128,52 @@ def spatial_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("lon_band")
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS custkey,
+             COUNT(*) AS n_orders,
+             MAX(o_orderdate) AS last_order
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, s.custkey) AS custkey,
+           c.c_name AS name,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           s.last_order,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN s.custkey IS NULL THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM customer c FULL OUTER JOIN src s ON s.custkey = c.c_custkey
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: full outer join of
+    target (customer) and change-set (per-customer order rollup), source
+    wins on conflict, rows tagged insert / update / unchanged — the
+    WHEN MATCHED / NOT MATCHED branches of SQL MERGE as one shuffle-join
+    projection. At 100 TB both sides shuffle once on the key (or the
+    change-set broadcasts when small); with a transactional format
+    (Delta/Iceberg) the same change-set feeds MERGE INTO directly."""
+    c = read_table(spark, sf_dir, "customer")
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    j = c.join(src, c.c_custkey == src.custkey, "full_outer")
+    return j.select(
+        F.coalesce(c.c_custkey, src.custkey).alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.coalesce(src.n_orders, F.lit(0)).alias("n_orders"),
+        "last_order",
+        F.when(c.c_custkey.isNull(), "insert")
+        .when(src.custkey.isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    )

@@ -278,3 +278,48 @@ def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(metrics["rows_processed"]), float(metrics["total_value"]))],
         "rows_processed bigint, total_value double",
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT s.user_id, s.day, COALESCE(p.n, 0) AS n_events
+    FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.day = s.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense daily spine per user (their own
+    [first, last] activity range, via `sequence` + explode — no
+    driver-side calendar) left-joined to the observed per-day counts,
+    absent days coalesced to 0. Two shuffles total (the per-day agg and
+    the span agg ride the same user_id partitioning; the spine join
+    reuses it). The spine explode is narrow — at 100 TB the output is
+    bounded by users × days, not events."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = per.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return spine.join(per, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+    )
