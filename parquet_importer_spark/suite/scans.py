@@ -46,3 +46,104 @@ def source_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-based source resolution (reference app.py:32-49 chooses
     upload vs local path; distributed engines only have paths)."""
     return spark.read.format("parquet").load(table_path(sf_dir, "region"))
+
+
+def _roundtrip_dir(tag: str) -> str:
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"pis_{tag}_{os.getpid()}")
+    return d
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source format: export a numeric/string projection of lineitem
+    to CSV, read it back with an explicit schema (no inference scan),
+    aggregate — the oracle computes the same aggregate from the original
+    parquet, so the round-trip proves the CSV read path is lossless for
+    the projected types. Distributed on both sides: the write is
+    per-partition CSV part-files, the read splits them line-wise."""
+    out = _roundtrip_dir("csv")
+    src = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("l_returnflag string, l_quantity double")
+        .option("header", "true")
+        .csv(out)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source format: export documents metadata to NDJSON,
+    read back with explicit schema, aggregate vs the parquet oracle.
+    JSON is the interchange format most raw LLM corpus drops arrive in
+    (one doc per line) — this is the ingest edge of the pipeline."""
+    out = _roundtrip_dir("json")
+    src = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout — THE 100 TB table organization:
+    write documents partitioned by lang (one directory per value), read
+    back filtered to two languages. The filter becomes a PartitionFilter
+    (directory pruning — non-matching partitions are never opened, see
+    tests/test_plans.py::test_partitioned_read_prunes), which is how a
+    petabyte table serves a single-partition query at interactive cost."""
+    out = _roundtrip_dir("part")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    src.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )

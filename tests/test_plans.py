@@ -160,3 +160,16 @@ def test_skew_salted_join_keys_include_salt(spark):
     plan = plan_of(spark, "join_skew_salted")
     joins = [l for l in plan.splitlines() if "Join" in l and "salt" in l]
     assert joins, "salt missing from join keys"
+
+
+def test_partitioned_read_prunes(spark, tmp_path):
+    """A filter on a partition column must become a PartitionFilter
+    (directory pruning) — not a post-scan predicate over all files."""
+    out = str(tmp_path / "part")
+    read_table(spark, SF, "documents").select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "lang" in pf, f"partition filter not pruned: {pf}"
