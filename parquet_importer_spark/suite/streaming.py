@@ -323,3 +323,107 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(per, ["user_id", "day"], "left").select(
         "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
     )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    conv AS (
+      SELECT c.user_id,
+             MIN(p.ts) AS first_purchase
+      FROM clicks c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM clicks) AS n_clicked,
+           COUNT(*) AS n_converted,
+           ROUND(COUNT(*) * 1.0 /
+                 (SELECT COUNT(DISTINCT user_id) FROM clicks), 6)
+             AS conversion_rate
+    FROM conv
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel with a conversion deadline: users who 'purchase'
+    within 1 hour of a 'click'. The step join is a range join on
+    (user_id equi + ts interval residual) — one shuffle per side on
+    user_id; both event filters push to the scan. At 100 TB bound the
+    range-join blowup by bucketing ts into hour-grain join keys
+    (join on (user, hour) ∪ (user, hour+1) then re-filter — turns the
+    interval probe into two equi-joins)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    n_clicked = clicks.select(
+        F.countDistinct("user_id").alias("n_clicked")
+    )
+    return conv.agg(F.count(F.lit(1)).alias("n_converted")).crossJoin(
+        F.broadcast(n_clicked)
+    ).select(
+        "n_clicked",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_clicked"), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@query(
+    "ts_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort FROM events
+      GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_n,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM first_day f JOIN activity a USING (user_id)
+    WHERE date_diff('day', f.cohort, a.day) IN (0, 1, 7)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (D0/D1/D7): users grouped by first-active day,
+    counted on each retention checkpoint. Both the cohort assignment
+    and the activity dedup ride ONE user_id shuffle; the cohort join is
+    a co-partitioned merge. The retention matrix is cohorts × days —
+    tiny at any corpus scale."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    day_n = F.datediff(F.col("day"), F.col("cohort")).cast("bigint")
+    return (
+        activity.join(first_day, "user_id")
+        .withColumn("day_n", day_n)
+        .filter(F.col("day_n").isin(0, 1, 7))
+        .groupBy("cohort", "day_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort", "day_n")
+    )
