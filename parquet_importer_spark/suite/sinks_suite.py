@@ -177,3 +177,49 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables — the storage-level answer to repeated fact-fact
+    joins: orders and lineitem written `bucketBy(8, orderkey)` +
+    `sortBy`, then joined bucket-to-bucket with ZERO exchange on either
+    side (plan-tested) — at 100 TB the shuffle that dominates every
+    orderkey join is paid once at write time and amortized over every
+    subsequent join/aggregate on that key. The merge hint pins SMJ so
+    the co-location is visible even where AQE would broadcast."""
+    import os
+    import tempfile
+
+    wh = os.path.join(
+        tempfile.gettempdir(), f"pis_bucketed_{os.getpid()}"
+    )
+    for name, tbl, key in (
+        ("pis_orders_b", "orders", "o_orderkey"),
+        ("pis_lineitem_b", "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            read_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("pis_orders_b").hint("merge")
+    bl = spark.table("pis_lineitem_b")
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )

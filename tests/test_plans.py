@@ -173,3 +173,13 @@ def test_partitioned_read_prunes(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "lang" in pf, f"partition filter not pruned: {pf}"
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Bucketed orders ⋈ lineitem must be bucket-co-located: a
+    SortMergeJoin with no Exchange below it (the only exchange allowed
+    is the post-join group-by)."""
+    plan = plan_of(spark, "sink_bucketed_join")
+    assert "SortMergeJoin" in plan
+    below = plan[plan.index("SortMergeJoin") :]
+    assert "Exchange" not in below, "join sides re-shuffled despite bucketing"
