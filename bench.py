@@ -44,6 +44,8 @@ HEADLINE = (
     "llm_tfidf",
     "llm_sim_topk",
     "llm_sim_ivf",
+    "llm_contamination",
+    "ts_funnel",
 )
 
 

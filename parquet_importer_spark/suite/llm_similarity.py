@@ -282,3 +282,64 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("q_energy"),
     )
+
+
+@query(
+    "llm_sim_topk_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND({oracle_cosine('e.embedding', 'q.qvec')}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cos_sim
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN retrieval — production retrieval is never one query:
+    top-5 neighbors for each of a broadcast query batch, in ONE corpus
+    scan (each corpus row scores against every query in-loop, then a
+    per-query window top-k). Corpus never shuffles for scoring; the only
+    exchange carries (qid, vec_id, score) triples, pruned to k·|Q| rows
+    by the rank filter. At 100 TB batch further: chunk the query set so
+    each broadcast fits executor memory, one scan per chunk."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.vectors import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        emb.crossJoin(qdf)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "vec_id", "cos_sim")
+    )
