@@ -347,3 +347,37 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = cust.intersect(supp).withColumn("side", F.lit("both"))
     only = cust.exceptAll(supp).withColumn("side", F.lit("cust_only"))
     return both.unionByName(only)
+
+
+@query(
+    "sql_entrypoint",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL text surface: tables registered as temp views
+    (io.register_views), query supplied as ANSI SQL to `spark.sql` —
+    same Catalyst plan as the DataFrame form (identical pushdown /
+    partial-agg shape), proving both APIs hit one optimizer. A user of
+    the DataFrame suite can hand the engine raw SQL unchanged."""
+    from parquet_importer_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
