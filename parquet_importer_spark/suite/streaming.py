@@ -427,3 +427,109 @@ def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort", "day_n")
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM span
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, p.v FROM spine s
+      LEFT JOIN per p ON p.user_id = s.user_id AND p.day = s.day
+    ),
+    ctx AS (
+      SELECT user_id, day, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * date_diff('day', pd, day)
+                              / date_diff('day', pd, nd)
+             ELSE COALESCE(pv, nv) END, 6) AS v_filled,
+           (v IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a daily value series over the dense
+    per-user spine (ts_gap_fill's layout): gaps get
+    prev + (next−prev)·Δt/Δspan via ignore-nulls window lookups in BOTH
+    directions; edges forward/back-fill. The two windows and the spine
+    join all ride ONE user_id partitioning — interpolation at 100 TB
+    costs the same single shuffle as the gap fill."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("v"))
+    span = per.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = spine.join(per, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_v = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(day_if_v, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(day_if_v, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return ctx.select(
+        "user_id",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+            )
+            .otherwise(F.coalesce("pv", "nv")),
+            6,
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
