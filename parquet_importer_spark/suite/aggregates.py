@@ -286,3 +286,25 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+@query("agg_approx_quantile")  # rows-only: sketch-based, never hash-matches
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch, accuracy 1e-4)
+    of order value per priority — the 100 TB alternative to exact
+    `percentile` (which must materialize each group's values): sketches
+    merge map-side like any partial aggregate, so the shuffle carries
+    fixed-size summaries, not value lists. Property-tested against the
+    exact percentiles' bracketing bounds (tests/test_properties.py)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("q25_50_75"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority")
+    )

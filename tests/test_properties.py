@@ -197,3 +197,14 @@ def test_repetition_fractions_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.dup_token_frac <= 1.0
         assert 0.0 <= r.dup_3gram_frac <= 1.0
+
+
+def test_approx_quantiles_bracketed_and_monotone(spark, sf_dir):
+    """Sketch quantiles must lie within [min, max] and be monotone in
+    the quantile level — the correctness envelope for an approx op the
+    oracle can't hash-check."""
+    from parquet_importer_spark.suite import QUERIES
+
+    for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect():
+        q25, q50, q75 = r.q25_50_75
+        assert r.lo <= q25 <= q50 <= q75 <= r.hi
