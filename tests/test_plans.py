@@ -183,3 +183,12 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     assert "SortMergeJoin" in plan
     below = plan[plan.index("SortMergeJoin") :]
     assert "Exchange" not in below, "join sides re-shuffled despite bucketing"
+
+
+def test_sql_entrypoint_gets_same_optimizations(spark):
+    """Raw SQL text must hit the same Catalyst rules as the DataFrame
+    API: filter pushed to the scan, partial aggregation below the
+    exchange."""
+    plan = plan_of(spark, "sql_entrypoint")
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    assert "partial_" in plan
