@@ -298,6 +298,7 @@ def connected_components(
         else nodes.select(F.col("node"), F.col("node").alias("lab"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("lab")
@@ -311,6 +312,15 @@ def connected_components(
         cur_sum = new.agg(F.sum("lab")).first()[0]
         labels = new
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a component whose diameter exceeds max_iter would otherwise
+        # silently yield a non-fixpoint labeling (wrong cluster ids)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (label sum still decreasing); raise max_iter or switch to "
+            "the large-star/small-star variant for high-diameter graphs"
+        )
     return labels

@@ -138,7 +138,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
            ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
            ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
-           MEDIAN(c_acctbal) AS median_bal
+           ROUND(MEDIAN(c_acctbal), 6) AS median_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -153,7 +153,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
             "corr_bal_key"
         ),
-        F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
+        # rounded like the other float columns: percentile/MEDIAN interpolate
+        # between two values for even-sized groups and may differ in the
+        # last ulp across engines
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal"),
     )
 
 
@@ -295,14 +298,20 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` (which must materialize each group's values): sketches
     merge map-side like any partial aggregate, so the shuffle carries
     fixed-size summaries, not value lists. Property-tested against the
-    exact percentiles' bracketing bounds (tests/test_properties.py)."""
+    exact percentiles' bracketing bounds (tests/test_properties.py).
+
+    Emitted as three scalar columns (q25/q50/q75), not one array column:
+    array cells are opaque unhashable values to pandas-style consumers
+    (including the driver's canonicalizer) — scalars keep the result
+    frame sortable and hashable everywhere."""
+    q = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
     return (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75], 10000
-            ).alias("q25_50_75"),
+            q.getItem(0).alias("q25"),
+            q.getItem(1).alias("q50"),
+            q.getItem(2).alias("q75"),
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )

@@ -101,7 +101,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            SQRT(l_quantity) AS qty_sqrt,
            LEAST(l_quantity, 25.0) AS qty_clamped,
            GREATEST(l_discount, l_tax) AS max_rate,
-           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7
+           CAST(CAST(FLOOR(l_quantity) AS BIGINT) % 7 AS BIGINT) AS qty_mod7
     FROM lineitem
     """,
 )
@@ -126,7 +126,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(q).alias("qty_sqrt"),
         F.least(q, F.lit(25.0)).alias("qty_clamped"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
-        (q.cast("bigint") % 7).cast("bigint").alias("qty_mod7"),
+        # floor first: CAST(double AS BIGINT) truncates in Spark but rounds
+        # in DuckDB — floor makes the pair robust to non-integral inputs
+        (F.floor(q).cast("bigint") % 7).cast("bigint").alias("qty_mod7"),
     )
 
 

@@ -125,7 +125,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
+                                ORDER BY date_trunc('second', ts), event_id) AS rn
       FROM events
     )
     SELECT user_id, event_type, event_id, ts_epoch FROM r WHERE rn = 1
@@ -134,9 +134,15 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup per (user, event_type) — the deterministic batch
     equivalent of streaming dropDuplicates-within-watermark (which is
-    exercised for real in stream_watermark_run below)."""
+    exercised for real in stream_watermark_run below). The ordering ts is
+    truncated to seconds on BOTH sides before the event_id tie-break:
+    Spark compares µs-truncated timestamps while DuckDB keeps ns, so two
+    events sharing a µs but differing at ns precision could otherwise
+    pick different 'first' rows."""
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -206,5 +206,4 @@ def test_approx_quantiles_bracketed_and_monotone(spark, sf_dir):
     from parquet_importer_spark.suite import QUERIES
 
     for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect():
-        q25, q50, q75 = r.q25_50_75
-        assert r.lo <= q25 <= q50 <= q75 <= r.hi
+        assert r.lo <= r.q25 <= r.q50 <= r.q75 <= r.hi
