@@ -61,7 +61,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.2,
     k: int = 2,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -73,7 +73,10 @@ def minhash_lsh_pairs(
     ``max_bucket`` drops band buckets larger than the cap before pair
     expansion — the mandatory valve at production scale (a degenerate
     bucket of B docs emits B²/2 candidates; boilerplate-heavy corpora
-    produce them). Off by default so results stay oracle-exact.
+    produce them). ON by default (10k): no bucket can exceed the corpus
+    size at test SFs, so results stay oracle-exact there, while any
+    adversarial hot bucket at scale is bounded at ~50M pairs. Tune DOWN
+    per corpus; ``None`` disables (exact, unbounded).
     """
     rows_per_band = num_hashes // bands
     base = parallelize(df).select(
@@ -188,7 +191,7 @@ def jaccard_topk_pairs(
     id_col: str,
     top: int = 20,
     k: int = 3,
-    max_posting: int | None = None,
+    max_posting: int | None = 10_000,
 ) -> DataFrame:
     """Most-similar doc pairs by EXACT k-gram-set Jaccard, via an
     inverted index on the grams.
@@ -207,8 +210,11 @@ def jaccard_topk_pairs(
 
     Scale path: cap posting length (drop boilerplate grams shared by
     thousands of docs — they contribute candidates quadratically but
-    little Jaccard mass). Returns top-k pairs under the deterministic
-    total order (jaccard desc, id_1, id_2).
+    little Jaccard mass). ``max_posting`` is ON by default (10k): a
+    no-op below 10k docs (oracle-exact at test SFs), a mandatory bound
+    above; with an active cap the intersection count is a lower bound.
+    Returns top-k pairs under the deterministic total order
+    (jaccard desc, id_1, id_2).
     """
     t = parallelize(df).select(
         F.col(id_col).alias("doc"),

@@ -60,7 +60,7 @@ def bucketed_scored_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_dims: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All within-bucket vector pairs with exact cosine, id_1 < id_2.
 
@@ -73,7 +73,9 @@ def bucketed_scored_pairs(
     self-join-dedup bug where higher-order-function lambdas in a filter
     merged into the join condition keep stale attribute ids
     (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution). Buckets must fit
-    in executor memory — cap bucket size / add more bits at scale.
+    in executor memory — ``max_bucket`` is ON by default (10k, a no-op
+    below 10k vectors so test-SF results stay oracle-exact); tune down
+    or add more bits at scale.
 
     Each vector's L2 norm is computed ONCE at scan time and carried with
     it, so the O(pairs) stage runs a single dot fold per pair instead of

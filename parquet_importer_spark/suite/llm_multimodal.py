@@ -33,18 +33,28 @@ def llm_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest a media directory as a table with the binaryFile source:
     (path, modificationTime, length, content) per file — the standard
     way raw image/audio dirs enter the lakehouse. Fixture files are
-    synthesized from documents; at scale this reads s3://bucket/imgs/
-    with partition pruning on the path glob."""
-    import os
+    synthesized from documents DISTRIBUTEDLY (foreachPartition writes on
+    the executors — no driver collect(); local mode shares one
+    filesystem, on a cluster the target would be a shared store and at
+    scale this reads s3://bucket/imgs/ with path-glob pruning)."""
     import tempfile
 
     media_dir = tempfile.mkdtemp(prefix="pis_media_")
-    for row in (
-        read_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
-        .collect()
-    ):
-        with open(os.path.join(media_dir, f"{row.doc_id}.bin"), "wb") as fh:
-            fh.write(row.text.encode())
+    fixture = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)  # deterministic subset, no bare limit
+        .repartition(4)
+    )
+
+    def _write_files(rows):  # self-contained closure: executors run it
+        import os  # noqa: PLC0415
+
+        for r in rows:
+            with open(os.path.join(media_dir, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode())
+
+    fixture.foreachPartition(_write_files)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

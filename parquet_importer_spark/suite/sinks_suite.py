@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import read_table
 from parquet_importer_spark.registry import query
-from parquet_importer_spark.sources.sinks import jdbc_write_plan, write_parquet
+from parquet_importer_spark.sources.sinks import (
+    jdbc_write_plan,
+    write_jdbc,
+    write_parquet,
+)
 from parquet_importer_spark.sources.spatial import (
     postgis_promote_ddl,
     wkb_point_decode,
@@ -48,27 +52,64 @@ def sink_append_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_jdbc")  # rows-only: external side effect (no live Postgres here)
+@query("sink_jdbc")  # rows-only: live embedded-Derby side effect
 def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JDBC sink dry-run: the exact SaveMode/batchsize/partitioning plan
-    write_jdbc would execute (mode map per reference app.py:21)."""
+    """LIVE JDBC round-trip — all three reference modes (app.py:178-183)
+    executed end-to-end against embedded Derby (already on Spark's
+    classpath): replace → overwrite DDL+load, append → second load
+    doubles the rows, fail → errorifexists raises on the existing table.
+    Each state is verified by reading back through ``spark.read.jdbc``.
+    ``df.write.jdbc`` opens one connection per partition and batches
+    inserts (batchsize × numPartitions) — swapping Derby for Postgres is
+    a URL change; the plan-rows dry-run variant lives on in sink_postgis.
+    """
+    db_dir = tempfile.mkdtemp(prefix="pis_derby_")
+    # keep Derby's boot log out of the process cwd (must be set before
+    # the engine first boots in this JVM; a no-op afterwards)
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.stream.error.file", os.path.join(db_dir, "derby.log")
+    )
+    url = f"jdbc:derby:{os.path.join(db_dir, 'db')};create=true"
+    n = read_table(spark, sf_dir, "nation")
+
+    def count_back() -> int:
+        return spark.read.jdbc(url, "nation").count()
+
+    results = []
+    write_jdbc(n, url, "nation", mode="replace", batchsize=10_000, num_partitions=4)
+    results.append(("1_replace", count_back(), "overwritten"))
+    write_jdbc(n, url, "nation", mode="append", batchsize=10_000, num_partitions=4)
+    results.append(("2_append", count_back(), "appended"))
+    try:
+        write_jdbc(n, url, "nation", mode="fail")
+        outcome = "unexpected_success"
+    except Exception:  # noqa: BLE001 — table-exists is the expected failure
+        outcome = "errorifexists_raised"
+    results.append(("3_fail", count_back(), outcome))
+    return spark.createDataFrame(
+        results, "step string, rows_in_db bigint, outcome string"
+    ).orderBy("step")
+
+
+@query("sink_postgis")  # rows-only: external side effect (no live PostGIS here)
+def sink_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostGIS staging adapter: the bytea JDBC write plan (dry-run —
+    PostGIS itself isn't embeddable) + the promote DDL (ST_GeomFromWKB)
+    that replaces geopandas.to_postgis (app.py:181). The generic JDBC
+    path is exercised LIVE against Derby in sink_jdbc above."""
     plan = jdbc_write_plan(
         read_table(spark, sf_dir, "nation"),
-        table="public.nation",
+        table="public.spatial_table",
         mode="replace",
         batchsize=50_000,
         num_partitions=8,
     )
-    return spark.createDataFrame(plan, "step string, detail string").orderBy("step")
-
-
-@query("sink_postgis")  # rows-only: external side effect
-def sink_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PostGIS staging adapter: bytea JDBC write plan + the promote DDL
-    (ST_GeomFromWKB) that replaces geopandas.to_postgis (app.py:181)."""
     ddl = postgis_promote_ddl("public.spatial_table", "geometry", srid=4326)
-    rows = [(i, stmt) for i, stmt in enumerate(ddl)]
-    return spark.createDataFrame(rows, "step_no int, ddl string").orderBy("step_no")
+    rows = [(i, f"plan:{step}", detail) for i, (step, detail) in enumerate(plan)]
+    rows += [(len(rows) + i, "ddl", stmt) for i, stmt in enumerate(ddl)]
+    return spark.createDataFrame(
+        rows, "step_no int, step string, detail string"
+    ).orderBy("step_no")
 
 
 @query("spatial_wkb_roundtrip")  # rows-only: pandas_udf boundary
