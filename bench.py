@@ -69,13 +69,17 @@ def main() -> None:
     # noise unrelated to data volume); the min is the steady-state cost
     # that actually scales with input size.
     timings: dict[str, float] = {}
+    partitions: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for qid in HEADLINE:
         if qid not in QUERIES:
             errors[qid] = "not registered"
             continue
         try:
             best = None
+            sc.setJobGroup(f"bench:{qid}", qid)
             for _ in range(2):
                 # timer covers query construction too: iterative operators
                 # (e.g. llm_dedup_clusters) do distributed work while
@@ -86,8 +90,33 @@ def main() -> None:
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
             timings[qid] = round(best, 3)
+            # scale guardrail (free driver-side metadata): per-stage task
+            # counts. AQE rightly coalesces a 5-row result to 1 final
+            # task, so a small final stage is normal — the red flag is a
+            # plan whose WIDEST stage is 1 task (fully serial: e.g. the
+            # single-row-group scan floor), invisible in sf0.1 wall time
+            # but fatal at 100 TB. Both numbers land in BENCH JSON.
+            job_ids = tracker.getJobIdsForGroup(f"bench:{qid}")
+            stage_ids = [
+                sid
+                for j in job_ids
+                for sid in (tracker.getJobInfo(j) or _NoJob()).stageIds
+            ]
+            infos = [
+                info
+                for sid in stage_ids
+                if (info := tracker.getStageInfo(sid)) is not None
+            ]
+            if infos and stage_ids:
+                final = tracker.getStageInfo(max(stage_ids))
+                partitions[qid] = {
+                    "final": final.numTasks if final else None,
+                    "max": max(i.numTasks for i in infos),
+                }
         except Exception as exc:  # one broken query must not kill the run
             errors[qid] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            sc.setJobGroup("", "")
 
     out = {
         "metric": "headline_suite_total",
@@ -95,10 +124,23 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stage_tasks": partitions,
+        "serial_plans": sorted(
+            q for q, p in partitions.items() if p["max"] <= 1
+        ),
+        "serial_plan_note": (
+            "max<=1 at small SF usually reflects the single-row-group "
+            "input floor (SURVEY §8.1), not an inherently serial plan; "
+            "watch this list for round-over-round regressions"
+        ),
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+class _NoJob:
+    stageIds: tuple = ()
 
 
 if __name__ == "__main__":

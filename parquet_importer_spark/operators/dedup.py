@@ -46,6 +46,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: MinHash LSH parameter presets. "toy" is the 8-hash/4-band shape the
+#: sf-scale SQL oracles reproduce term-for-term (2 rows/band → the
+#: similarity s-curve knees near (1/4)^(1/2) = 0.5, catching even weak
+#: overlap on a small corpus). "production" is the industry-standard
+#: 128-hash/16-band config (8 rows/band → knee ≈ (1/16)^(1/8) ≈ 0.71):
+#: far fewer false-positive candidates per doc at corpus scale, with
+#: near-certain capture of true near-dups (a 0.8-Jaccard pair lands in
+#: ≥1 of 16 bands with p ≈ 1-(1-0.8^8)^16 ≈ 0.96). Same pipeline, same
+#: plan shape — signatures just carry 128 array elements instead of 8.
+MINHASH_PROFILES: dict[str, dict[str, int]] = {
+    "toy": {"num_hashes": 8, "bands": 4},
+    "production": {"num_hashes": 128, "bands": 16},
+}
+
+
 def _seeded_shingle_md5(shingle_arr: Column, seed: Column) -> Column:
     return F.transform(
         shingle_arr,

@@ -3,10 +3,13 @@
 Media (image/audio/video) is carried as opaque ``binary`` payload
 columns plus a typed metadata struct — the lakehouse-standard layout.
 The Spark-side machinery here is real and tested: schemas, Arrow-batched
-``mapInPandas`` decode/feature pipelines, partition sizing. The actual
-codec calls are STUBBED (this container ships no image/audio libs) with
-a deterministic fake, clearly marked — swap ``_fake_decode`` for a PIL/
-ffmpeg call in production; nothing else changes.
+``mapInPandas`` decode/feature pipelines, partition sizing. The image
+codec is FEATURE-FLAGGED: when Pillow imports on the executors the
+decode/resize stages use it for payloads that actually parse as images,
+and fall back to a deterministic, clearly-marked stub otherwise (this
+container ships no image libs, so the stub path is what CI exercises —
+``pil_available()`` reports which). Video frame extraction stays a
+byte-slice stub (no ffmpeg anywhere); the 1→N plumbing is real.
 
 Scale notes: payloads dominate partition bytes — size partitions by
 ``spark.sql.files.maxPartitionBytes`` (not row count), keep metadata in
@@ -59,10 +62,22 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def pil_available() -> bool:
+    """True when Pillow imports in THIS interpreter (driver side; local
+    mode shares the env with executors, a cluster should assert it on
+    both)."""
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB decode — deterministic fake dimensions derived from payload
-    length. Replace with e.g. ``PIL.Image.open(io.BytesIO(payload)).size``
-    in production; the surrounding pipeline is unchanged.
+    length. The executor closures embed the same formula as their
+    fallback for non-image payloads / no-Pillow environments.
     """
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
@@ -73,16 +88,30 @@ def extract_features(mm: DataFrame) -> DataFrame:
 
     ``mapInPandas`` streams column batches through Python; each batch is
     a pandas DataFrame, so a real decoder would vectorize per batch.
-    Entropy is computed for real; width/height come from the stub.
+    Entropy is computed for real; width/height use Pillow when it is
+    importable on the executor AND the payload parses as an image,
+    falling back to the deterministic stub otherwise.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NB: self-contained on purpose — executor Python workers may not
         # have this package on sys.path, so the closure must not reference
         # any module-level symbol from parquet_importer_spark
+        import io
         import numpy as np
 
-        def fake_decode(payload: bytes) -> tuple[int, int]:
+        try:
+            from PIL import Image  # feature flag: real codec when present
+        except ImportError:
+            Image = None
+
+        def decode_dims(payload: bytes) -> tuple[int, int]:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        return im.size
+                except Exception:  # noqa: BLE001 — not an image: stub path
+                    pass
             n = len(payload)
             return (n % 640) + 1, (n % 480) + 1
 
@@ -100,7 +129,7 @@ def extract_features(mm: DataFrame) -> DataFrame:
                     ent.append(float(-(p * np.log2(p)).sum()))
                 else:
                     ent.append(0.0)
-                dims.append(fake_decode(b))
+                dims.append(decode_dims(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -128,15 +157,22 @@ RESIZE_SCHEMA = T.StructType(
 def resize_media(mm: DataFrame, max_dim: int = 64) -> DataFrame:
     """Resize stage: payload in → downscaled payload out, 1:1 rows.
 
-    STUB decode/scale (no image libs in this container): deterministic
-    downsample of the raw bytes standing in for pixel resampling —
-    swap the inner function for PIL ``Image.resize`` in production; the
-    mapInPandas plumbing, schema, and batch shape are the real thing.
+    Pillow-backed when importable on the executor and the payload parses
+    as an image (thumbnail to ``max_dim``, re-encoded PNG out); the
+    deterministic byte-stride stub handles everything else, so the
+    mapInPandas plumbing, schema, and batch shape are exercised
+    identically in both environments.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained: executor workers don't have this package
         import hashlib
+        import io
+
+        try:
+            from PIL import Image  # feature flag: real codec when present
+        except ImportError:
+            Image = None
 
         def fake_resize(b: bytes, cap: int) -> tuple[int, int, bytes]:
             w, h = (len(b) % 640) + 1, (len(b) % 480) + 1
@@ -144,11 +180,23 @@ def resize_media(mm: DataFrame, max_dim: int = 64) -> DataFrame:
             stride = max(int(scale), 1)
             return int(w / scale), int(h / scale), b[::stride]
 
+        def do_resize(b: bytes, cap: int) -> tuple[int, int, bytes]:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        im.thumbnail((cap, cap))
+                        buf = io.BytesIO()
+                        im.save(buf, format="PNG")
+                        return im.size[0], im.size[1], buf.getvalue()
+                except Exception:  # noqa: BLE001 — not an image: stub path
+                    pass
+            return fake_resize(b, cap)
+
         for pdf in it:
             rows = {"doc_id": [], "width": [], "height": [],
                     "resized": [], "resized_sha": []}
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, out = fake_resize(bytes(raw), max_dim)
+                w, h, out = do_resize(bytes(raw), max_dim)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)

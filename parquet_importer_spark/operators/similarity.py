@@ -55,14 +55,61 @@ def sign_bucket(vec: Column, dims: int = 8) -> Column:
     )
 
 
+def sign_bucket_probes(
+    vec: Column, dims: int = 8, probe_epsilon: float | None = None
+) -> Column:
+    """Multi-probe bucket list for ``vec``: its exact sign bucket plus —
+    when ``probe_epsilon`` is set — one variant per STRADDLING dimension
+    (|component| < ε) with that dim's sign bit flipped.
+
+    Sign-bit LSH only misses a true near-dup when some component sits
+    close enough to zero that the two copies land on opposite signs;
+    probing the flipped bucket for exactly those dims recovers them at
+    the cost of ≤ (1 + n_straddling) bucket rows per vector — bounded
+    and data-proportional, unlike widening ε-insensitive bit counts.
+    Pure array expressions, no UDFs; still deterministic/oracle-able."""
+
+    def bucket_with_flip(flip: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dims)),
+                lambda i: F.when(
+                    (F.element_at(vec, i) >= 0) != (i == flip), "1"
+                ).otherwise("0"),
+            ),
+            "",
+        )
+
+    main = bucket_with_flip(F.lit(0))  # dims are 1-based; 0 flips nothing
+    if probe_epsilon is None:
+        return F.array(main)
+    candidates = F.transform(
+        F.sequence(F.lit(1), F.lit(dims)),
+        lambda i: F.struct(
+            bucket_with_flip(i).alias("b"),
+            F.abs(F.element_at(vec, i)).alias("mag"),
+        ),
+    )
+    flipped = F.transform(
+        F.filter(candidates, lambda s: s["mag"] < F.lit(probe_epsilon)),
+        lambda s: s["b"],
+    )
+    return F.array_distinct(F.concat(F.array(main), flipped))
+
+
 def bucketed_scored_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_dims: int = 4,
     max_bucket: int | None = 10_000,
+    probe_epsilon: float | None = None,
 ) -> DataFrame:
     """All within-bucket vector pairs with exact cosine, id_1 < id_2.
+    ``probe_epsilon`` enables multi-probe (sign_bucket_probes): vectors
+    additionally visit the flipped bucket of each near-zero component,
+    and the pair set is deduped afterwards — recall over straddling
+    near-dups at a bounded fan-out cost.
 
     The shared pruning stage: cross-bucket pairs are never scored, so
     the pairwise space shrinks ~2^bucket_dims×. Columns
@@ -84,7 +131,9 @@ def bucketed_scored_pairs(
     from parquet_importer_spark.functions.vectors import dot, sq_norm
 
     b = parallelize(df).select(
-        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        F.explode(
+            sign_bucket_probes(F.col(vec_col), bucket_dims, probe_epsilon)
+        ).alias("bucket"),
         F.struct(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -113,7 +162,7 @@ def bucketed_scored_pairs(
         (F.col("p.a.nrm") > 0) & (F.col("p.b.nrm") > 0),
         dot(F.col("p.a.v"), F.col("p.b.v")) / (F.col("p.a.nrm") * F.col("p.b.nrm")),
     ).otherwise(F.lit(0.0))
-    return buckets.select(
+    out = buckets.select(
         "bucket", F.explode(pair_structs).alias("p")
     ).select(
         "bucket",
@@ -121,6 +170,18 @@ def bucketed_scored_pairs(
         F.col("p.b.id").alias("id_2"),
         F.round(sim, 6).alias("cos_sim"),
     )
+    if probe_epsilon is not None:
+        # a pair met in k probed buckets appears k times with the same
+        # cosine — dedupe on the pair key (min bucket for determinism)
+        out = (
+            out.groupBy("id_1", "id_2")
+            .agg(
+                F.min("bucket").alias("bucket"),
+                F.max("cos_sim").alias("cos_sim"),
+            )
+            .select("bucket", "id_1", "id_2", "cos_sim")
+        )
+    return out
 
 
 def bucketed_topk_pairs(
@@ -147,14 +208,18 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     bucket_dims: int = 4,
     threshold: float = 0.95,
+    probe_epsilon: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH sign buckets prune the
     pairwise space, exact cosine ≥ threshold confirms. Near-identical
-    vectors agree on every sign bit, so true near-dups stay in-bucket
-    (misses only arise from components straddling zero — add multi-probe
-    over flipped low-|value| bits at production scale)."""
+    vectors agree on every sign bit, so true near-dups stay in-bucket;
+    misses only arise from components straddling zero — pass
+    ``probe_epsilon`` (the production-scale setting) to multi-probe the
+    flipped bucket of every |component| < ε and recover exactly those."""
     return (
-        bucketed_scored_pairs(df, vec_col, id_col, bucket_dims)
+        bucketed_scored_pairs(
+            df, vec_col, id_col, bucket_dims, probe_epsilon=probe_epsilon
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )
