@@ -1,0 +1,101 @@
+"""The driver verifies only the first 50 registry keys per round, so
+__spark_entry__ rotates the window from recorded CORRECTNESS_r*.json
+history: never-verified oracle-bearing keys first, verified keys last,
+errored keys re-prioritized until green. Pure-Python logic — no Spark."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+WINDOW = 50
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_current_window_prioritizes_unverified_oracles(entry):
+    from parquet_importer_spark.suite import ORACLES, QUERIES
+
+    verified, errored = entry._driver_history()
+    order = entry._driver_order()
+    assert sorted(order) == sorted(QUERIES), "rotation must not drop keys"
+    window = set(order[:WINDOW])
+    # every key the driver has never verified and CAN hash-check must not
+    # be displaced by an already-verified key (sentinel/errored excepted)
+    unverified_oracle = {
+        k for k in QUERIES if k not in verified and k in ORACLES
+    }
+    displaced = {
+        k for k in order[:WINDOW]
+        if k in verified and k != entry._SENTINEL and k not in errored
+    }
+    spill = unverified_oracle - window
+    assert not (displaced and spill), (
+        f"verified keys {displaced} occupy slots while oracle-bearing "
+        f"{spill} wait outside the window"
+    )
+
+
+def test_history_parses_round1_file(entry):
+    verified, errored = entry._driver_history()
+    assert "agg_groupby" in verified  # hash-green in round 1
+    assert "llm_dedup_minhash_mllib" in verified  # rows-only, ran
+    assert "agg_approx_quantile" in errored  # canonicalizer crash row
+
+
+def test_rotation_advances_with_new_round(entry, tmp_path):
+    """Dropping a synthetic next-round file must move its green keys to
+    the back and surface a newly-errored key to the front."""
+    r1 = {
+        "a": {"hash_match": True, "err": None, "spark_rows": 1},
+        "b": {"err": "no_oracle", "spark_rows": 5},
+        "c": {"err": "boom", "spark_rows": None},
+    }
+    r2 = {
+        "c": {"hash_match": True, "err": None, "spark_rows": 2},
+        "d": {"err": "TypeError: ...", "spark_rows": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    verified, errored = entry._driver_history(str(tmp_path))
+    assert verified == {"a", "b"} and errored == {"c"}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    verified, errored = entry._driver_history(str(tmp_path))
+    assert "c" in verified, "later green row clears the error"
+    assert errored == {"d"}
+
+
+def test_error_then_no_rerun_stays_prioritized(entry, tmp_path):
+    """A key that errored and was never re-run must stay in the errored
+    set even when later rounds exist."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"x": {"err": "crash", "spark_rows": None}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"y": {"hash_match": True, "err": None, "spark_rows": 1}})
+    )
+    verified, errored = entry._driver_history(str(tmp_path))
+    assert errored == {"x"} and verified == {"y"}
+
+
+def test_queries_and_oracles_consistent(entry):
+    from parquet_importer_spark.suite import ORACLES
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert list(o) == [k for k in q if k in ORACLES], (
+        "oracle_sql order must follow queries order"
+    )
+    assert len(q) == 120 and len(o) == 97
