@@ -225,6 +225,37 @@ def embedding_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Learned IVF centroids via MLlib k-means — the production swap for
+    :func:`ivf_topk`'s seed-set index. Returns a (cid, cvec) frame.
+
+    The fit is distributed (Lloyd iterations over the corpus); only the
+    n_centroids × dim cluster centers come back to the driver — KB-scale
+    by construction, exactly what the probe stage broadcasts anyway.
+    Seeded init makes a run reproducible, but float reduction order can
+    still differ across partitionings/cluster layouts → rows-only
+    verification (never in ``oracle_sql``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feat)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return df.sparkSession.createDataFrame(
+        centers, "cid int, cvec array<double>"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_df: DataFrame,
@@ -233,6 +264,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     k: int = 10,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -242,14 +274,19 @@ def ivf_topk(
     exact cosine ONLY inside them — scanning ~nprobe/n_centroids of the
     corpus instead of all of it.
 
-    Centroids here are the deterministic seed set (vectors with
-    id < n_centroids) so a SQL oracle reproduces the index exactly; at
-    production scale swap in sampled k-means centroids (same plan —
+    Default centroids are the deterministic seed set (vectors with
+    id < n_centroids) so a SQL oracle reproduces the index exactly;
+    pass ``centroids`` (columns ``cid, cvec``) to swap in learned ones —
+    :func:`kmeans_centroids` is the production path (same plan:
     centroids stay broadcast-small either way, and the assignment /
     probe machinery is unchanged).
     """
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    cent = (
+        centroids
+        if centroids is not None
+        else df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     )
     base = parallelize(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")

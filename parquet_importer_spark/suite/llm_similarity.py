@@ -150,6 +150,25 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_sim_ivf_kmeans")  # rows-only: k-means float reduction order
+def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids — the production swap llm_sim_ivf's
+    docstring promises: MLlib k-means (seeded, distributed fit, KB-scale
+    centers) feeds the identical assignment/probe/exact-score machinery.
+    Rows-only: k-means results depend on float reduction order across
+    partitionings, so no SQL oracle can be bit-stable."""
+    from parquet_importer_spark.operators.similarity import kmeans_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cent = kmeans_centroids(emb, "embedding", n_centroids=16, seed=42)
+    return ivf_topk(
+        emb, qdf, "embedding", "vec_id", nprobe=4, k=10, centroids=cent
+    )
+
+
 @query(
     "llm_sim_nearest_per_label",
     oracle=f"""

@@ -148,3 +148,28 @@ def test_minhash_profiles_run_on_real_table(spark, profile):
     )
     assert out.columns == ["id_1", "id_2", "n_shared_bands", "jaccard"]
     assert out.count() >= 0
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Learned-centroid IVF must place most of the true top-10 (by exact
+    brute-force cosine) into its probed result — the recall contract that
+    makes IVF usable as an ANN index."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        topk_cosine,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    truth = {r.vec_id for r in topk_cosine(emb, qdf, k=10).collect()}
+    cent = kmeans_centroids(emb, "embedding", n_centroids=8, seed=42)
+    assert cent.count() == 8
+    got = {
+        r.vec_id
+        for r in ivf_topk(emb, qdf, nprobe=4, k=10, centroids=cent).collect()
+    }
+    assert len(truth & got) >= 6, f"IVF recall too low: {truth & got}"
