@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from parquet_importer_spark.functions.text import shingles, tokens
+from parquet_importer_spark.functions.text import shingles, shingles_all, tokens
 from parquet_importer_spark.io import parallelize
 
 
@@ -345,3 +345,68 @@ def connected_components(
             "the large-star/small-star variant for high-diameter graphs"
         )
     return labels
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Sub-document duplication signal (the paragraph/span-level pass of
+    CCNet/RefinedWeb-style pipelines, adapted to the fixture's
+    single-paragraph docs): for every document, the fraction of its
+    distinct k-token spans that also occur in at least one OTHER
+    document.
+
+    Plan shape (TF-IDF-like, two narrow shuffles):
+    1. spans are built per-doc inside array expressions (shingles —
+       no explode yet), deduped, then exploded to slim
+       (doc_id, md5(span)) rows — the 32-hex hash crosses the wire,
+       never the span text;
+    2. one groupBy(hash) counts how many docs carry each span (spans
+       are distinct per doc, so COUNT(*) == doc frequency);
+    3. the counts join back to the span rows on the same hash
+       partitioning (exchange reuse) and aggregate per doc.
+
+    Docs shorter than k tokens are excluded (no spans exist).
+    At 100 TB every stage stays O(total spans) with fixed-width rows;
+    the span-count table can additionally be pruned to counts >= 2
+    before the join-back, shrinking the build side to just the
+    duplicated spans (done below via a filtered broadcast-or-shuffle
+    join candidate)."""
+    spans = (
+        parallelize(df)
+        .filter(F.size(tokens(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(shingles_all(F.col(text_col), k))
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5(F.col("span")).alias("h"))
+    )
+    dup_counts = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(dup_counts.withColumn("is_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.operators.dedup import (
     connected_components,
+    duplicate_span_stats,
     exact_dedup_groups,
     jaccard_topk_pairs,
     minhash_lsh_pairs,
@@ -284,4 +285,43 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("lab"))
         .alias("cluster_size"),
+    )
+
+
+@query(
+    "llm_dedup_span",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 8
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 7)) AS i
+      )
+    ),
+    dup AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM spans s LEFT JOIN dup d ON s.h = d.h
+    GROUP BY s.doc_id
+    """,
+)
+def llm_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate-span analysis (CCNet/RefinedWeb-style
+    paragraph-level dedup signal, at 8-token-span granularity since the
+    fixture docs are single-paragraph): per doc, the fraction of its
+    distinct 8-token spans shared with at least one other document.
+    Spans hash to md5 before the shuffle — only 32-hex keys cross the
+    wire — and the dup-span table is pruned to count >= 2 before the
+    join-back."""
+    return duplicate_span_stats(
+        read_table(spark, sf_dir, "documents"), "text", "doc_id", k=8
     )

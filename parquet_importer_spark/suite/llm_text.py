@@ -237,3 +237,50 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
         .limit(50)
     )
+
+
+@query(
+    "llm_ngram_freq",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) >= 3
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS ng
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 2)) AS i
+      )
+    )
+    SELECT ng, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY ng
+    ORDER BY freq DESC, ng ASC
+    LIMIT 50
+    """,
+)
+def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (top-50 trigrams with doc
+    frequency) — the corpus-statistics pass behind contamination
+    screens, boilerplate detection, and tokenizer design. Trigrams are
+    built per-doc inside array expressions (no token explode), then
+    exploded once already k-grammed; the count is one partial+final
+    aggregation and the top-50 is TakeOrderedAndProject, never a full
+    sort. At 100 TB the groupBy key space is bounded by distinct
+    n-grams, and a two-level count (partial per partition) makes the
+    hot boilerplate keys skew-safe."""
+    from parquet_importer_spark.functions.text import shingles_all
+
+    d = parallelize(read_table(spark, sf_dir, "documents")).filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    return (
+        d.select(F.explode(shingles_all(F.col("text"), 3)).alias("ng"),
+                 F.col("doc_id"))
+        .groupBy("ng")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("ng").asc())
+        .limit(50)
+    )

@@ -147,3 +147,37 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink format (Spark's second columnar native format,
+    common in Hive-lineage warehouses): export an orders projection to
+    ORC, read it back, aggregate vs the parquet oracle. Exercises the
+    vectorized ORC reader + predicate-capable columnar round-trip;
+    the write is per-partition part-files, so both edges scale out."""
+    out = _roundtrip_dir("orc")
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.schema("o_orderstatus string, o_totalprice double").orc(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
