@@ -284,3 +284,60 @@ def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("ng").asc())
         .limit(50)
     )
+
+
+_QUALITY_SQL = f"""
+      SELECT doc_id, source,
+             ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 20.0, 1.0)
+                 + 0.2 * LEAST((CAST(len(list_filter({_TOKS},
+                       t -> t IN ({", ".join("'" + w + "'" for w in STOPWORDS)})))
+                       AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0, 1.0)
+                 + 0.2 * (CASE WHEN (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
+                                    / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+                                AND (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
+                                    / CAST(len({_TOKS}) AS DOUBLE) <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                               'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM documents
+"""
+
+
+@query(
+    "llm_quality_filter_pct",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    r AS (
+      SELECT doc_id, source, quality,
+             ROUND(PERCENT_RANK() OVER
+                   (PARTITION BY source ORDER BY quality DESC), 6) AS pct
+      FROM q
+    )
+    SELECT doc_id, source, quality, pct
+    FROM r WHERE pct <= 0.5
+    """,
+)
+def llm_quality_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality filtering: keep each source's top
+    half by heuristic quality score — the relative (per-source) variant
+    of absolute-threshold Gopher filtering, robust to sources with
+    different score distributions. The window partitions by source, so
+    the one shuffle is on the source key; PERCENT_RANK is rank-based,
+    making tied scores land identically in any engine. At extreme
+    source skew the same semantics decompose into a two-pass
+    approx-quantile threshold + broadcast join (SURVEY §8)."""
+    from parquet_importer_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    q = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc())
+    return (
+        q.withColumn("pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pct") <= 0.5)
+        .select("doc_id", "source", "quality", "pct")
+    )

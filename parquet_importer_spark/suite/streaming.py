@@ -539,3 +539,66 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR epoch(ts_s) - epoch(lag(ts_s) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts_s,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_s) AS sess_start,
+           MAX(ts_s) AS sess_end,
+           CAST(epoch(MAX(ts_s)) - epoch(MIN(ts_s)) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the offline twin of stream_session): a new
+    session starts after a >30-min silence per user. One shuffle on
+    user_id serves BOTH window passes (gap flag, then running session
+    index) and the final per-session aggregate — Spark reuses the
+    hash partitioning across all three, so the whole op is a single
+    exchange even at 100 TB. Timestamps truncate to seconds on both
+    sides (events.ts is ns in parquet; Spark keeps µs — SURVEY §7.4);
+    event_id breaks same-second ties for a total order."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.unix_timestamp("ts_s") - F.unix_timestamp(F.lag("ts_s").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_s").alias("sess_start"),
+            F.max("ts_s").alias("sess_end"),
+            (
+                F.unix_timestamp(F.max("ts_s"))
+                - F.unix_timestamp(F.min("ts_s"))
+            ).alias("duration_s"),
+        )
+    )
