@@ -46,6 +46,12 @@ HEADLINE = (
     "llm_sim_ivf",
     "llm_contamination",
     "ts_funnel",
+    # round 2 additions: semi-join-heavy TPC-H shape, sub-document span
+    # dedup (corpus-wide slim-hash shuffle), and batch sessionization
+    # (one shuffle shared across two windows + aggregate)
+    "q18_large_orders",
+    "llm_dedup_span",
+    "ts_sessionize",
 )
 
 
