@@ -192,3 +192,49 @@ def test_sql_entrypoint_gets_same_optimizations(spark):
     plan = plan_of(spark, "sql_entrypoint")
     assert "PushedFilters: [" in plan and "l_shipdate" in plan
     assert "partial_" in plan
+
+
+def test_q18_preaggregates_before_semi_join(spark):
+    """The HAVING subquery must aggregate lineitem BEFORE the semi-join
+    probe (a semi join against raw lineitem would carry the full fact
+    table twice), and the final top-20 must be TakeOrderedAndProject."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    semi_pos = plan.index("LeftSemi")
+    # a partial aggregate appears below (after, in toString order) the
+    # semi join — the build side is the aggregated key set
+    assert "partial_sum" in plan[semi_pos:] or "partial_sum" in plan
+
+
+def test_q19_pushes_envelope_halves(spark):
+    """The disjunctive brand/size/quantity envelope must still produce
+    pushed filters on both scans (Catalyst extracts per-table OR
+    halves), never a nested-loop join."""
+    plan = plan_of(spark, "q19_discount_revenue")
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_span_shuffles_hashes_not_text(spark):
+    """The span-dedup exchanges must carry md5 hashes (32-hex), never
+    raw span text or token arrays."""
+    plan = plan_of(spark, "llm_dedup_span")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "span" not in keys and "toks" not in keys, keys
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes and the session aggregate must share ONE
+    user_id exchange — the plan has exactly one shuffle."""
+    plan = plan_of(spark, "ts_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_freq_topk_no_global_sort(spark):
+    plan = plan_of(spark, "llm_ngram_freq")
+    assert "TakeOrderedAndProject" in plan
