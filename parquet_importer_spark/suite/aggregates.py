@@ -317,3 +317,28 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_rollup_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           {oracle_exact_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (returnflag, linestatus) with GROUPING id to
+    disambiguate subtotal rows from genuine NULL keys. Spark expands
+    the cube map-side (each input row feeds all 2^k grouping sets in
+    the partial aggregate) — one shuffle total, identical to a plain
+    groupBy at any scale."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")

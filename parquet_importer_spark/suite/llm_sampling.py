@@ -282,3 +282,42 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train, "fingerprint")
         .select("doc_id", "fingerprint", "n_train_matches")
     )
+
+
+@query(
+    "llm_shuffle_shard",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('s7|' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(key, 1, 1) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY substr(key, 1, 1)
+                                   ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final step before
+    training: every doc gets a pseudorandom but reproducible position
+    inside one of 16 shards (md5 of seeded doc_id; first hex char =
+    shard). The sort is PER SHARD (window partitioned on shard_id),
+    never global — at 100 TB each shard sorts independently after one
+    hash exchange, and shard count is a parameter (hex-prefix length).
+    Writing out becomes partitionBy(shard_id) with pos as the
+    within-shard order."""
+    from parquet_importer_spark.functions.text import seeded_md5
+    from pyspark.sql import Window
+
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        seeded_md5(F.col("doc_id").cast("string"), 7).alias("key"),
+    )
+    w = Window.partitionBy(F.substring("key", 1, 1)).orderBy("key", "doc_id")
+    return d.select(
+        "doc_id",
+        F.substring("key", 1, 1).alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -189,3 +189,48 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER w AS last_nonnull,
+           first_value(v IGNORE NULLS) OVER w AS first_nonnull
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics — last/first non-null observation
+    carried forward per user (the gap-bridging primitive behind
+    forward-fill; ts_interpolate builds on the same shape). Values are
+    deterministically nullified (event_type = 'click') so both engines
+    see identical gaps; no arithmetic touches v, so doubles pass
+    through bit-identical."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("last_nonnull"),
+        F.first("v", ignorenulls=True).over(w).alias("first_nonnull"),
+    )
