@@ -1,0 +1,164 @@
+"""Semantic invariants for the round-2 operators, on small constructed
+frames where the expected answer is computable by hand: planted
+duplicates for span dedup, permutation laws for shard shuffle, and gap
+semantics for sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.operators.dedup import duplicate_span_stats
+
+
+def test_span_dedup_detects_planted_duplicate(spark):
+    """A doc sharing an 8-token run with another doc must show exactly
+    that many duplicated spans; a fully unique doc must show zero."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, shared + " one two three four five six seven eight nine ten"),
+        (2, "x1 x2 x3 " + shared + " y1 y2 y3 y4 y5 y6 y7 y8"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicate_span_stats(df, "text", "doc_id", k=8).collect()
+    }
+    # docs 1 and 2 share exactly ONE 8-token span (the planted run);
+    # every other span includes tokens unique to its doc
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    # n_spans = n_tokens - 7 for each doc
+    for doc_id, text in rows:
+        assert out[doc_id].n_spans == len(text.split()) - 7
+
+
+def test_span_dedup_identical_docs_fully_duplicated(spark):
+    df = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_stats(df, "text", "doc_id", k=8).collect()
+    assert all(r.dup_frac == 1.0 for r in out)
+
+
+def test_span_dedup_excludes_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_stats(df, "text", "doc_id", k=8).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_shuffle_shard_is_permutation(spark):
+    """Sharding must cover every doc exactly once, with per-shard
+    positions forming a contiguous 1..n_shard sequence."""
+    from parquet_importer_spark.suite.llm_sampling import llm_shuffle_shard
+
+    out = llm_shuffle_shard(spark, "/root/testdata/sf0.001").collect()
+    docs = [r.doc_id for r in out]
+    assert len(docs) == len(set(docs))
+    by_shard: dict[str, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    # 1-hex-char shards
+    assert set(by_shard) <= set("0123456789abcdef")
+
+
+def test_shuffle_shard_deterministic(spark):
+    from parquet_importer_spark.suite.llm_sampling import llm_shuffle_shard
+
+    a = sorted(map(tuple, llm_shuffle_shard(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, llm_shuffle_shard(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events 30min+1s apart split sessions; events exactly 30min apart
+    do not (the predicate is strictly greater-than 1800s)."""
+    from parquet_importer_spark.suite.streaming import ts_sessionize
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events inside one session (gaps of exactly 1800s)
+        (1, 1, base),
+        (2, 1, base + dt.timedelta(seconds=1800)),
+        (3, 1, base + dt.timedelta(seconds=3600)),
+        # user 2: second event 1801s later -> two sessions
+        (4, 2, base),
+        (5, 2, base + dt.timedelta(seconds=1801)),
+    ]
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    path = os.path.join(tempfile.gettempdir(), "sessionize_fixture")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]).to_parquet(
+        os.path.join(path, "events.parquet")
+    )
+    out = ts_sessionize(spark, path).collect()
+    sessions = {(r.user_id, r.session_id): r for r in out}
+    u1 = [k for k in sessions if k[0] == 1]
+    u2 = [k for k in sessions if k[0] == 2]
+    assert len(u1) == 1 and sessions[u1[0]].n_events == 3
+    assert sessions[u1[0]].duration_s == 3600
+    assert len(u2) == 2
+    assert all(sessions[k].n_events == 1 for k in u2)
+
+
+def test_quality_filter_keeps_at_most_half_per_source(spark):
+    from parquet_importer_spark.suite.llm_text import llm_quality_filter_pct
+    from parquet_importer_spark.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    kept = (
+        llm_quality_filter_pct(spark, sf)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    totals = {
+        r.source: r["count"]
+        for r in read_table(spark, sf, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    for r in kept:
+        # PERCENT_RANK <= 0.5 keeps floor(n/2)+1 rows (plus score ties)
+        assert r["count"] >= 1
+        assert r["count"] <= totals[r.source]
+
+
+def test_ngram_freq_counts_multiplicity(spark):
+    """A token repeated inside one doc must count each occurrence
+    (frequency), while n_docs counts distinct documents."""
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a b c a b c a b c"),  # 'a b c' occurs 3x in doc 1
+        (2, "a b c x y z q r s"),  # and once in doc 2
+    ]
+    import shutil
+
+    import pandas as pd
+
+    path = os.path.join(tempfile.gettempdir(), "ngram_fixture")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    from parquet_importer_spark.suite.llm_text import llm_ngram_freq
+
+    out = {r.ng: r for r in llm_ngram_freq(spark, path).collect()}
+    assert out["a b c"].freq == 4 and out["a b c"].n_docs == 2
