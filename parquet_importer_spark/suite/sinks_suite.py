@@ -328,3 +328,77 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("z").cast("bigint").alias("morton_sum"),
     )
+
+
+@query(
+    "sink_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment
+                ELSE '(pre-evolution)' END AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on an append sink: v1 files carry two columns,
+    later v2 appends add c_mktsegment; a mergeSchema read unions the
+    footers (v1 rows surface NULL for the new column) — the standard
+    wide-table evolution path when upstream producers add fields.
+    Footer merging is a driver-side metadata operation; the data scan
+    stays vectorized and columnar."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pis_evolve_"), "customer")
+    c = read_table(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal")
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(pre-evolution)")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+
+
+@query("sink_compact_small_files")  # rows-only: filesystem layout metrics
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every large
+    parquet lake needs (streaming sinks and over-parallel writes leave
+    thousands of KB-sized files; scans then pay one task + one open per
+    file). Simulates the problem (64-way write of orders), compacts to
+    4 files via repartition — a full shuffle that also re-clusters —
+    and reports before/after file counts plus row preservation. At
+    100 TB the same op runs per partition-directory with target size
+    = maxPartitionBytes so compacted files split cleanly."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pis_compact_"), "orders")
+    o = read_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(out)
+
+    def n_files(d: str) -> int:
+        return sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = n_files(out)
+    compacted = out + "_compact"
+    spark.read.parquet(out).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    after = n_files(compacted)
+    n_rows = spark.read.parquet(compacted).count()
+    return spark.createDataFrame(
+        [(before, after, n_rows)],
+        "n_files_before int, n_files_after int, n_rows long",
+    )

@@ -602,3 +602,51 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_s"),
         )
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a genuine readStream over events joined to
+    the static customer dimension (broadcast — the dim re-snapshots per
+    micro-batch in production), then a streaming aggregate in complete
+    mode. trigger(availableNow) drains the whole source, so the result
+    equals the batch join and the oracle can hash-check a real
+    writeStream run — the strongest check a streaming op can get."""
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    cust = F.broadcast(
+        read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -162,3 +162,25 @@ def test_ngram_freq_counts_multiplicity(spark):
 
     out = {r.ng: r for r in llm_ngram_freq(spark, path).collect()}
     assert out["a b c"].freq == 4 and out["a b c"].n_docs == 2
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark):
+    from parquet_importer_spark.suite.sinks_suite import (
+        sink_compact_small_files,
+    )
+    from parquet_importer_spark.io import read_table
+
+    r = sink_compact_small_files(spark, "/root/testdata/sf0.001").first()
+    assert r.n_files_before == 64 and r.n_files_after == 4
+    assert r.n_rows == read_table(
+        spark, "/root/testdata/sf0.001", "orders"
+    ).count()
+
+
+def test_schema_evolution_nulls_only_pre_evolution_rows(spark):
+    from parquet_importer_spark.suite.sinks_suite import sink_schema_evolution
+
+    rows = {r.segment: r for r in
+            sink_schema_evolution(spark, "/root/testdata/sf0.001").collect()}
+    assert "(pre-evolution)" in rows
+    assert len(rows) > 1  # real segments surfaced from v2 files
