@@ -650,3 +650,50 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "stream_file_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed parquet FILE sink — the production landing path for
+    streams (memory sinks are test-only): readStream over events →
+    writeStream.format('parquet') with a checkpoint location, drained
+    by trigger(availableNow). The _spark_metadata commit log under the
+    output dir is what gives the file sink exactly-once semantics
+    (re-running with the same checkpoint re-emits nothing). The
+    returned aggregate reads the SINK's files back, so the oracle
+    hash-checks the whole write-then-read path."""
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    base = tempfile.mkdtemp(prefix="pis_filesink_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )

@@ -184,3 +184,42 @@ def test_schema_evolution_nulls_only_pre_evolution_rows(spark):
             sink_schema_evolution(spark, "/root/testdata/sf0.001").collect()}
     assert "(pre-evolution)" in rows
     assert len(rows) > 1  # real segments surfaced from v2 files
+
+
+def test_file_sink_exactly_once_on_checkpoint_replay(spark):
+    """Re-running an availableNow drain with the SAME checkpoint must
+    emit nothing new — the _spark_metadata commit log dedupes."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_importer_spark.io import table_path
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf, "events")).schema
+    base = tempfile.mkdtemp(prefix="pis_eo_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    # stage ONCE: the checkpoint pins the source path, so both drains
+    # must read the same staged dir
+    src = as_stream_dir(table_path(sf, "events"))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).count()
+    drain()
+    assert spark.read.parquet(out).count() == first
