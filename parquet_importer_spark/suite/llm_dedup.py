@@ -325,3 +325,40 @@ def llm_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(
         read_table(spark, sf_dir, "documents"), "text", "doc_id", k=8
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fp AS (SELECT doc_id, {_FP3} AS f FROM tk),
+    existing AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+    incoming AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1)
+    SELECT i.doc_id, i.f AS fingerprint
+    FROM incoming i LEFT JOIN existing e ON i.f = e.f
+    WHERE e.f IS NULL
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the daily-crawl pattern: an
+    incoming batch (odd doc_ids stand in for today's crawl) is deduped
+    against the EXISTING corpus (even doc_ids) by winnowing fingerprint,
+    keeping only genuinely new documents. The existing side collapses
+    to distinct fingerprints BEFORE the anti-join, so the probe input
+    is a digest table, not the corpus; at 100 TB that digest is
+    maintained as its own compacted table (append new fingerprints per
+    batch) and a bloom filter pre-screens the anti-join."""
+    from parquet_importer_spark.functions.text import doc_fingerprint
+
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", doc_fingerprint(F.col("text"), 3).alias("fingerprint")
+    )
+    existing = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("fingerprint")
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    return incoming.join(existing, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )

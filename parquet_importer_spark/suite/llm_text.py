@@ -341,3 +341,48 @@ def llm_quality_filter_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pct") <= 0.5)
         .select("doc_id", "source", "quality", "pct")
     )
+
+
+@query(
+    "llm_index_inverted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    )
+    SELECT doc_id FROM t, unnest(toks) AS u(tok)
+    WHERE tok = 'spark'
+    ORDER BY doc_id
+    """,
+)
+def llm_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index + pruned term lookup: postings
+    (token, doc_id) land in a parquet layout partitioned by a 16-way
+    md5 bucket of the token; a term query computes its bucket
+    DRIVER-SIDE and reads only that partition directory — at 100 TB a
+    single-term lookup touches 1/16th of the index (or less with a
+    longer prefix), and the token filter prunes row groups within it.
+    The build is one explode + one partitioned write; queries amortize
+    it forever after."""
+    import os
+    import tempfile
+
+    from parquet_importer_spark.functions.text import md5_bucket, seeded_md5
+
+    out = os.path.join(tempfile.mkdtemp(prefix="pis_invidx_"), "postings")
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    d.withColumn("bucket", md5_bucket(F.col("tok"), 11, 1)).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(out)
+
+    term = "spark"
+    # driver-side bucket computation — the read lists ONE directory
+    import hashlib
+
+    tb = hashlib.md5(f"s11|{term}".encode()).hexdigest()[:1]
+    back = spark.read.parquet(out).filter(
+        (F.col("bucket") == tb) & (F.col("tok") == term)
+    )
+    return back.select("doc_id").orderBy("doc_id")

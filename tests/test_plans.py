@@ -238,3 +238,14 @@ def test_sessionize_single_exchange(spark):
 def test_ngram_freq_topk_no_global_sort(spark):
     plan = plan_of(spark, "llm_ngram_freq")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_lookup_prunes_partitions(spark):
+    """The term lookup must carry a PartitionFilters entry on the
+    bucket column — reading one directory of the index, not all 16."""
+    plan = plan_of(spark, "llm_index_inverted")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), m.group(0) if m else plan[:500]
