@@ -52,6 +52,7 @@ HEADLINE = (
     "q18_large_orders",
     "llm_dedup_span",
     "ts_sessionize",
+    "llm_pipeline_e2e",
 )
 
 

@@ -386,3 +386,66 @@ def llm_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") == tb) & (F.col("tok") == term)
     )
     return back.select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "llm_pipeline_e2e",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    hashed AS (
+      SELECT d.doc_id, d.lang, d.source, q.quality,
+             sha256(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS h,
+             CAST(len({_TOKS.replace('text', 'd.text')}) AS BIGINT) AS n_tok
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality >= 0.5
+    ),
+    canonical AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM hashed
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM canonical
+    GROUP BY lang
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation pipeline as ONE composed plan:
+    quality gate (absolute threshold) → exact dedup keeping the
+    min-doc_id canonical per content hash → per-language token budget
+    summary. The point is composition: the quality score and content
+    hash are codegen projections in the same stage as the scan, the
+    dedup window and the final aggregate are the only shuffles, and
+    nothing materializes between stages — at 100 TB this runs as a
+    single three-stage job, not three pipelines with intermediate
+    writes."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import quality_score, token_count
+    from parquet_importer_spark.operators.dedup import normalized_text_hash
+
+    d = (
+        parallelize(read_table(spark, sf_dir, "documents"))
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            normalized_text_hash(F.col("text")).alias("h"),
+            token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    canonical = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return canonical.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
