@@ -99,3 +99,34 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     flat = docs.mapInPandas(tokenize, "doc_id long, token string, position long")
     return flat.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM((o_orderkey * 2 + 7) % 1000) AS BIGINT) AS checksum,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 `useArrow=True`) — the modern
+    scalar-UDF path: batches cross the Python boundary as Arrow arrays
+    without pandas conversion overhead. Integer arithmetic is exact in
+    both engines, so unlike the float UDFs this one IS oracle-checkable
+    — the strongest possible parity proof for the Python boundary."""
+
+    @F.udf(T.LongType(), useArrow=True)
+    def mix(k: int) -> int:
+        return (k * 2 + 7) % 1000
+
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", mix(F.col("o_orderkey")).alias("m"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("m").cast("bigint").alias("checksum"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
