@@ -402,3 +402,68 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(before, after, n_rows)],
         "n_files_before int, n_files_after int, n_rows long",
     )
+
+
+@query(
+    "spatial_join_bbox",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             ("value" % 360) - 180 AS lon,
+             ("value" % 180) - 90 AS lat
+      FROM events
+    ),
+    boxes AS (
+      SELECT * FROM (VALUES
+        ('nw', -180.0, 0.0, 0.0, 90.0),
+        ('ne', 0.0, 0.0, 180.0, 90.0),
+        ('sw', -180.0, -90.0, 0.0, 0.0),
+        ('se', 0.0, -90.0, 180.0, 0.0)
+      ) AS t(box_id, lon_min, lat_min, lon_max, lat_max)
+    )
+    SELECT b.box_id, COUNT(*) AS n_points
+    FROM pts p JOIN boxes b
+      ON p.lon >= b.lon_min AND p.lon < b.lon_max
+     AND p.lat >= b.lat_min AND p.lat < b.lat_max
+    GROUP BY b.box_id ORDER BY b.box_id
+    """,
+)
+def spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: points against a broadcast set of query rectangles
+    (quadrant boxes) — the polygon-containment shape every GIS pipeline
+    runs. The box set is tiny at any scale, so the join is a broadcast
+    nested-loop over range predicates and the corpus never shuffles;
+    at billions of points the upgrade is a geohash/S2-cell equi-join
+    prefilter (cell id on both sides) with the exact box test as the
+    residual — same semantics, hash join plan. Coordinates derive
+    arithmetically (fmod is IEEE-identical in both engines), keeping
+    the op oracle-checkable without the WKB decode boundary."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("lon"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+    )
+    boxes = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("nw", -180.0, 0.0, 0.0, 90.0),
+                ("ne", 0.0, 0.0, 180.0, 90.0),
+                ("sw", -180.0, -90.0, 0.0, 0.0),
+                ("se", 0.0, -90.0, 180.0, 0.0),
+            ],
+            "box_id string, lon_min double, lat_min double, "
+            "lon_max double, lat_max double",
+        )
+    )
+    return (
+        pts.join(
+            boxes,
+            (F.col("lon") >= F.col("lon_min"))
+            & (F.col("lon") < F.col("lon_max"))
+            & (F.col("lat") >= F.col("lat_min"))
+            & (F.col("lat") < F.col("lat_max")),
+        )
+        .groupBy("box_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("box_id")
+    )
