@@ -321,3 +321,51 @@ def llm_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("key", 1, 1).alias("shard_id"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "llm_mix_epochs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3 AS m,
+             substr(md5('s23|' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             (CASE WHEN m = 2 THEN 2 ELSE 1 END)
+             + (CASE WHEN m = 1 AND b < '80' THEN 1 ELSE 0 END) AS n_rep
+      FROM d
+    )
+    SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+    FROM r, LATERAL (SELECT unnest(generate_series(1, n_rep)) AS copy) u
+    """,
+)
+def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch replication — the UPSAMPLING half of a training-data recipe
+    (llm_mix_weighted downsamples): each source class gets a fractional
+    epoch factor (here 1.0 / 1.5 / 2.0 by source index mod 3); full
+    epochs replicate every doc, the fractional remainder keeps a
+    deterministic md5-bucket slice. Replication is a per-row
+    explode(sequence(1, n)) — no shuffle, no join, output size =
+    sum of factors — and the (doc_id, copy) pair is the stable key
+    downstream shuffling/packing needs."""
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3).alias("m"),
+        md5_bucket(F.col("doc_id").cast("string"), 23).alias("b"),
+    )
+    n_rep = F.when(F.col("m") == 2, 2).otherwise(1) + F.when(
+        (F.col("m") == 1) & (F.col("b") < "80"), 1
+    ).otherwise(0)
+    return (
+        d.withColumn("n_rep", n_rep)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_rep"))).alias("copy"),
+        )
+        .withColumn("copy", F.col("copy").cast("bigint"))
+    )
