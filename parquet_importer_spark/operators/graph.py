@@ -1,0 +1,87 @@
+"""Iterative graph analytics over document-relation edges (EXT scope:
+rank/centrality signals for corpus curation — e.g. propagate quality
+through a near-duplicate/similarity graph).
+
+Same scale discipline as operators/dedup.connected_components: every
+iteration is one slim shuffle (join on node id) + one aggregate, with
+``localCheckpoint`` truncating lineage so round N's plan doesn't
+re-execute rounds 1..N-1. Ranks are doubles, and double aggregation
+order is engine- and partitioning-dependent, so graph ops are
+rows-only at the driver (never in ``oracle_sql``); the tests assert
+the mathematical invariants (mass conservation, positivity,
+convergence direction) instead of bit equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Standard damped PageRank with uniform dangling-mass
+    redistribution, fixed ``n_iter`` rounds.
+
+    ``nodes``: one row per node (column ``id_col``). ``edges``: directed
+    (src, dst) pairs — pass both directions for an undirected graph.
+
+    Per round: contributions = rank/out_degree shuffled on dst (slim
+    (dst, contrib) rows), one aggregate, dangling mass folded back
+    uniformly. At 100 TB this is the canonical iterative-join workload:
+    partition both sides on the node id once and every round's join
+    reuses that partitioning; localCheckpoint bounds the plan.
+    """
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(out_deg, "node", "left")
+        .withColumn("out_deg", F.coalesce(F.col("out_deg"), F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("out_deg") > 0),
+                edges[src_col] == F.col("node"),
+            )
+            .select(
+                F.col(dst_col).alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

@@ -362,3 +362,29 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(existing, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+@query("graph_pagerank")  # rows-only: double aggregation order across rounds
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the document near-duplicate graph (minhash LSH
+    candidate pairs as undirected edges): a centrality signal for
+    corpus curation — highly-connected boilerplate clusters accumulate
+    rank and can be down-weighted. 10 damped iterations with dangling
+    redistribution; see operators/graph.py for the per-round plan."""
+    from parquet_importer_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        jaccard_threshold=0.1, k=2,
+    ).select("id_1", "id_2")
+    edges = pairs.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst")
+    ).union(
+        pairs.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    out = pagerank(nodes, edges, n_iter=10)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )

@@ -181,3 +181,36 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("scan_rowgroup_stats")  # rows-only: footer metadata surface (path-dependent)
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group statistics table — the pruning observability surface:
+    per row group, its row count and the min/max of the sort-ish key
+    column from the parquet footer (the stats row-group pruning uses).
+    Footer-only, no data scan — the distributed analog of the
+    reference's metadata probe (app.py:91 num_rows/num_row_groups);
+    at 100 TB this runs as one footer read per file, parallelized via
+    a file-list DataFrame, never a data scan."""
+    import pyarrow.parquet as pq
+
+    from parquet_importer_spark.io import table_path
+
+    md = pq.ParquetFile(table_path(sf_dir, "orders")).metadata
+    key_idx = md.schema.names.index("o_orderkey")
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        stats = g.column(key_idx).statistics
+        rows.append(
+            (
+                rg,
+                g.num_rows,
+                int(stats.min) if stats else None,
+                int(stats.max) if stats else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "row_group int, num_rows long, key_min long, key_max long",
+    )

@@ -223,3 +223,32 @@ def test_file_sink_exactly_once_on_checkpoint_replay(spark):
     first = spark.read.parquet(out).count()
     drain()
     assert spark.read.parquet(out).count() == first
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass must sum to ~1, every node positive, and a node with
+    edges must outrank the isolated-node floor."""
+    from parquet_importer_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    # a 3-clique (0,1,2) + isolated nodes 3,4,5
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=15).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in out.values())
+    # clique members absorb the teleport+dangling mass of the isolates
+    assert min(out[0], out[1], out[2]) > max(out[3], out[4], out[5])
+    # symmetric clique -> equal ranks
+    assert abs(out[0] - out[1]) < 1e-9 and abs(out[1] - out[2]) < 1e-9
+
+
+def test_rowgroup_stats_cover_table(spark):
+    from parquet_importer_spark.suite.scans import scan_rowgroup_stats
+    from parquet_importer_spark.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    stats = scan_rowgroup_stats(spark, sf).collect()
+    total = read_table(spark, sf, "orders").count()
+    assert sum(r.num_rows for r in stats) == total
+    assert all(r.key_min is not None and r.key_min <= r.key_max for r in stats)
