@@ -342,3 +342,26 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         exact_sum(F.col("l_quantity")).alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+@query("agg_hll_partial_union")  # rows-only: sketch internals engine-specific
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting — THE 100 TB rollup pattern:
+    per-(event_type, day) HLL sketches are built once (e.g. by a daily
+    job), then any coarser rollup UNIONS the sketch bytes instead of
+    re-scanning raw events. Here: day-grain hll_sketch_agg → union to
+    per-type totals. Unlike approx_count_distinct, the intermediate
+    sketches are materializable columns — store them in the daily
+    table and month/segment/anything rollups become metadata-sized
+    merges. Accuracy vs exact distinct is pinned by a test."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )

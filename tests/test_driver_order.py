@@ -98,4 +98,4 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 147 and len(o) == 120
+    assert len(q) == 148 and len(o) == 120

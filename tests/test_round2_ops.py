@@ -252,3 +252,26 @@ def test_rowgroup_stats_cover_table(spark):
     total = read_table(spark, sf, "orders").count()
     assert sum(r.num_rows for r in stats) == total
     assert all(r.key_min is not None and r.key_min <= r.key_max for r in stats)
+
+
+def test_hll_partial_union_matches_exact_within_5pct(spark):
+    """The day-sketch union must estimate per-type distinct users
+    within HLL's error envelope of the exact answer."""
+    from parquet_importer_spark.suite.aggregates import agg_hll_partial_union
+    from parquet_importer_spark.io import read_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r.approx_users
+        for r in agg_hll_partial_union(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n <= 0.05, (t, approx[t], n)
