@@ -36,9 +36,13 @@ _SENTINEL = "flagship_pricing_summary"
 def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
     """(verified, errored) query keys across all CORRECTNESS_r*.json.
 
-    verified = hash-green oracle row, or a rows-only row that ran
-    (err == "no_oracle" with a row count). errored = the key's LATEST
-    recorded row carries a real error — re-prioritized until green.
+    Both sets are decided by each key's LATEST recorded row, so a
+    regression (a once-green key whose newest row errors or
+    hash-mismatches) re-enters the priority tier instead of staying
+    "verified" forever. verified = latest row is hash-green, or a
+    rows-only row that ran (err == "no_oracle" with a row count).
+    errored = latest row is anything else — a real error OR a
+    hash/rows/schema mismatch — re-prioritized until green again.
     """
     import glob  # noqa: PLC0415
     import json  # noqa: PLC0415
@@ -47,7 +51,6 @@ def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
     if root is None:
         root = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, dict] = {}
-    verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -55,20 +58,17 @@ def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            latest[key] = row
-            ran_rows_only = (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            )
-            if row.get("hash_match") is True or ran_rows_only:
-                verified.add(key)
-    errored = {
-        key
-        for key, row in latest.items()
-        if row.get("err") not in (None, "no_oracle") and key not in verified
-    }
+            if isinstance(row, dict):
+                latest[key] = row
+
+    def green(row: dict) -> bool:
+        ran_rows_only = (
+            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        )
+        return row.get("hash_match") is True or ran_rows_only
+
+    verified = {key for key, row in latest.items() if green(row)}
+    errored = {key for key, row in latest.items() if not green(row)}
     return frozenset(verified), frozenset(errored)
 
 

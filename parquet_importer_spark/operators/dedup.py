@@ -320,7 +320,11 @@ def connected_components(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter PROPAGATION rounds plus one confirming round: detecting
+    # the fixpoint needs an extra no-change pass, and a component whose
+    # diameter is exactly max_iter would otherwise be rejected despite
+    # having converged on the final allowed round
+    for _ in range(max_iter + 1):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("lab")
         )

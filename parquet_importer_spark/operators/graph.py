@@ -40,6 +40,10 @@ def pagerank(
     reuses that partitioning; localCheckpoint bounds the plan.
     """
     n = nodes.count()
+    # materialize edges ONCE: every eager round below joins against
+    # them, and an expensive upstream (e.g. an LSH candidate pipeline)
+    # would otherwise re-execute n_iter times
+    edges = edges.localCheckpoint(eager=True)
     out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )

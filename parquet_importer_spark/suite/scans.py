@@ -202,12 +202,13 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         stats = g.column(key_idx).statistics
+        has_mm = stats is not None and stats.has_min_max
         rows.append(
             (
                 rg,
                 g.num_rows,
-                int(stats.min) if stats else None,
-                int(stats.max) if stats else None,
+                int(stats.min) if has_mm else None,
+                int(stats.max) if has_mm else None,
             )
         )
     return spark.createDataFrame(

@@ -99,3 +99,24 @@ def test_queries_and_oracles_consistent(entry):
         "oracle_sql order must follow queries order"
     )
     assert len(q) == 148 and len(o) == 120
+
+
+def test_regression_reenters_priority_tier(entry, tmp_path):
+    """A once-green key whose LATEST row errors or hash-mismatches must
+    move back into the errored (re-verify) set — the rotation must not
+    be regression-blind."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({
+            "x": {"hash_match": True, "err": None, "spark_rows": 1},
+            "z": {"hash_match": True, "err": None, "spark_rows": 3},
+        })
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({
+            "x": {"err": "OOM", "spark_rows": None},
+            "z": {"hash_match": False, "err": None, "spark_rows": 3},
+        })
+    )
+    verified, errored = entry._driver_history(str(tmp_path))
+    assert "x" in errored and "z" in errored
+    assert "x" not in verified and "z" not in verified

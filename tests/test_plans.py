@@ -201,10 +201,17 @@ def test_q18_preaggregates_before_semi_join(spark):
     plan = plan_of(spark, "q18_large_orders")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
-    semi_pos = plan.index("LeftSemi")
-    # a partial aggregate appears below (after, in toString order) the
-    # semi join — the build side is the aggregated key set
-    assert "partial_sum" in plan[semi_pos:] or "partial_sum" in plan
+    # the pre-aggregation is evidenced by a hash aggregate keyed on
+    # l_orderkey ALONE with a partial quantity sum (the outer aggregate
+    # carries five keys) — a raw semi-join build side would have no
+    # such node anywhere in the plan
+    import re
+
+    assert re.search(
+        r"HashAggregate\(keys=\[l_orderkey#\d+L?\],"
+        r" functions=\[partial_sum\(l_quantity",
+        plan,
+    ), plan[:800]
 
 
 def test_q19_pushes_envelope_halves(spark):

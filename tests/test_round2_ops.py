@@ -76,7 +76,7 @@ def test_shuffle_shard_deterministic(spark):
     assert a == b
 
 
-def test_sessionize_gap_semantics(spark):
+def test_sessionize_gap_semantics(spark, tmp_path):
     """Events 30min+1s apart split sessions; events exactly 30min apart
     do not (the predicate is strictly greater-than 1800s)."""
     from parquet_importer_spark.suite.streaming import ts_sessionize
@@ -92,19 +92,12 @@ def test_sessionize_gap_semantics(spark):
         (4, 2, base),
         (5, 2, base + dt.timedelta(seconds=1801)),
     ]
-    import os
-    import shutil
-    import tempfile
-
     import pandas as pd
 
-    path = os.path.join(tempfile.gettempdir(), "sessionize_fixture")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
     pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]).to_parquet(
-        os.path.join(path, "events.parquet")
+        str(tmp_path / "events.parquet")
     )
-    out = ts_sessionize(spark, path).collect()
+    out = ts_sessionize(spark, str(tmp_path)).collect()
     sessions = {(r.user_id, r.session_id): r for r in out}
     u1 = [k for k in sessions if k[0] == 1]
     u2 = [k for k in sessions if k[0] == 2]
@@ -138,29 +131,21 @@ def test_quality_filter_keeps_at_most_half_per_source(spark):
         assert r["count"] <= totals[r.source]
 
 
-def test_ngram_freq_counts_multiplicity(spark):
+def test_ngram_freq_counts_multiplicity(spark, tmp_path):
     """A token repeated inside one doc must count each occurrence
     (frequency), while n_docs counts distinct documents."""
-    import os
-    import tempfile
-
     rows = [
         (1, "a b c a b c a b c"),  # 'a b c' occurs 3x in doc 1
         (2, "a b c x y z q r s"),  # and once in doc 2
     ]
-    import shutil
-
     import pandas as pd
 
-    path = os.path.join(tempfile.gettempdir(), "ngram_fixture")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
     pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
-        os.path.join(path, "documents.parquet")
+        str(tmp_path / "documents.parquet")
     )
     from parquet_importer_spark.suite.llm_text import llm_ngram_freq
 
-    out = {r.ng: r for r in llm_ngram_freq(spark, path).collect()}
+    out = {r.ng: r for r in llm_ngram_freq(spark, str(tmp_path)).collect()}
     assert out["a b c"].freq == 4 and out["a b c"].n_docs == 2
 
 
@@ -275,3 +260,17 @@ def test_hll_partial_union_matches_exact_within_5pct(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) / n <= 0.05, (t, approx[t], n)
+
+
+def test_connected_components_converges_at_exact_max_iter_diameter(spark):
+    """A path graph whose diameter equals max_iter must return the
+    correct fixpoint (the confirming round is granted on top of the
+    propagation budget, not taken from it)."""
+    from parquet_importer_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = connected_components(nodes, edges, max_iter=3).collect()
+    assert {r.lab for r in out} == {0}
