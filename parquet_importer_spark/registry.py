@@ -43,28 +43,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # --- float-parity helpers (SURVEY.md §7.4.1) --------------------------------
 # sum(double) is order-dependent; Spark's partial aggregation and DuckDB's
 # accumulate in different orders, so late-ulp drift breaks hash equality.
-# Accumulating in DECIMAL is exact and associative → both engines agree to
-# the last bit; cast the final result back to double so schemas also match.
+# Accumulating in DECIMAL is exact and associative → both engines agree on
+# the exact decimal. The decimal→double CAST is the second trap: DuckDB's
+# int128→double conversion is not correctly rounded once the unscaled value
+# exceeds 2^53 (observed at sf0.1: 7.47e9 summed at scale 8 → ...249999 vs
+# Spark's ...25). Fix: ROUND the double result to the expression's decimal
+# grid (dp) — the true sum sits ON a grid point, never near a rounding
+# midpoint, so a ≤1-ulp conversion difference still rounds to the same
+# representable double in both engines. dp must be ≥ the summed
+# expression's decimal count (money = 2, price*(1-disc) = 4,
+# price*(1-disc)*(1+tax) = 6); the default 4 covers every ≤4-dp input
+# because coarser grids embed in finer ones.
 
 _DEC = "decimal(30,8)"
 
 
-def exact_sum(col: Column | str) -> Column:
-    """Order-independent double sum: accumulate as decimal(30,8), emit double."""
+def exact_sum(col: Column | str, dp: int = 4) -> Column:
+    """Order-independent double sum: accumulate as decimal(30,8), emit a
+    double snapped to the expression's ``dp``-decimal grid."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double")
+    return F.round(F.sum(c.cast(_DEC)).cast("double"), dp)
 
 
-def exact_avg(col: Column | str) -> Column:
-    """Order-independent double average: decimal-exact sum cast to double,
+def exact_avg(col: Column | str, dp: int = 4) -> Column:
+    """Order-independent double average: grid-snapped decimal-exact sum,
     then one double division — both engines perform the identical IEEE op."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    return F.round(F.sum(c.cast(_DEC)).cast("double"), dp) / F.count(c)
 
 
-def oracle_exact_sum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+def oracle_exact_sum(expr: str, dp: int = 4) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {dp})"
 
 
-def oracle_exact_avg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) / COUNT({expr})"
+def oracle_exact_avg(expr: str, dp: int = 4) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {dp})"
+        f" / COUNT({expr})"
+    )

@@ -191,7 +191,7 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stage1.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("pv").cast("double").alias("total_value"),
+        F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
     )
 
 
@@ -264,7 +264,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 4) AS total
     FROM orders
     GROUP BY bucket_lo
     ORDER BY bucket_lo
@@ -283,9 +283,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket)
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                .cast("double"),
+                4,
+            ).alias("total"),
         )
         .orderBy("bucket_lo")
     )

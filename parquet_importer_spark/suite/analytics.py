@@ -422,7 +422,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS total_qty
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE), 4) AS total_qty
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -459,9 +459,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("total_qty")
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+                .cast("double"),
+                4,
+            ).alias("total_qty")
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)

@@ -35,10 +35,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = _CUTOFF) -> DataFrame:
             exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
+            # charge is a 6-decimal expression (2dp price × 2dp disc ×
+            # 2dp tax) — snap to its own grid, not the default 4
             exact_sum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                * (1 + F.col("l_tax")),
+                dp=6,
             ).alias("sum_charge"),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
@@ -56,7 +59,7 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = _CUTOFF) -> DataFrame:
            {oracle_exact_sum('l_quantity')} AS sum_qty,
            {oracle_exact_sum('l_extendedprice')} AS sum_base_price,
            {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {oracle_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', dp=6)} AS sum_charge,
            {oracle_exact_avg('l_quantity')} AS avg_qty,
            {oracle_exact_avg('l_extendedprice')} AS avg_price,
            {oracle_exact_avg('l_discount')} AS avg_disc,

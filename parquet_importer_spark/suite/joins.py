@@ -230,8 +230,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     SELECT o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,8))) AS DOUBLE), 4) AS revenue,
            COUNT(*) AS n_items
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -259,13 +259,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt))
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(30,8)"
-                )
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,8)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("o_orderpriority")

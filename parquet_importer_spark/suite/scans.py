@@ -61,7 +61,7 @@ def _roundtrip_dir(tag: str) -> str:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -86,9 +86,11 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+                .cast("double"),
+                4,
+            ).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -154,7 +156,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 4)
              AS sum_total
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -175,9 +177,11 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("sum_total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                .cast("double"),
+                4,
+            ).alias("sum_total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -336,7 +336,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment
                 ELSE '(pre-evolution)' END AS segment,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_bal
     FROM customer
     GROUP BY 1
     """,
@@ -365,9 +365,11 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
-            .cast("double")
-            .alias("sum_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+                .cast("double"),
+                4,
+            ).alias("sum_bal"),
         )
     )
 

@@ -28,7 +28,7 @@ _DEC = "decimal(30,8)"
     SELECT event_type,
            CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600 AS ws_epoch,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -41,7 +41,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("total_value"),
         )
         .select(
             "event_type",
@@ -440,7 +442,7 @@ def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
       FROM events GROUP BY 1, 2
     ),
     span AS (
@@ -492,7 +494,11 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     per = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("v"))
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 4
+        ).alias("v")
+    )
     span = per.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
@@ -609,7 +615,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE), 4) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -638,7 +644,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("total_value"),
         )
     )
     q = (
@@ -657,7 +665,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -694,6 +702,8 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("total_value"),
         )
     )

@@ -89,10 +89,10 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend,
+           ) AS DOUBLE), 4) AS running_spend,
            CAST(COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -111,9 +111,9 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderdate",
         "o_totalprice",
-        F.sum(F.col("o_totalprice").cast(_DEC)).over(run).cast("double").alias(
-            "running_spend"
-        ),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(run).cast("double"), 4
+        ).alias("running_spend"),
         F.count(F.lit(1)).over(slide).cast("bigint").alias("orders_in_window"),
     )
 
@@ -127,10 +127,10 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id, ts_sec,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
              PARTITION BY user_id ORDER BY ts_sec
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS trailing_7d_value
+           ) AS DOUBLE), 4) AS trailing_7d_value
     FROM ev
     """,
 )
@@ -155,9 +155,9 @@ def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_sec",
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias(
-            "trailing_7d_value"
-        ),
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 4
+        ).alias("trailing_7d_value"),
     )
 
 
