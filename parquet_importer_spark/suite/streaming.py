@@ -707,3 +707,66 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             date_trunc('second', ts) AS ts_s, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts_s ASC, event_id ASC) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts_s DESC, event_id DESC) AS rn_close
+      FROM e
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY event_type, day
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the canonical time-series downsample: per
+    (series, day) bucket, the opening and closing observations plus the
+    high/low envelope. First/last are made deterministic by a total
+    order (second-truncated ts, then event_id) via two ROW_NUMBER
+    passes that share ONE (event_type, day) shuffle with the final
+    aggregate; high/low/count are plain partial+final aggregates. At
+    100 TB the bucket key bounds state and the windows never leave the
+    aggregate's partitioning."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        "event_id",
+        "value",
+    )
+    w_open = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    w_close = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_s").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
