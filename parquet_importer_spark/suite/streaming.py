@@ -770,3 +770,59 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "stream_jdbc_import",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_jdbc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole purpose as a STREAM against a LIVE database:
+    readStream over parquet → foreachBatch → ``df.write.jdbc`` appends
+    into embedded Derby → read back through ``spark.read.jdbc`` and
+    aggregate. This is app.py:94-193 (chunked parquet → DB import) with
+    micro-batches as the chunks and per-partition batched JDBC
+    connections instead of the reference's single connection; the
+    availableNow drain makes the result batch-equal, so the oracle
+    hash-checks the full pipeline including the database hop."""
+    from parquet_importer_spark.sources.sinks import write_jdbc
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    db_dir = tempfile.mkdtemp(prefix="pis_derby_stream_")
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.stream.error.file", os.path.join(db_dir, "derby.log")
+    )
+    url = f"jdbc:derby:{os.path.join(db_dir, 'db')};create=true"
+    ckpt = os.path.join(db_dir, "ckpt")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(
+            batch_df,
+            url,
+            "events_import",
+            mode="append",
+            batchsize=10_000,
+            num_partitions=4,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.jdbc(url, "events_import")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
