@@ -388,3 +388,90 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=rf"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h1,
+             {_FP3} AS h2
+      FROM t
+    ),
+    e1 AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY h1) AS src, doc_id AS dst FROM base
+    ),
+    e2 AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY h2) AS src, doc_id AS dst FROM base
+    ),
+    edges AS (
+      SELECT src, dst FROM e1 WHERE src <> dst
+      UNION SELECT dst, src FROM e1 WHERE src <> dst
+      UNION SELECT src, dst FROM e2 WHERE src <> dst
+      UNION SELECT dst, src FROM e2 WHERE src <> dst
+    ),
+    paths(node, lab) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT e.dst, p.lab FROM paths p JOIN edges e ON e.src = p.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM paths GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 20.0, 1.0)
+                 + 0.2 * LEAST((CAST(len(list_filter({_TOKS},
+                       tk -> tk IN ('the','and','of','to','in','is','a','for',
+                                    'on','with'))) AS DOUBLE)
+                       / CAST(len({_TOKS}) AS DOUBLE)) * 5.0, 1.0)
+                 + 0.2 * (CASE WHEN (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
+                                    / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
+                                AND (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
+                                    / CAST(len({_TOKS}) AS DOUBLE) <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                               'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, q.quality,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, cluster_size, quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION — what actually ships to training: one
+    representative per duplicate cluster, chosen by highest heuristic
+    quality (min doc_id breaks ties) rather than the arbitrary min-id
+    canonical. Composes the cluster assignment with the quality score
+    in one plan; the keep choice is a ROW_NUMBER window over the
+    cluster partitioning the cluster-size count already established."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import quality_score
+
+    clusters = llm_dedup_clusters(spark, sf_dir)
+    quality = read_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality")
+    )
