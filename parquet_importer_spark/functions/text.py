@@ -137,3 +137,31 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     the same minimizing shingle with high probability (rolling-hash
     fingerprinting, public winnowing scheme)."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))
+
+
+def oracle_quality_select(extra_cols: str = "") -> str:
+    """DuckDB SELECT mirroring :func:`quality_score` — the single source
+    of truth for the oracle-side quality formula (interpolated into
+    every oracle that scores quality, so a formula change cannot
+    silently diverge between operators)."""
+    toks = r"string_split_regex(lower(trim(text)), '\s+')"
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    cols = f"doc_id{', ' + extra_cols if extra_cols else ''}"
+    return f"""
+      SELECT {cols},
+             ROUND(0.4 * LEAST(CAST(len({toks}) AS DOUBLE) / 20.0, 1.0)
+                 + 0.2 * LEAST((CAST(len(list_filter({toks},
+                       tk -> tk IN ({stop}))) AS DOUBLE)
+                       / CAST(len({toks}) AS DOUBLE)) * 5.0, 1.0)
+                 + 0.2 * (CASE WHEN (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({toks}) AS DOUBLE) - 1))
+                                    / CAST(len({toks}) AS DOUBLE) >= 2.0
+                                AND (CAST(length(text) AS DOUBLE)
+                                     - (CAST(len({toks}) AS DOUBLE) - 1))
+                                    / CAST(len({toks}) AS DOUBLE) <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                               'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE)), 6) AS quality
+      FROM documents
+"""

@@ -191,12 +191,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_above_brand_avg",
     oracle="""
     SELECT p_partkey, p_brand, p_retailprice,
-           ROUND((SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8)))
-                             AS DOUBLE) / COUNT(*)
+           ROUND((SELECT ROUND(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8)))
+                             AS DOUBLE), 4) / COUNT(*)
                   FROM part p2 WHERE p2.p_brand = p.p_brand), 6) AS brand_avg
     FROM part p
     WHERE p_retailprice >
-          (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8))) AS DOUBLE)
+          (SELECT ROUND(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(30,8)))
+                        AS DOUBLE), 4)
                   / COUNT(*)
            FROM part p2 WHERE p2.p_brand = p.p_brand)
     """,
@@ -211,8 +212,16 @@ def subquery_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
+    # grid-snap the decimal-exact sum before dividing (SURVEY §7.4.7):
+    # the unrounded double feeds a > comparison, where a 1-ulp
+    # conversion difference can flip boundary rows at scale
     brand_avg = (
-        F.sum(F.col("p_retailprice").cast("decimal(30,8)")).over(w).cast("double")
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(30,8)"))
+            .over(w)
+            .cast("double"),
+            4,
+        )
         / F.count(F.lit(1)).over(w)
     )
     return (

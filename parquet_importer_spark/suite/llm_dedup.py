@@ -203,11 +203,10 @@ _FP3 = (
     "ELSE [array_to_string(toks, ' ')] END), g -> md5(g)))"
 )
 
-
-@query(
-    "llm_dedup_clusters",
-    oracle=rf"""
-    WITH RECURSIVE
+#: duplicate-cluster transitive closure (exact-hash + fingerprint star
+#: edges -> recursive min-label closure) — shared by every oracle that
+#: needs cluster assignments, so edge construction can never diverge
+_CLUSTER_CTE = rf"""
     t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
     base AS (
       SELECT doc_id,
@@ -235,6 +234,18 @@ _FP3 = (
     comp AS (
       SELECT node AS doc_id, MIN(lab) AS cluster_id FROM paths GROUP BY node
     )
+"""
+
+from parquet_importer_spark.functions.text import oracle_quality_select  # noqa: E402
+
+_ORACLE_QUALITY = oracle_quality_select()
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE
+{_CLUSTER_CTE}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp
@@ -394,52 +405,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_keep_best",
     oracle=rf"""
     WITH RECURSIVE
-    t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-    base AS (
-      SELECT doc_id,
-             sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h1,
-             {_FP3} AS h2
-      FROM t
-    ),
-    e1 AS (
-      SELECT MIN(doc_id) OVER (PARTITION BY h1) AS src, doc_id AS dst FROM base
-    ),
-    e2 AS (
-      SELECT MIN(doc_id) OVER (PARTITION BY h2) AS src, doc_id AS dst FROM base
-    ),
-    edges AS (
-      SELECT src, dst FROM e1 WHERE src <> dst
-      UNION SELECT dst, src FROM e1 WHERE src <> dst
-      UNION SELECT src, dst FROM e2 WHERE src <> dst
-      UNION SELECT dst, src FROM e2 WHERE src <> dst
-    ),
-    paths(node, lab) AS (
-      SELECT doc_id, doc_id FROM base
-      UNION
-      SELECT e.dst, p.lab FROM paths p JOIN edges e ON e.src = p.node
-    ),
-    comp AS (
-      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM paths GROUP BY node
-    ),
-    q AS (
-      SELECT doc_id,
-             ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 20.0, 1.0)
-                 + 0.2 * LEAST((CAST(len(list_filter({_TOKS},
-                       tk -> tk IN ('the','and','of','to','in','is','a','for',
-                                    'on','with'))) AS DOUBLE)
-                       / CAST(len({_TOKS}) AS DOUBLE)) * 5.0, 1.0)
-                 + 0.2 * (CASE WHEN (CAST(length(text) AS DOUBLE)
-                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
-                                    / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
-                                AND (CAST(length(text) AS DOUBLE)
-                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
-                                    / CAST(len({_TOKS}) AS DOUBLE) <= 12.0
-                           THEN 1.0 ELSE 0.5 END)
-                 + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
-                               'g')) AS DOUBLE)
-                          / CAST(length(text) AS DOUBLE)), 6) AS quality
-      FROM documents
-    ),
+{_CLUSTER_CTE},
+    q AS ({_ORACLE_QUALITY}),
     ranked AS (
       SELECT c.doc_id, c.cluster_id, q.quality,
              COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
@@ -463,7 +430,7 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_importer_spark.functions.text import quality_score
 
     clusters = llm_dedup_clusters(spark, sf_dir)
-    quality = read_table(spark, sf_dir, "documents").select(
+    quality = parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     )
     joined = clusters.join(quality, "doc_id")

@@ -286,24 +286,9 @@ def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = f"""
-      SELECT doc_id, source,
-             ROUND(0.4 * LEAST(CAST(len({_TOKS}) AS DOUBLE) / 20.0, 1.0)
-                 + 0.2 * LEAST((CAST(len(list_filter({_TOKS},
-                       t -> t IN ({", ".join("'" + w + "'" for w in STOPWORDS)})))
-                       AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)) * 5.0, 1.0)
-                 + 0.2 * (CASE WHEN (CAST(length(text) AS DOUBLE)
-                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
-                                    / CAST(len({_TOKS}) AS DOUBLE) >= 2.0
-                                AND (CAST(length(text) AS DOUBLE)
-                                     - (CAST(len({_TOKS}) AS DOUBLE) - 1))
-                                    / CAST(len({_TOKS}) AS DOUBLE) <= 12.0
-                           THEN 1.0 ELSE 0.5 END)
-                 + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
-                               'g')) AS DOUBLE)
-                          / CAST(length(text) AS DOUBLE)), 6) AS quality
-      FROM documents
-"""
+from parquet_importer_spark.functions.text import oracle_quality_select
+
+_QUALITY_SQL = oracle_quality_select("source")
 
 
 @query(

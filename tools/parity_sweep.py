@@ -6,10 +6,11 @@ thresholds.
 
 Run: python tools/parity_sweep.py [sf_dir]   (exit 1 on any mismatch)
 """
-import hashlib
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import duckdb
 
@@ -36,31 +37,22 @@ for t in (
     )
 
 
-def vhash(pdf):
-    cols = sorted(pdf.columns)
-    rows = sorted(
-        tuple(repr(v) if isinstance(v, float) else str(v) for v in r)
-        for r in pdf[cols].itertuples(index=False)
-    )
-    return hashlib.sha256(str(rows).encode()).hexdigest()[:12]
-
+# reuse the test suite's canonicalizer/compare (NULL/bytes/list/timestamp
+# handling + first-diff reporting) so this tool can never disagree with
+# tests/test_parity.py on the same data
+from tests.parity import compare  # noqa: E402
 
 fails = 0
 for name in oracles:
     try:
         sdf = qs[name](spark, SF).toPandas()
         odf = con.execute(oracles[name]).df()
-        ok = (
-            len(sdf) == len(odf)
-            and sorted(sdf.columns) == sorted(odf.columns)
-            and vhash(sdf) == vhash(odf)
-        )
+        compare(sdf, odf, name)
+    except AssertionError as ex:
+        print(f"{name}: MISMATCH {str(ex)[:200]}")
+        fails += 1
     except Exception as ex:  # noqa: BLE001 — report and continue the sweep
         print(f"{name}: ERROR {str(ex)[:160]}")
-        fails += 1
-        continue
-    if not ok:
-        print(f"{name}: spark={len(sdf)} oracle={len(odf)} -> MISMATCH")
         fails += 1
 print(f"done, fails={fails} ({len(oracles)} oracle pairs at {SF})")
 sys.exit(1 if fails else 0)
