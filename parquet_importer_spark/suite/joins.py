@@ -271,3 +271,64 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_fuzzy_name",
+    oracle="""
+    WITH probes AS (
+      SELECT * FROM (VALUES
+        ('Custmer#000000042'), ('Customer#00000I33'), ('customer#000000777')
+      ) AS t(probe)
+    ),
+    scored AS (
+      SELECT p.probe, c.c_custkey, c.c_name,
+             CAST(levenshtein(lower(p.probe), lower(c.c_name)) AS BIGINT)
+               AS edit_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.probe
+               ORDER BY levenshtein(lower(p.probe), lower(c.c_name)),
+                        c.c_custkey
+             ) AS rn
+      FROM probes p CROSS JOIN customer c
+    )
+    SELECT probe, c_custkey, c_name, edit_dist
+    FROM scored WHERE rn = 1 ORDER BY probe
+    """,
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: each (possibly corrupted) probe name finds
+    its closest customer by case-folded Levenshtein distance — the
+    record-linkage primitive behind dirty-key joins. The probe set
+    broadcasts, so the corpus scans once with the distance evaluated in
+    codegen and never shuffles; the top-1-per-probe window runs on the
+    tiny scored set. At billions of rows the same semantics add a
+    cheap blocking prefilter (length band / q-gram overlap) before the
+    exact distance — same plan with one extra pushed predicate."""
+    from pyspark.sql import Window
+
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [("Custmer#000000042",), ("Customer#00000I33",),
+             ("customer#000000777",)],
+            "probe string",
+        )
+    )
+    c = read_table(spark, sf_dir, "customer")
+    scored = c.crossJoin(probes).select(
+        "probe",
+        "c_custkey",
+        "c_name",
+        F.levenshtein(F.lower("probe"), F.lower("c_name"))
+        .cast("bigint")
+        .alias("edit_dist"),
+    )
+    w = Window.partitionBy("probe").orderBy(
+        F.col("edit_dist").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe", "c_custkey", "c_name", "edit_dist")
+        .orderBy("probe")
+    )
