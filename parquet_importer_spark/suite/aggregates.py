@@ -367,3 +367,39 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting — the precise sibling of
+    agg_hll_partial_union: per-(type, day, bucket) roaring-style bitmaps
+    of user ids (bitmap_construct_agg), OR-merged across days per
+    bucket, then counted and summed over buckets. Because bitmaps are
+    exact, the rollup equals COUNT(DISTINCT) bit-for-bit — hence a full
+    SQL oracle — while staying mergeable: store the day-grain bitmap
+    column and any coarser distinct rollup is a bitmap OR, never a
+    re-scan of raw events. Bucketing (bitmap_bucket_number) bounds each
+    bitmap to a fixed id range, so state per group is capped at any key
+    cardinality."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.dayofmonth("ts").alias("d"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
