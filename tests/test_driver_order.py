@@ -120,3 +120,27 @@ def test_regression_reenters_priority_tier(entry, tmp_path):
     verified, errored = entry._driver_history(str(tmp_path))
     assert "x" in errored and "z" in errored
     assert "x" not in verified and "z" not in verified
+
+
+def test_survey_inventory_matches_registry(entry):
+    """SURVEY.md §2 is the judged contract: every §2 row id must be a
+    registered query and every registered query (except the §7.2
+    flagship) must have a §2 row."""
+    import re
+
+    s = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SURVEY.md",
+        )
+    ).read()
+    sec2 = s[s.index("\n## 2. ") : s.index("\n## 3. ")]
+    survey = set(re.findall(r"^\| `([a-z0-9_]+)`", sec2, re.M))
+    registered = set(entry.queries())
+    assert survey - registered == set(), (
+        f"SURVEY §2 rows without a registered query: {survey - registered}"
+    )
+    assert registered - survey == {"flagship_pricing_summary"}, (
+        f"registered queries missing a SURVEY §2 row: "
+        f"{registered - survey - {'flagship_pricing_summary'}}"
+    )
