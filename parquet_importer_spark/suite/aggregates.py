@@ -403,3 +403,50 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mode_argmax",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey ASC) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment,
+           c_nationkey AS modal_nation,
+           n AS modal_count
+    FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value per group, smallest value
+    breaking ties) — built as count + top-1 window rather than the
+    engines' mode()/F.mode, whose tie choice is unspecified and
+    therefore un-oracle-able. Two narrow aggregations: the count
+    shuffles on the composite key, the argmax window runs over the tiny
+    per-group count table."""
+    c = read_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("modal_nation"),
+            F.col("n").alias("modal_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
