@@ -826,3 +826,67 @@ def stream_jdbc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_rollup_incremental",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+             AS total_value
+    FROM events GROUP BY event_type, day
+    """,
+)
+def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style incremental rollup maintenance: a daily
+    aggregate table is NOT rebuilt when late data lands — the late rows
+    aggregate into per-day partials that MERGE into the existing rollup
+    (full-outer combine, summing counts and decimal partials). Here the
+    'existing' rollup is built missing a deterministic 10% slice
+    (event_id % 10 = 0 stands in for late arrivals), the slice arrives
+    as the increment, and the maintained result must equal the
+    from-scratch rollup — which is exactly what the oracle computes.
+    At 100 TB this is the difference between re-scanning history per
+    refresh and touching only the increment: both sides of the merge
+    are day-grain partials, never raw events."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_id",
+        "value",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("pv"),
+        )
+
+    mv = rollup(e.filter(F.col("event_id") % 10 != 0))
+    late = rollup(e.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        mv.withColumnRenamed("n_events", "n0")
+        .withColumnRenamed("pv", "pv0")
+        .join(
+            late.withColumnRenamed("n_events", "n1").withColumnRenamed(
+                "pv", "pv1"
+            ),
+            ["event_type", "day"],
+            "full_outer",
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("n1"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            (
+                F.coalesce(F.col("pv0"), F.lit(0).cast(_DEC))
+                + F.coalesce(F.col("pv1"), F.lit(0).cast(_DEC))
+            ).cast("double"),
+            4,
+        ).alias("total_value"),
+    )
