@@ -521,3 +521,61 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q22_dormant_accounts",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_custs,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 4)
+             AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT ROUND(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8)))
+                          AS DOUBLE), 4) / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant accounts — customers above
+    the positive-balance average who have never ordered. The scalar
+    subquery evaluates once and broadcasts as a literal-like filter;
+    NOT EXISTS decorrelates to a LEFT ANTI join probing the orders key
+    set. The anti join's build side is just distinct custkeys, so at
+    100 TB the probe is a bloom-filter-sized structure, not the orders
+    table. The grid-snapped decimal sum keeps the threshold comparison
+    engine-identical (SURVEY §7.4.7)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal_row = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double"),
+                4,
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    threshold = avg_bal_row["s"] / avg_bal_row["n"]
+    return (
+        c.filter(F.col("c_acctbal") > threshold)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double"),
+                4,
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
