@@ -286,3 +286,34 @@ def fn_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("double").alias("val"),
         )
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+           CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS k_xor,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS k_bits,
+           CAST(o_orderkey << 2 AS BIGINT) AS k_shl,
+           CAST(o_orderkey >> 3 AS BIGINT) AS k_shr
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (mask/pack/popcount/shift) — the bit
+    tricks behind bucket masks, bitmap indexes, and packed flag
+    columns. Pure codegen projections; integer bit semantics are
+    engine-identical so the whole family oracle-checks exactly."""
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("k_or"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("k_xor"),
+        F.bit_count(k).cast("bigint").alias("k_bits"),
+        F.shiftleft(k, 2).cast("bigint").alias("k_shl"),
+        F.shiftright(k, 3).cast("bigint").alias("k_shr"),
+    )
