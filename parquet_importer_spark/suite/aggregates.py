@@ -358,7 +358,7 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges. Accuracy vs exact distinct is pinned by a test."""
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(
-        "event_type", F.dayofmonth("ts").alias("d")
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     return (
         daily.groupBy("event_type")
@@ -390,7 +390,7 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
-        F.dayofmonth("ts").alias("d"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
         F.bitmap_bucket_number("user_id").alias("bkt"),
     ).agg(
         F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import read_table
 from parquet_importer_spark.registry import (
-    oracle_exact_sum,
+    exact_avg,
     exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
     query,
 )
 
@@ -525,15 +527,13 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q22_dormant_accounts",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment,
            COUNT(*) AS n_custs,
-           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 4)
-             AS total_bal
+           {oracle_exact_sum('c.c_acctbal')} AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (
-            SELECT ROUND(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8)))
-                          AS DOUBLE), 4) / COUNT(*)
+            SELECT {oracle_exact_avg('c2.c_acctbal')}
             FROM customer c2 WHERE c2.c_acctbal > 0
           )
       AND NOT EXISTS (
@@ -546,36 +546,29 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: wealthy-but-dormant accounts — customers above
     the positive-balance average who have never ordered. The scalar
-    subquery evaluates once and broadcasts as a literal-like filter;
-    NOT EXISTS decorrelates to a LEFT ANTI join probing the orders key
-    set. The anti join's build side is just distinct custkeys, so at
-    100 TB the probe is a bloom-filter-sized structure, not the orders
-    table. The grid-snapped decimal sum keeps the threshold comparison
-    engine-identical (SURVEY §7.4.7)."""
+    subquery stays LAZY: the 1-row average cross-joins (broadcast) into
+    the scan as a filter column — no driver-side collect, so query
+    construction plans but never runs (SURVEY §7.4.8), and a NULL
+    average (no positive balances) yields the empty result the oracle
+    produces rather than an error. NOT EXISTS decorrelates to a LEFT
+    ANTI join probing DISTINCT custkeys — at 100 TB the build side is
+    the distinct key set, not the orders table. Decimal sums go
+    through the grid-snapping helpers (SURVEY §7.4.7)."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal_row = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double"),
-                4,
-            ).alias("s"),
-            F.count(F.lit(1)).alias("n"),
+    o = read_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            exact_avg("c_acctbal").alias("threshold")
         )
-        .first()
     )
-    threshold = avg_bal_row["s"] / avg_bal_row["n"]
     return (
-        c.filter(F.col("c_acctbal") > threshold)
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("threshold"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double"),
-                4,
-            ).alias("total_bal"),
+            exact_sum("c_acctbal").alias("total_bal"),
         )
         .orderBy("c_mktsegment")
     )

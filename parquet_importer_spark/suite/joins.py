@@ -301,12 +301,11 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     its closest customer by case-folded Levenshtein distance — the
     record-linkage primitive behind dirty-key joins. The probe set
     broadcasts, so the corpus scans once with the distance evaluated in
-    codegen and never shuffles; the top-1-per-probe window runs on the
-    tiny scored set. At billions of rows the same semantics add a
+    codegen; the top-1 per probe is a min-struct aggregate with
+    map-side partials, so only one candidate per (probe, partition)
+    shuffles. At billions of rows the same semantics add a
     cheap blocking prefilter (length band / q-gram overlap) before the
     exact distance — same plan with one extra pushed predicate."""
-    from pyspark.sql import Window
-
     probes = F.broadcast(
         spark.createDataFrame(
             [("Custmer#000000042",), ("Customer#00000I33",),
@@ -323,12 +322,16 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("edit_dist"),
     )
-    w = Window.partitionBy("probe").orderBy(
-        F.col("edit_dist").asc(), F.col("c_custkey").asc()
+    # top-1 per probe as a min-struct AGGREGATE, not a window: a window
+    # partitioned by a handful of probes would funnel the whole scored
+    # corpus into as many tasks; min(struct) combines map-side, so only
+    # one candidate per (probe, partition) ever shuffles
+    best = scored.groupBy("probe").agg(
+        F.min(F.struct("edit_dist", "c_custkey", "c_name")).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("probe", "c_custkey", "c_name", "edit_dist")
-        .orderBy("probe")
-    )
+    return best.select(
+        "probe",
+        F.col("b.c_custkey").alias("c_custkey"),
+        F.col("b.c_name").alias("c_name"),
+        F.col("b.edit_dist").alias("edit_dist"),
+    ).orderBy("probe")

@@ -303,7 +303,8 @@ def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
       FROM span
     )
-    SELECT s.user_id, s.day, COALESCE(p.n, 0) AS n_events
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(p.n, 0) AS n_events
     FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.day = s.day
     """,
 )
@@ -407,7 +408,7 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity AS (
       SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
     )
-    SELECT f.cohort,
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
            CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_n,
            COUNT(DISTINCT a.user_id) AS n_active
     FROM first_day f JOIN activity a USING (user_id)
@@ -471,7 +472,7 @@ def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_next AS (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT user_id, day,
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
            ROUND(CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
@@ -725,7 +726,7 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts_s DESC, event_id DESC) AS rn_close
       FROM e
     )
-    SELECT event_type, day,
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
            MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
@@ -831,7 +832,7 @@ def stream_jdbc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_rollup_incremental",
     oracle="""
-    SELECT event_type, date_trunc('day', ts) AS day,
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(*) AS n_events,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
              AS total_value
