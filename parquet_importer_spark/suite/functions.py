@@ -317,3 +317,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("bigint").alias("k_shl"),
         F.shiftright(k, 3).cast("bigint").alias("k_shr"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_as_int,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-15'
+                         ELSE 'not-a-date' END AS TIMESTAMP) AS maybe_ts,
+           o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div
+    FROM orders
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-absorbing functions — the tolerant-coercion
+    surface (the reference's retry ladder app.py:114-122, expression
+    form): try_cast yields NULL instead of raising on malformed input,
+    try_divide on division by zero. On dirty 100 TB inputs this is the
+    difference between a NULL-flagged row and a dead 10-hour job."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("bigint").alias("status_as_int"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("2024-01-15"))
+        .otherwise(F.lit("not-a-date"))
+        .try_cast("timestamp")
+        .alias("maybe_ts"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "safe_div"
+        ),
+    )
