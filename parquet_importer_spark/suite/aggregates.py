@@ -450,3 +450,32 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {oracle_exact_sum('l_extendedprice * l_discount')}
+             / {oracle_exact_sum('l_extendedprice')} AS wavg_discount,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (price-weighted mean discount) — sum(w·x)/sum(w)
+    with BOTH sums decimal-exact and grid-snapped, then one IEEE
+    division performed identically by each engine. The same partial+
+    final shape as a plain mean; weights add no extra pass."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            (
+                exact_sum(F.col("l_extendedprice") * F.col("l_discount"))
+                / exact_sum(F.col("l_extendedprice"))
+            ).alias("wavg_discount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
