@@ -274,3 +274,48 @@ def test_connected_components_converges_at_exact_max_iter_diameter(spark):
     )
     out = connected_components(nodes, edges, max_iter=3).collect()
     assert {r.lab for r in out} == {0}
+
+
+def test_file_stream_picks_up_only_new_files(spark):
+    """A second availableNow drain with the same checkpoint must process
+    ONLY files that arrived after the first drain — the incremental
+    ingestion contract of the file source."""
+    import os
+    import shutil
+    import tempfile
+
+    from parquet_importer_spark.io import table_path
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf, "events")).schema
+    src = as_stream_dir(table_path(sf, "events"))
+    base = tempfile.mkdtemp(prefix="pis_inc_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    # a "new" file arrives in the source directory
+    existing = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    shutil.copy(
+        os.path.join(src, existing[0]), os.path.join(src, "late_arrival.parquet")
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 2 * n1
+    # nothing new -> nothing emitted
+    drain()
+    assert spark.read.parquet(out).count() == 2 * n1
