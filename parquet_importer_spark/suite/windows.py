@@ -234,3 +234,86 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("last_nonnull"),
         F.first("v", ignorenulls=True).over(w).alias("first_nonnull"),
     )
+
+
+@query(
+    "win_pct_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, v,
+           ROUND((v - lag(v) OVER w) / lag(v) OVER w, 6) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period percent change — the day-over-day delta every
+    metrics dashboard computes: daily decimal-exact totals per series,
+    then (v - lag(v)) / lag(v) over the series partition (first day
+    NULL). The daily aggregate and the window share one event_type
+    shuffle; the division is identical IEEE on both engines because
+    both operands are grid-snapped."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+        ).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("v").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.round((F.col("v") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@query(
+    "win_moving_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, v,
+           ROUND((v - AVG(v) OVER w) / NULLIF(STDDEV_SAMP(v) OVER w, 0), 4)
+             AS zscore
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each day's total against its trailing
+    7-day mean/stddev per series — the simplest production anomaly
+    detector. Variance accumulation over a frame is order-dependent in
+    doubles, so the z-score rounds to 4 places (the agg_stats rule);
+    the frame rides the same event_type shuffle as the daily
+    aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+        ).alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    z = (F.col("v") - F.avg("v").over(w)) / F.nullif(
+        F.stddev_samp("v").over(w), F.lit(0.0)
+    )
+    return daily.select(
+        "event_type", "day", "v", F.round(z, 4).alias("zscore")
+    )
