@@ -348,3 +348,35 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_div"
         ),
     )
+
+
+@query(
+    "fn_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation: numeric fields extracted from the
+    JSON `props` string feed ordinary integer aggregates — the
+    schema-on-read pattern for event payloads. Extraction is codegen
+    (get_json_object), so the JSON never materializes as a struct
+    column and the aggregate is a plain partial+final pass; at scale
+    the upgrade is parsing once into a real column at ingest."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.max(k).cast("bigint").alias("k_max"),
+            F.count(k).alias("k_present"),
+        )
+        .orderBy("event_type")
+    )
