@@ -381,3 +381,42 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "set_multiset_all",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk FROM customer),
+         s AS (SELECT s_nationkey AS nk FROM supplier)
+    SELECT nk, COUNT(*) AS n, 'intersect_all' AS op
+    FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s) GROUP BY nk
+    UNION ALL
+    SELECT nk, COUNT(*) AS n, 'except_all' AS op
+    FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s) GROUP BY nk
+    """,
+)
+def set_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps min(m,n)
+    copies per value, EXCEPT ALL keeps m-n: duplicate-preserving
+    semantics DISTINCT set ops destroy (the right tool when row counts
+    carry meaning, e.g. inventory reconciliation). Spark plans both as
+    count-annotated joins (one shuffle per side), no pre-distinct."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    inter = (
+        c.intersectAll(s)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        c.exceptAll(s)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc)
