@@ -354,11 +354,12 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json_agg",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS k_sum,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS k_max,
-           COUNT(json_extract_string(props, '$.k')) AS k_present
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS k_present
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import read_table
-from parquet_importer_spark.registry import query
+from parquet_importer_spark.registry import (
+    exact_sum,
+    oracle_exact_sum,
+    query,
+)
 
 _DEC = "decimal(30,8)"
 
@@ -238,14 +242,15 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_pct_change",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
+             {oracle_exact_sum('value')} AS v
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, v,
-           ROUND((v - lag(v) OVER w) / lag(v) OVER w, 6) AS pct_change
+           ROUND((v - lag(v) OVER w) / NULLIF(lag(v) OVER w, 0), 6)
+             AS pct_change
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """,
@@ -254,16 +259,18 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period percent change — the day-over-day delta every
     metrics dashboard computes: daily decimal-exact totals per series,
     then (v - lag(v)) / lag(v) over the series partition (first day
-    NULL). The daily aggregate and the window share one event_type
-    shuffle; the division is identical IEEE on both engines because
-    both operands are grid-snapped."""
+    NULL). Pre-partitioning on event_type lets the daily aggregate AND
+    the window ride ONE exchange (hashpartitioning on the series key
+    clusters every (series, day) group — plan-tested); the division is
+    identical IEEE on both engines because both operands are
+    grid-snapped, and a zero previous-day total is NULLIF-guarded on
+    both sides (non-ANSI Spark and DuckDB disagree on 0-divisor
+    doubles)."""
     e = read_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(
-        F.round(
-            F.sum(F.col("value").cast(_DEC)).cast("double"), 4
-        ).alias("v")
+    daily = (
+        e.repartition("event_type")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(exact_sum("value").alias("v"))
     )
     w = Window.partitionBy("event_type").orderBy("day")
     prev = F.lag("v").over(w)
@@ -271,16 +278,18 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "v",
-        F.round((F.col("v") - prev) / prev, 6).alias("pct_change"),
+        F.round(
+            (F.col("v") - prev) / F.nullif(prev, F.lit(0.0)), 6
+        ).alias("pct_change"),
     )
 
 
 @query(
     "win_moving_zscore",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
+             {oracle_exact_sum('value')} AS v
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, v,
@@ -296,15 +305,13 @@ def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-day mean/stddev per series — the simplest production anomaly
     detector. Variance accumulation over a frame is order-dependent in
     doubles, so the z-score rounds to 4 places (the agg_stats rule);
-    the frame rides the same event_type shuffle as the daily
-    aggregate."""
+    pre-partitioning on event_type lets the daily aggregate and the
+    frame ride ONE exchange."""
     e = read_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(
-        F.round(
-            F.sum(F.col("value").cast(_DEC)).cast("double"), 4
-        ).alias("v")
+    daily = (
+        e.repartition("event_type")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(exact_sum("value").alias("v"))
     )
     w = (
         Window.partitionBy("event_type")

@@ -296,3 +296,11 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", ["win_pct_change", "win_moving_zscore"])
+def test_series_window_queries_single_exchange(spark, name):
+    """Pre-partitioning on the series key must let the daily aggregate
+    AND the window ride one exchange."""
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
