@@ -185,14 +185,22 @@ def stream_watermark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink in append mode (only watermark-finalized windows emit)."""
     from parquet_importer_spark.streaming.microbatch import as_stream_dir
 
-    # events.ts is TIMESTAMP(NANOS) → read as nano-epoch long (io.py docs)
+    # events.ts may be TIMESTAMP(NANOS) (read as nano-epoch long, io.py
+    # docs) or already µs/ntz depending on the fixture generation — probe
+    # the batch schema and convert only the long form.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    ts_is_long = schema["ts"].dataType.typeName() in ("long", "bigint")
     name = f"wm_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(schema)
         .parquet(as_stream_dir(table_path(sf_dir, "events")))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000"))
+            if ts_is_long
+            else F.col("ts").cast("timestamp"),
+        )
         .withWatermark("ts", "10 minutes")
         .dropDuplicates(["event_id"])
         .groupBy(F.window("ts", "1 hour").alias("w"))
