@@ -18,6 +18,7 @@ from parquet_importer_spark.suite import (  # noqa: F401
     llm_text,
     llm_similarity,
     llm_sampling,
+    analytics_tpch,
     scans,
     sinks_suite,
     udf_suite,

@@ -304,3 +304,40 @@ def test_series_window_queries_single_exchange(spark, name):
     AND the window ride one exchange."""
     plan = plan_of(spark, name)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q16_supplier_cnt",
+        "q20_promotion_suppliers",
+        "q21_waiting_suppliers",
+    ],
+)
+def test_tpch_round3_no_cartesian_all_dims_broadcast(spark, name):
+    """The round-3 TPC-H composites must broadcast every dim side and
+    never degenerate to a cartesian product."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q15_single_fact_scan(spark):
+    """The Q15 scalar-MAX diamond must NOT re-scan lineitem: the max
+    rides a dim-sized window over the grouped frame (one scan, one
+    exchange of the fact)."""
+    plan = plan_of(spark, "q15_top_supplier")
+    per_node_mentions = 2  # Location + staged path line per FileScan
+    assert plan.count("lineitem.parquet") <= per_node_mentions, plan[:900]
+
+
+def test_q21_exists_pair_single_fact_exchange(spark):
+    """q21's EXISTS/NOT-EXISTS decorrelation must compute both per-order
+    stats on ONE orderkey exchange (windows share partitioning), not a
+    join-back re-shuffle of the fact."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:900]
