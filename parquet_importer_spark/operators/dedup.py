@@ -68,6 +68,39 @@ def _seeded_shingle_md5(shingle_arr: Column, seed: Column) -> Column:
     )
 
 
+def _banded_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, sh[, extra cols]) → slim (doc, …, band, key) LSH band rows.
+
+    Each band's key joins rows_per_band seeded-minhash minima; the
+    shingle array (the wide payload) is dropped before any shuffle.
+    Every seeded hash pass runs exactly once across bands."""
+    rows_per_band = num_hashes // bands
+    other = [c for c in base.columns if c != "sh"]
+    return base.select(
+        *other,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(
+                                b * rows_per_band,
+                                (b + 1) * rows_per_band - 1,
+                            ),
+                            lambda s: F.array_min(
+                                _seeded_shingle_md5(F.col("sh"), s)
+                            ),
+                        ),
+                        "|",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(*other, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -100,31 +133,7 @@ def minhash_lsh_pairs(
     )
     # Candidate generation over SLIM (doc, band, key) rows only — the
     # shingle arrays (the wide payload) never enter the band shuffle.
-    banded = base.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    # band b's key = minima for seeds [b*rpb, (b+1)*rpb) —
-                    # each seeded hash pass runs exactly once across bands
-                    F.array_join(
-                        F.transform(
-                            F.sequence(
-                                b * rows_per_band,
-                                (b + 1) * rows_per_band - 1,
-                            ),
-                            lambda s: F.array_min(
-                                _seeded_shingle_md5(F.col("sh"), s)
-                            ),
-                        ),
-                        "|",
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded_keys(base, num_hashes, bands)
 
     # Bucket-group pair generation instead of a self-join: one pass over
     # the minhash pipeline, one slim shuffle on (band, key), pairs built
@@ -166,6 +175,97 @@ def minhash_lsh_pairs(
         .select(
             F.col("d1").alias("id_1"),
             F.col("d2").alias("id_2"),
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_lsh_cross_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    k: int = 2,
+    max_side: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the fuzzy-contamination
+    primitive: probe (e.g. the test split) × corpus (the train split)
+    candidates only, never within-side pairs.
+
+    Same pipeline shape as :func:`minhash_lsh_pairs` (shared banding via
+    :func:`_banded_keys`): one slim (doc, side, band, key) shuffle, pair
+    expansion inside each band bucket restricted to probe×corpus cross
+    products, exact-Jaccard verify on the pruned candidate set. A
+    within-side hot bucket (boilerplate in train) costs nothing here —
+    only the cross product counts, and ``max_side`` caps each side's
+    bucket list so an adversarial bucket is bounded at max_side² pairs.
+
+    Returns (probe_id, corpus_id, n_shared_bands, jaccard).
+    """
+    base = parallelize(
+        probe.select(
+            F.col(id_col).alias("doc"),
+            F.lit("p").alias("side"),
+            shingles(F.col(text_col), k).alias("sh"),
+        ).unionByName(
+            corpus.select(
+                F.col(id_col).alias("doc"),
+                F.lit("c").alias("side"),
+                shingles(F.col(text_col), k).alias("sh"),
+            )
+        )
+    )
+    banded = _banded_keys(base, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == "p", F.col("doc")))
+            ).alias("pd"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == "c", F.col("doc")))
+            ).alias("cd"),
+        )
+        .filter((F.size("pd") >= 1) & (F.size("cd") >= 1))
+    )
+    if max_side is not None:
+        buckets = buckets.filter(
+            (F.size("pd") <= max_side) & (F.size("cd") <= max_side)
+        )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("pd"),
+            lambda x: F.transform(
+                F.col("cd"),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    s1 = base.filter(F.col("side") == "p").select(
+        F.col("doc").alias("d1"), F.col("sh").alias("sh1")
+    )
+    s2 = base.filter(F.col("side") == "c").select(
+        F.col("doc").alias("d2"), F.col("sh").alias("sh2")
+    )
+    verified = cand.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("d1").alias("probe_id"),
+            F.col("d2").alias("corpus_id"),
             F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
             "jaccard",
         )

@@ -19,6 +19,7 @@ from parquet_importer_spark.suite import (  # noqa: F401
     llm_similarity,
     llm_sampling,
     analytics_tpch,
+    llm_retrieval,
     scans,
     sinks_suite,
     udf_suite,

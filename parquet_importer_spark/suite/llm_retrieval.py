@@ -1,0 +1,115 @@
+"""§2.J (build additions) — corpus retrieval / ranking: BM25 scoring
+over the documents table. The retrieval pass every data pipeline that
+mines a corpus for topical subsets (domain filtering, eval-set
+curation, targeted sampling) needs — expressed as pure aggregations
+and broadcast joins, no index service.
+
+Float contract: per-term BM25 components are identical expression
+trees on both engines (each a chain of single IEEE double ops over
+exact integers), the one ln() is rounded to 8 decimals before use, and
+the per-document sum accumulates in decimal — so the DuckDB oracle
+hash-matches exactly (same approach as llm_tfidf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.functions.text import tokens
+from parquet_importer_spark.io import parallelize, read_table
+from parquet_importer_spark.registry import query
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_QUERY_TERMS = ("spark", "join", "fast")
+_K1 = 1.2
+_B = 0.75
+
+
+@query(
+    "llm_index_bm25",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM t
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM ex WHERE term IN ('spark', 'join', 'fast')
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS total_dl
+      FROM t
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 8)
+               * ((tf.tf * ({_K1} + 1.0))
+                  / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * tf.dl
+                       / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+               AS term_score
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(term_score AS DECIMAL(30,8))) AS DOUBLE), 6)
+             AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def llm_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) top-20 documents for a 3-term query. Doc
+    length rides the explode (no second fact join); the term-df table
+    and the 1-row corpus stats broadcast; only the (doc, term) tf
+    aggregation shuffles. At 100 TB the tf/df tables come from the
+    materialized inverted index (llm_index_inverted) instead of a
+    corpus re-scan — the scoring join is unchanged."""
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = (
+        ex.filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks").cast("bigint")).cast("bigint").alias("total_dl"),
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        8,
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    tf_comp = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", (idf * tf_comp).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term_score").cast("decimal(30,8)")).cast("double"),
+                6,
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -369,3 +369,188 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy", F.col("copy").cast("bigint"))
     )
+
+
+# 2-gram shingles (distinct), DuckDB side — mirrors functions.text.shingles(k=2)
+_SH2 = (
+    "list_distinct(CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5('s9|' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    f" < '{_TRAIN_CUT}' THEN 'train' ELSE 'test' END"
+)
+
+
+@query(
+    "llm_contamination_near",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, split, {_SH2} AS grams FROM t),
+    sig AS (
+      SELECT doc_id, split, grams,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, split, grams, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+             COUNT(*) AS n_shared_bands,
+             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key
+      WHERE a.split = 'test' AND b.split = 'train'
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, corpus_id,
+           CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+           ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                 / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
+             AS jaccard
+    FROM cand
+    WHERE ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6) >= 0.1
+    """,
+)
+def llm_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/test contamination — near-duplicate eval leakage that
+    exact-fingerprint matching (llm_contamination) misses: MinHash-LSH
+    candidates restricted to test×train pairs, exact-Jaccard verified.
+    Within-side duplicates never expand (a boilerplate-heavy train
+    bucket costs nothing here), and the per-side bucket cap bounds any
+    adversarial bucket — see operators.dedup.minhash_lsh_cross_pairs.
+    Same deterministic seeded-md5 hash family as llm_dedup_near, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    from parquet_importer_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    d = d.withColumn(
+        "split", F.when(bucket < _TRAIN_CUT, "train").otherwise("test")
+    )
+    return minhash_lsh_cross_pairs(
+        d.filter(F.col("split") == "test"),
+        d.filter(F.col("split") == "train"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        jaccard_threshold=0.1,
+        k=2,
+    )
+
+
+@query(
+    "llm_contamination_bloom",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_SPLIT_CASE} AS split,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+      FROM documents
+    ),
+    bits AS (
+      SELECT DISTINCT
+             substr(md5('b' || CAST(j.j AS VARCHAR) || '|' || digest), 1, 4)
+               AS pos
+      FROM base, (SELECT unnest([0, 1, 2]) AS j) j
+      WHERE split = 'train'
+    ),
+    train_digests AS (
+      SELECT DISTINCT digest FROM base WHERE split = 'train'
+    ),
+    probe AS (
+      SELECT b.doc_id, b.source, b.digest,
+             SUM(CASE WHEN substr(md5('b' || CAST(j.j AS VARCHAR) || '|' ||
+                                      b.digest), 1, 4)
+                           IN (SELECT pos FROM bits)
+                      THEN 1 ELSE 0 END) AS n_hit
+      FROM base b, (SELECT unnest([0, 1, 2]) AS j) j
+      WHERE b.split = 'test'
+      GROUP BY b.doc_id, b.source, b.digest
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE p.n_hit = 3) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (WHERE p.digest IN
+                 (SELECT digest FROM train_digests)) AS BIGINT)
+             AS n_exact_hits,
+           CAST(COUNT(*) FILTER (WHERE p.n_hit = 3 AND p.digest NOT IN
+                 (SELECT digest FROM train_digests)) AS BIGINT)
+             AS n_false_positives
+    FROM probe p GROUP BY p.source ORDER BY p.source
+    """,
+)
+def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the broadcast-sized membership
+    structure for probing test docs against a train corpus too large to
+    shuffle-join per check: k=3 md5-derived positions in a 16-bit space
+    (4 hex chars — string positions, engine-portable), train side
+    reduced to the DISTINCT set-bit table (≤65536 rows regardless of
+    corpus size) and broadcast; a probe is a bloom hit iff all 3 of its
+    positions are set. The exact digest join runs alongside to account
+    false positives per source — at production scale you size m at
+    ~10 bits/element and only bloom-positive docs reach the (expensive)
+    exact verify, which is the point of the filter."""
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("digest"),
+    )
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda j: F.substring(
+            F.md5(
+                F.concat(F.lit("b"), j.cast("string"), F.lit("|"), F.col("digest"))
+            ),
+            1,
+            4,
+        ),
+    )
+    bits = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    train_digests = (
+        base.filter(F.col("split") == "train")
+        .select("digest")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    probe = (
+        base.filter(F.col("split") == "test")
+        .select("doc_id", "source", "digest", F.explode(positions).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "source", "digest")
+        .agg(F.count("bit_set").alias("n_hit"))
+        .join(F.broadcast(train_digests), "digest", "left")
+    )
+    bloom_hit = F.col("n_hit") == 3
+    exact_hit = F.col("in_train").isNotNull()
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count_if(bloom_hit).alias("n_bloom_hits"),
+            F.count_if(exact_hit).alias("n_exact_hits"),
+            F.count_if(bloom_hit & ~exact_hit).alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )
