@@ -469,3 +469,114 @@ def spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("box_id")
     )
+
+
+@query(
+    "sink_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error'  THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_id, op, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, event_id AS last_event_id, op AS last_op,
+           ROUND(value, 2) AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (Debezium-style compaction): the event stream
+    read as an I/U/D changelog keyed by user_id, last-writer-wins by
+    (ts, event_id), deletes drop the key from the final snapshot — the
+    MERGE a downstream table would apply, computed as one window pass.
+    At 100 TB this is exactly one shuffle on the key; the per-key
+    row_number keeps only arrays-free slim state. Tie-breaking on
+    event_id makes the result deterministic under equal timestamps."""
+    from pyspark.sql import Window
+
+    log = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sink_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ),
+    v AS (
+      SELECT user_id, event_id, ROUND(value, 2) AS attr_value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_epoch,
+             LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to_epoch
+      FROM log
+    )
+    SELECT user_id, event_id, attr_value, valid_from_epoch,
+           valid_to_epoch,
+           CASE WHEN valid_to_epoch IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM v ORDER BY user_id, valid_from_epoch, event_id
+    """,
+)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: every attribute
+    change (signup/purchase events as the change feed) becomes a
+    version row with [valid_from, valid_to) effective range and an
+    is_current flag — valid_to is the NEXT change's timestamp via
+    lead(), so the whole history derives from one key-partitioned
+    window over one shuffle, no self-join. This is the warehouse-ingest
+    dual of the reference's append-only importer (app.py:178-186):
+    same incoming rows, versioned instead of overwritten."""
+    from pyspark.sql import Window
+
+    log = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    return (
+        log.select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("attr_value"),
+            epoch.alias("valid_from_epoch"),
+            F.lead(epoch).over(w).alias("valid_to_epoch"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to_epoch").isNull(), 1).otherwise(0),
+        )
+        .orderBy("user_id", "valid_from_epoch", "event_id")
+    )
