@@ -53,6 +53,12 @@ HEADLINE = (
     "llm_dedup_span",
     "ts_sessionize",
     "llm_pipeline_e2e",
+    # round 3 additions: widest TPC-H join fan (8 tables), cross-corpus
+    # LSH contamination, BM25 ranking, CDC changelog compaction
+    "q8_market_share",
+    "llm_contamination_near",
+    "llm_index_bm25",
+    "sink_cdc_apply",
 )
 
 
