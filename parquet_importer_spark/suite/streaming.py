@@ -899,3 +899,88 @@ def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("total_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(30,8))) AS DOUBLE), 4)
+             AS attributed_value
+    FROM clicks c
+    JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <  c.click_ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine STREAM-STREAM interval join — the Structured Streaming
+    feature batch joins can't emulate: clicks and purchases arrive as
+    two independent streams, a purchase joins every click by the same
+    user in the preceding 30 minutes. Both sides carry watermarks, and
+    the time-interval condition is what lets Spark expire join state
+    (click rows older than the watermark minus 30min drop from the
+    state store) — unbounded-state joins don't pass the analyzer in
+    append mode. The availableNow drain makes the result batch-equal,
+    so the DuckDB oracle hash-checks a real two-stream run end-to-end;
+    the per-user attribution aggregate runs as a batch query over the
+    sink's output (the production shape: join stream → landing table →
+    downstream rollup)."""
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = as_stream_dir(table_path(sf_dir, "events"))
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                *([F.col("value")] if prefix == "p" else []),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"ssj2_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
