@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.functions.text import tokens
+from parquet_importer_spark.functions.vectors import oracle_cosine
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.registry import query
 
@@ -25,10 +26,9 @@ _QUERY_TERMS = ("spark", "join", "fast")
 _K1 = 1.2
 _B = 0.75
 
-
-@query(
-    "llm_index_bm25",
-    oracle=f"""
+#: shared BM25 pipeline CTEs ending in bm(doc_id, bm25) — used by both
+#: the ranking oracle and the rerank oracle
+_BM25_CTES = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     ex AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
@@ -55,11 +55,21 @@ _B = 0.75
                        / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
                AS term_score
       FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(term_score AS DECIMAL(30,8))) AS DOUBLE), 6)
+               AS bm25
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           ROUND(CAST(SUM(CAST(term_score AS DECIMAL(30,8))) AS DOUBLE), 6)
-             AS bm25
-    FROM scored GROUP BY doc_id
+"""
+
+
+@query(
+    "llm_index_bm25",
+    oracle=_BM25_CTES
+    + """
+    SELECT doc_id, bm25 FROM bm
     ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     """,
 )
@@ -70,6 +80,16 @@ def llm_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffles. At 100 TB the tf/df tables come from the
     materialized inverted index (llm_index_inverted) instead of a
     corpus re-scan — the scoring join is unchanged."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every doc matching ≥1 query term — the shared
+    first stage of llm_index_bm25 and llm_sim_rerank."""
     d = parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
@@ -110,6 +130,59 @@ def llm_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("bm25")
         )
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
+    )
+
+
+@query(
+    "llm_sim_rerank",
+    oracle=_BM25_CTES
+    + f"""
+    , cand AS (
+      SELECT doc_id, bm25 FROM bm
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    top1 AS (
+      SELECT doc_id FROM cand ORDER BY bm25 DESC, doc_id ASC LIMIT 1
+    ),
+    qv AS (
+      SELECT e.embedding AS qvec FROM embeddings e
+      WHERE e.vec_id = (SELECT doc_id FROM top1)
+    )
+    SELECT c.doc_id, c.bm25,
+           ROUND({oracle_cosine('e.embedding', 'qvec')}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.doc_id
+    CROSS JOIN qv
+    ORDER BY cos_sim DESC, c.doc_id ASC LIMIT 10
+    """,
+)
+def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production search shape: cheap lexical
+    recall (BM25 top-50) then semantic rerank (cosine against the top
+    BM25 hit's embedding, here standing in for an encoded query vector).
+    The candidate set and the 1-row query vector both broadcast, so the
+    rerank stage never shuffles the embedding corpus: at 100 TB stage 1
+    runs off the materialized inverted index and stage 2 touches
+    exactly |candidates| embedding rows via the broadcast semi-join."""
+    from parquet_importer_spark.functions.vectors import cosine
+
+    scores = _bm25_scores(spark, sf_dir)
+    cand = scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(50)
+    top1 = cand.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(1)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        F.broadcast(top1), emb.vec_id == top1.doc_id, "left_semi"
+    ).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
