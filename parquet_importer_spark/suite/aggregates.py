@@ -479,3 +479,86 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_winsorize",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = CAST(FLOOR(0.05 * (cnt - 1)) AS BIGINT) + 1
+                      THEN l_extendedprice END) AS p05,
+             MIN(CASE WHEN rn = CAST(FLOOR(0.95 * (cnt - 1)) AS BIGINT) + 1
+                      THEN l_extendedprice END) AS p95
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(b.p05, 2) AS p05,
+           ROUND(b.p95, 2) AS p95,
+           {oracle_exact_sum('l.l_extendedprice', 2)} AS raw_sum,
+           {oracle_exact_sum(
+               'GREATEST(b.p05, LEAST(b.p95, l.l_extendedprice))', 2)}
+             AS winsorized_sum
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    ORDER BY l.l_returnflag
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation — robust-stats outlier clipping: per-group
+    exact 5th/95th percentiles by rank selection (the value at sorted
+    position floor(p·(n-1)) — well-defined under ties, no
+    interpolation, so both engines agree bit-for-bit), then sums of the
+    clipped values next to the raw sums. One window sort per group +
+    a broadcast join-back of the 1-row-per-group bounds table. At
+    100 TB swap the exact rank selection for approx_percentile
+    thresholds (same clip expression, two narrow passes, no full
+    sort)."""
+    from pyspark.sql import Window
+
+    l = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wc = Window.partitionBy("l_returnflag")
+    r = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    def at(p: float):
+        idx = F.floor(F.lit(p) * (F.col("cnt") - 1)).cast("bigint") + 1
+        return F.min(
+            F.when(F.col("rn") == idx, F.col("l_extendedprice"))
+        )
+    bounds = r.groupBy("l_returnflag").agg(
+        at(0.05).alias("p05"), at(0.95).alias("p95")
+    )
+    clipped = F.greatest(
+        F.col("p05"), F.least(F.col("p95"), F.col("l_extendedprice"))
+    )
+    return (
+        l.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice", 2).alias("raw_sum"),
+            exact_sum(clipped, 2).alias("winsorized_sum"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.round("p05", 2).alias("p05"),
+            F.round("p95", 2).alias("p95"),
+            "raw_sum",
+            "winsorized_sum",
+        )
+        .orderBy("l_returnflag")
+    )
