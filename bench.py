@@ -135,6 +135,11 @@ def main() -> None:
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # the headline grows round-over-round (19 → 24 → 28 → 32 queries);
+        # compare value/n_queries or per-query timings across rounds, not
+        # raw totals
+        "n_queries": len(timings),
+        "sec_per_query": round(sum(timings.values()) / max(len(timings), 1), 3),
         "queries": timings,
         "sf": sf,
         "stage_tasks": partitions,
