@@ -341,3 +341,23 @@ def test_q21_exists_pair_single_fact_exchange(spark):
     join-back re-shuffle of the fact."""
     plan = plan_of(spark, "q21_waiting_suppliers")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:900]
+
+
+def test_rerank_broadcasts_candidates_no_corpus_shuffle(spark):
+    """llm_sim_rerank's second stage must broadcast the BM25 candidate
+    set and the query vector — the embedding corpus never hash-shuffles
+    for the rerank join."""
+    plan = plan_of(spark, "llm_sim_rerank")
+    assert "BroadcastHashJoin" in plan
+    # the only hashpartitioning exchanges belong to the BM25 tf/doc aggs
+    import re
+
+    exch = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert all(c.startswith(("doc_id", "term")) for c in exch), exch
+
+
+def test_bloom_bits_table_broadcasts(spark):
+    """The Bloom set-bit table and train-digest table must reach the
+    probe side as broadcasts, never a shuffled join."""
+    plan = plan_of(spark, "llm_contamination_bloom")
+    assert plan.count("BroadcastHashJoin") >= 2

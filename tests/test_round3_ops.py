@@ -83,3 +83,28 @@ def test_bm25_ranks_all_query_terms_highest(spark):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_cross_pairs_consistent_with_full_pairs(spark):
+    """On the same corpus, cross-corpus pairs must be EXACTLY the
+    within-corpus pairs that straddle the side boundary (same banding,
+    same threshold) — orientation normalized."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    probe = d.filter(F.col("doc_id") % 2 == 0)
+    corpus = d.filter(F.col("doc_id") % 2 == 1)
+    full = minhash_lsh_pairs(
+        d, "text", "doc_id", jaccard_threshold=0.1, k=2
+    ).collect()
+    cross = minhash_lsh_cross_pairs(
+        probe, corpus, "text", "doc_id", jaccard_threshold=0.1, k=2
+    ).collect()
+    want = {
+        tuple(sorted((r.id_1, r.id_2)))
+        for r in full
+        if (r.id_1 % 2) != (r.id_2 % 2)
+    }
+    got = {tuple(sorted((r.probe_id, r.corpus_id))) for r in cross}
+    assert got == want
