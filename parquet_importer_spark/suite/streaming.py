@@ -984,3 +984,103 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1
+                      THEN v END) AS med
+      FROM (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM daily
+      ) GROUP BY event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1
+                      THEN dev END) AS mad
+      FROM (
+        SELECT d.event_type, ABS(d.v - m.med) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY ABS(d.v - m.med)) AS rn,
+               COUNT(*) OVER (PARTITION BY d.event_type) AS cnt
+        FROM daily d JOIN med m USING (event_type)
+      ) GROUP BY event_type
+    )
+    SELECT d.event_type, d.day_epoch, d.v,
+           ROUND(m.med, 4) AS med, ROUND(a.mad, 4) AS mad
+    FROM daily d
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    WHERE ABS(d.v - m.med) > 3 * a.mad
+    ORDER BY d.event_type, d.day_epoch
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly detection: per-series daily totals,
+    exact median and median-absolute-deviation by rank selection (the
+    lower median — selection, not interpolation, so both engines agree
+    bit-for-bit on doubles), flag days where |x − med| > 3·MAD. The
+    heavy fact reduces to ~|series|×|days| rows FIRST; the two median
+    window sorts run on that tiny aggregate and share its event_type
+    partitioning — at 100 TB the daily rollup is the only full-data
+    pass (and ts_rollup_incremental shows how to maintain it)."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))))
+            .cast("bigint")
+            .alias("day_epoch"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("v")
+        )
+    )
+
+    def rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wc = Window.partitionBy("event_type")
+        idx = F.floor(F.lit(0.5) * (F.col("cnt") - 1)).cast("bigint") + 1
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("cnt"),
+            )
+            .groupBy("event_type")
+            .agg(F.min(F.when(F.col("rn") == idx, F.col(col))).alias(out))
+        )
+
+    med = rank_median(daily, "v", "med")
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    mad = rank_median(dev, "dev", "mad")
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day_epoch",
+            "v",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .orderBy("event_type", "day_epoch")
+    )
