@@ -381,3 +381,42 @@ def fn_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events
+    GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type — the
+    open-schema ingest path: ``parse_json`` builds the binary variant
+    ONCE per row, ``variant_get`` does typed path extraction without a
+    declared schema (vs from_json's fixed StructType in fn_map_json /
+    fn_json_agg). At 100 TB variants beat repeated string
+    get_json_object calls because the JSON parses once into a
+    binary-encoded form and every extraction is a cheap typed probe;
+    shredding into parquet columns is the documented next step."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+        .orderBy("k_bucket")
+    )

@@ -101,7 +101,7 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 182 and len(o) == 154
+    assert len(q) == 183 and len(o) == 155
 
 
 def test_regression_reenters_priority_tier(entry, tmp_path):
