@@ -104,6 +104,31 @@ def test_queries_and_oracles_consistent(entry):
     assert len(q) == 183 and len(o) == 155
 
 
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver keeps only the LAST 2000 chars of bench.py stdout and
+    JSON-parses them; rounds 2-3 lost the BENCH metric ("parsed": null)
+    when diagnostics grew the single output line past that window. The
+    compact result line — metric/value/unit/n_queries/sec_per_query/
+    queries/sf with a worst-case timing per headline query — must stay
+    comfortably inside the capture (<1800 chars leaves headroom)."""
+    import bench
+
+    worst = {
+        "metric": "headline_suite_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "n_queries": len(bench.HEADLINE),
+        "sec_per_query": 99999.999,
+        "queries": {qid: 99999.999 for qid in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    line = json.dumps(worst)
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} chars; trim the headline or "
+        "shorten query ids so the driver's 2000-char tail capture parses"
+    )
+
+
 def test_regression_reenters_priority_tier(entry, tmp_path):
     """A once-green key whose LATEST row errors or hash-mismatches must
     move back into the errored (re-verify) set — the rotation must not
