@@ -231,7 +231,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey, ROUND(CAST(v AS DOUBLE), 4) AS part_value
     FROM val
-    WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+    WHERE v > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM val)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,8 +239,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the regional total. The scalar subquery decorrelates to
     a 1-row aggregate of the SAME grouped frame, re-joined by broadcast
     cross join (Spark plans a BroadcastNestedLoopJoin over one row — no
-    driver collect). The threshold comparison stays in exact decimal on
-    both engines; doubles appear only in the final projection."""
+    driver collect). Per-part values accumulate in exact decimal on both
+    engines; the 0.001 threshold is then derived identically on both
+    sides as CAST(exact_sum AS DOUBLE) * 0.001, so the boundary
+    comparison is double-vs-decimal with bit-identical thresholds
+    (Spark's decimal*double promotion would otherwise diverge from
+    DuckDB's decimal-literal arithmetic on boundary rows)."""
     l = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
@@ -258,7 +262,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
-    total = val.agg((F.sum("v") * F.lit(0.001)).alias("threshold"))
+    total = val.agg(
+        (F.sum("v").cast("double") * F.lit(0.001)).alias("threshold")
+    )
     return (
         val.join(F.broadcast(total))
         .filter(F.col("v") > F.col("threshold"))

@@ -403,12 +403,19 @@ _SPLIT_CASE = (
              sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
       FROM sig, (SELECT unnest(range(0, 4)) AS band) b
     ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key
+      HAVING COUNT(*) FILTER (WHERE split = 'test') BETWEEN 1 AND 10000
+         AND COUNT(*) FILTER (WHERE split = 'train') BETWEEN 1 AND 10000
+    ),
     cand AS (
       SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
              COUNT(*) AS n_shared_bands,
              ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key
+      FROM banded a
+      JOIN ok o   ON a.band = o.band AND a.key = o.key
+      JOIN banded b ON a.band = b.band AND a.key = b.key
       WHERE a.split = 'test' AND b.split = 'train'
       GROUP BY 1, 2
     )
@@ -430,7 +437,9 @@ def llm_contamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket costs nothing here), and the per-side bucket cap bounds any
     adversarial bucket — see operators.dedup.minhash_lsh_cross_pairs.
     Same deterministic seeded-md5 hash family as llm_dedup_near, so the
-    DuckDB oracle reproduces it bit-for-bit."""
+    DuckDB oracle reproduces it bit-for-bit — INCLUDING the max_side
+    bucket cap (the oracle's ok CTE), so Spark and DuckDB agree even on
+    a pathological corpus where a bucket overflows the cap."""
     from parquet_importer_spark.operators.dedup import minhash_lsh_cross_pairs
 
     d = read_table(spark, sf_dir, "documents")

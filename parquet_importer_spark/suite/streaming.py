@@ -942,6 +942,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # Same fixture hazard as stream_watermark_run above: events.ts has
+    # shipped as TIMESTAMP(NANOS) (surfaced as a nano-epoch long under
+    # nanosAsLong) in some rounds — an unconditional cast('timestamp')
+    # would then read the long as epoch SECONDS and silently shift every
+    # join window. Probe and convert the long form explicitly.
+    ts_is_long = schema["ts"].dataType.typeName() in ("long", "bigint")
+    ts_expr = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
     src = as_stream_dir(table_path(sf_dir, "events"))
 
     def side(event_type: str, prefix: str):
@@ -952,7 +963,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                ts_expr.alias(f"{prefix}_ts"),
                 *([F.col("value")] if prefix == "p" else []),
             )
             .withWatermark(f"{prefix}_ts", "1 hour")
