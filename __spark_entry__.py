@@ -32,6 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-rotates automatically.
 _SENTINEL = "flagship_pricing_summary"
 
+# Operators added in round 4. Backlog keys from earlier rounds must
+# clear the window before brand-new ones: a new key would otherwise
+# enter the never-verified-with-oracle tier ahead of the rows-only
+# stragglers and push them past slot 50 for yet another round. Deferred
+# keys slot BETWEEN the never-verified backlog and the already-verified
+# tail — with 37 backlog slots occupied this round, up to 13 of these
+# still land inside the window. Once a deferred key gets a green driver
+# row it graduates to the verified tail like any other; the set only
+# matters while its members are unverified.
+_DEFER_NEW = frozenset({
+    "join_bloom_prefilter",
+    "agg_count_min",
+    "win_concurrent_intervals",
+    "fn_url_extract",
+    "llm_dedup_cc_bigstar",
+    "llm_dedup_weights",
+    "llm_contamination_ngram",
+    "llm_oov_rate",
+    "llm_sample_capped",
+    "llm_chunk_overlap",
+    "llm_embed_centroid_dist",
+})
+
 
 def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
     """(verified, errored) query keys across all CORRECTNESS_r*.json.
@@ -80,11 +103,11 @@ def _driver_order() -> list[str]:
     def tier(name: str) -> int:
         if name == _SENTINEL or name in errored:
             return 0
-        if name not in verified and name in ORACLES:
-            return 1
-        if name not in verified:
-            return 2
-        return 3
+        if name in verified:
+            return 4
+        if name in _DEFER_NEW:
+            return 3
+        return 1 if name in ORACLES else 2
 
     names = list(QUERIES)
     return sorted(names, key=lambda n: (tier(n), names.index(n)))

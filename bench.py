@@ -59,6 +59,11 @@ HEADLINE = (
     "llm_contamination_near",
     "llm_index_bm25",
     "sink_cdc_apply",
+    # round 4 additions: O(log n) connected components, bloom-prefiltered
+    # fact join, n-gram-level decontamination
+    "llm_dedup_cc_bigstar",
+    "join_bloom_prefilter",
+    "llm_contamination_ngram",
 )
 
 

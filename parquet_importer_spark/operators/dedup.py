@@ -451,6 +451,108 @@ def connected_components(
     return labels
 
 
+def connected_components_twophase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round alternative to
+    :func:`connected_components`' naive min-label propagation, whose
+    round count is the component DIAMETER. On dup-cluster graphs
+    (near-star-shaped) both finish in a handful of rounds; on a
+    pathological chain (each doc near-dups only its neighbor) the
+    naive loop needs n rounds while this needs ~log n — the variant
+    SURVEY §8 prescribes for 100-TB corpora.
+
+    Same contract as :func:`connected_components`: ``nodes`` has one
+    column ``node``, ``edges`` has ``src, dst`` (one direction),
+    returns ``(node, lab)`` with ``lab`` = the component's minimum node
+    id. Per round: two groupBy-min shuffles on slim (u, v) pairs plus
+    one scalar convergence action; ``localCheckpoint`` truncates
+    lineage exactly like the naive loop.
+
+    Round semantics on the symmetrized neighbor sets Γ(u):
+
+    - large-star: every strictly-larger neighbor of u re-links to
+      m(u) = min(Γ(u) ∪ {u}) — long chains contract toward small ids.
+    - small-star: u and its ≤-neighbors (minus m) re-link to m(u) —
+      flattens the remaining 2-level trees into stars.
+
+    The edge multiset only shrinks in (count, endpoint-sum) potential;
+    a round that leaves both unchanged is the fixpoint (stars centered
+    at component minima), confirmed by one extra pass like the naive
+    loop's convergence check.
+    """
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        nbr = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        joined = nbr.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = (
+                joined.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(joined.select("u", F.col("m").alias("v")))
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    converged = False
+    for _ in range(max_iter + 1):
+        e = star_round(star_round(e, large=True), large=False)
+        stat = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+        ).first()
+        cur = (stat["n"], stat["s"])
+        if prev is not None and cur == prev:
+            # (count, endpoint-sum) stability could in principle alias
+            # two different edge sets; confirm the fixpoint structurally
+            # — a true star forest never reuses a root (v) as a member
+            # (u). One tiny join, only on the rare stable round.
+            non_star = (
+                e.select(F.col("v").alias("x"))
+                .distinct()
+                .join(e.select(F.col("u").alias("x")).distinct(), "x")
+                .count()
+            )
+            if non_star == 0:
+                converged = True
+                break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge within "
+            f"max_iter={max_iter} rounds (edge potential still decreasing)"
+        )
+    # at the fixpoint every edge is (member, component_min); the min
+    # guards a 2-level leftover in case count+sum aliased a non-star
+    labels = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("lab"))
+    return (
+        nodes.select("node")
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("lab", F.col("node")).alias("lab"))
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",

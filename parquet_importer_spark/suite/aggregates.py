@@ -562,3 +562,89 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_count_min",
+    oracle="""
+    WITH cells AS (
+      SELECT r.r AS r,
+             substr(md5('cm' || CAST(r.r AS VARCHAR) || '|'
+                        || CAST(user_id AS VARCHAR)), 1, 2) AS b,
+             COUNT(*) AS cnt
+      FROM events, (SELECT unnest(range(0, 4)) AS r) r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT user_id, r.r AS r,
+             substr(md5('cm' || CAST(r.r AS VARCHAR) || '|'
+                        || CAST(user_id AS VARCHAR)), 1, 2) AS b
+      FROM events, (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS est_count
+      FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+      GROUP BY p.user_id
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(t.true_count AS BIGINT) AS true_count
+    FROM est e JOIN truth t ON e.user_id = t.user_id
+    ORDER BY est_count DESC, e.user_id ASC
+    LIMIT 10
+    """,
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: 4 hash rows × 256 buckets (md5
+    hex-prefix bucketing, engine-portable), per-key estimate = min over
+    rows of its bucket's count, reported against the exact count for
+    the top-10 estimated users.
+
+    Why a sketch at all: the (r, bucket) cell grid is FIXED-SIZE
+    (4×256 here, 4×2^20 in production) and mergeable — partial
+    aggregation reduces each input split to ≤1024 cells before the
+    shuffle, so sketching 100 TB of keys costs one map-combinable
+    pass regardless of key cardinality, and sketches from different
+    days/shards union by cell-wise addition. The estimate probe reuses
+    the same md5 family, so DuckDB reproduces every cell and estimate
+    exactly (CMS is deterministic for fixed hashes — only its ERROR is
+    probabilistic, and the true_count column exposes exactly that
+    overestimate)."""
+    ev = read_table(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(r) for r in range(4)])
+    keyed = ev.select("user_id", F.explode(rows).alias("r")).select(
+        "user_id",
+        "r",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ).alias("b"),
+    )
+    cells = keyed.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = keyed.select("user_id", "r", "b").distinct()
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(10)
+    )

@@ -420,3 +420,49 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "fn_url_extract",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the crawl-pipeline field extractor (domain
+    for per-site caps, path for boilerplate rules, query params for
+    tracking-stripping). Spark side uses the built-in parse_url
+    (codegen, JVM-side); the oracle reproduces each component with
+    regexes. URLs are synthesized deterministically from table columns
+    so both engines parse identical inputs."""
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )

@@ -335,3 +335,73 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_name").alias("c_name"),
         F.col("b.edit_dist").alias("edit_dist"),
     ).orderBy("probe")
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,8))) AS DOUBLE), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 480000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact join — the runtime-filter pattern for a
+    selective dimension against a fact too big to shuffle un-pruned:
+    the filtered orders keys (~3% pass the price predicate) compress to
+    a k=3 / 16-bit md5 Bloom bit table (≤65536 distinct position
+    strings regardless of key count) that BROADCASTS to the lineitem
+    scan; three broadcast left-semi probes drop ~97% of fact rows with
+    zero row expansion and zero fact shuffle BEFORE the exact join.
+    False positives don't matter — the exact join behind the filter
+    removes them, so the result (and the oracle) is the plain
+    join+aggregate, and the bloom stage is pure plumbing the optimizer
+    can't see through. This is the manual form of Spark's runtime
+    bloom-filter join (spark.sql.optimizer.runtime.bloomFilter), kept
+    explicit so the plan shape is pinned and testable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 480000
+    )
+
+    def bit_pos(key, j):
+        return F.substring(
+            F.md5(
+                F.concat(F.lit(f"bf{j}|"), key.cast("string"))
+            ),
+            1,
+            4,
+        )
+
+    pre = li
+    for j in range(3):
+        bits = (
+            o.select(bit_pos(F.col("o_orderkey"), j).alias("pos")).distinct()
+        )
+        pre = (
+            pre.withColumn("_pos", bit_pos(F.col("l_orderkey"), j))
+            .join(F.broadcast(bits), F.col("_pos") == bits.pos, "left_semi")
+            .drop("_pos")
+        )
+    return (
+        pre.join(
+            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+            pre.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,8)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )

@@ -442,3 +442,91 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", "cluster_size", "quality")
     )
+
+
+@query(
+    "llm_dedup_cc_bigstar",
+    oracle=rf"""
+    WITH RECURSIVE
+{_CLUSTER_CTE}
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def llm_dedup_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment via alternating large-star/small-star rounds
+    (operators.dedup.connected_components_twophase) — the O(log n)
+    formulation SURVEY §8 prescribes for 100-TB corpora, where naive
+    min-label propagation's round count equals the component diameter.
+    Same edge construction and the same recursive-CTE oracle as
+    llm_dedup_clusters: both algorithms must land on the identical
+    min-id labeling, and the driver hash-checks each independently."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import doc_fingerprint
+    from parquet_importer_spark.operators.dedup import (
+        connected_components_twophase,
+    )
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        normalized_text_hash(F.col("text")).alias("h1"),
+        doc_fingerprint(F.col("text"), 3).alias("h2"),
+    ).localCheckpoint()
+    edges = None
+    for h in ("h1", "h2"):
+        grp_min = F.min("doc_id").over(Window.partitionBy(h))
+        e = base.select(
+            grp_min.alias("src"), F.col("doc_id").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        edges = e if edges is None else edges.union(e)
+    nodes = base.select(F.col("doc_id").alias("node"))
+    comp = connected_components_twophase(nodes, edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .alias("cluster_size"),
+    )
+
+
+@query(
+    "llm_dedup_weights",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             COUNT(*) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                               '\s+', ' ', 'g'))
+             ) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           ROUND(1.0 / n_copies, 6) AS weight
+    FROM g
+    """,
+)
+def llm_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, every document gets
+    sampling weight 1/n_copies of its exact-duplicate group (the
+    D4/SoftDeDup-style down-weighting used when pipelines keep dups but
+    de-emphasize them at training time). One window count over the
+    normalized-text hash partitioning — same single shuffle as the
+    hard-dedup groupBy, so choosing soft over hard dedup is free at any
+    scale."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy(
+            F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_copies"),
+        F.round(F.lit(1.0) / n, 6).alias("weight"),
+    )

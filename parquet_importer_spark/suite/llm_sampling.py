@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_importer_spark.functions.text import md5_bucket
+from parquet_importer_spark.functions.text import md5_bucket, tokens
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.registry import query
 
@@ -562,4 +562,265 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(bloom_hit & ~exact_hit).alias("n_false_positives"),
         )
         .orderBy("source")
+    )
+
+
+# 5-gram shingles (distinct), DuckDB side — n-gram-level decontamination
+_SH5 = (
+    "list_distinct(CASE WHEN len(toks) >= 5 THEN "
+    "list_transform(range(1, greatest(len(toks) - 4, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' "
+    "|| toks[i+3] || ' ' || toks[i+4]) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+@query(
+    "llm_contamination_ngram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split, {_TOKS} AS toks FROM documents
+    ),
+    g AS (SELECT doc_id, split, {_SH5} AS grams FROM t),
+    tr AS (
+      SELECT DISTINCT md5(unnest(grams)) AS gh FROM g WHERE split = 'train'
+    ),
+    te AS (
+      SELECT doc_id, md5(unnest(grams)) AS gh FROM g WHERE split = 'test'
+    ),
+    hits AS (
+      SELECT te.doc_id, COUNT(*) AS n_grams, COUNT(tr.gh) AS n_hit
+      FROM te LEFT JOIN tr ON te.gh = tr.gh
+      GROUP BY te.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_grams, 6) AS overlap_rate
+    FROM hits
+    """,
+)
+def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM-level decontamination stats (the PaLM/GPT-4-style check):
+    for every test document, the fraction of its distinct 5-gram
+    shingles that occur anywhere in the train split. Catches partial
+    overlap — a test doc quoting a train paragraph — that whole-doc
+    exact (llm_contamination) and MinHash (llm_contamination_near)
+    both miss or only score coarsely.
+
+    Scale shape: the corpus is shingled ONCE into slim (doc, split,
+    md5(gram)) rows — the 32-hex digest crosses the wire, never the
+    gram text — and a single exchange on the digest serves both sides:
+    a window max over the digest partitioning marks every gram with at
+    least one train occurrence (a separate distinct-train + join would
+    run the shingle pipeline twice, once per branch — measured 1.7×
+    slower at sf0.1), then the per-doc rollup partial-aggregates. No
+    driver collect."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.text import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    g = d.select(
+        "doc_id",
+        F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
+        shingles(F.col("text"), 5).alias("grams"),
+    )
+    ex = g.select(
+        "doc_id", "split", F.explode("grams").alias("gram")
+    ).select("doc_id", "split", F.md5("gram").alias("gh"))
+    in_train = F.max(F.when(F.col("split") == "train", F.lit(1))).over(
+        Window.partitionBy("gh")
+    )
+    return (
+        ex.withColumn("hit", in_train)
+        .filter(F.col("split") == "test")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_rate"),
+        )
+    )
+
+
+@query(
+    "llm_oov_rate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split, {_TOKS} AS toks FROM documents
+    ),
+    ex AS (SELECT doc_id, split, unnest(toks) AS tok FROM t),
+    vocab AS (
+      SELECT tok FROM ex WHERE split = 'train'
+      GROUP BY tok HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT ex.doc_id, COUNT(*) AS n_tok,
+             COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+      FROM ex LEFT JOIN vocab v ON ex.tok = v.tok
+      WHERE ex.split = 'test'
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           ROUND(CAST(n_oov AS DOUBLE) / n_tok, 6) AS oov_rate
+    FROM scored
+    """,
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage quality score: build a vocabulary from the
+    train split (tokens with total frequency ≥ 3), then score every
+    test document by its out-of-vocabulary token rate — the integer-
+    arithmetic core of CCNet-style LM quality filtering (a full LM
+    perplexity needs log-prob sums, which are not bit-portable across
+    engines; OOV rate keeps the decision signal and stays exact).
+
+    Scale shape: vocabulary build is one map-combinable aggregation on
+    the token; scoring is a token-level hash join against the vocab
+    (broadcastable when the vocab fits, shuffle join otherwise — left
+    to AQE), then a per-doc rollup with partial aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    ex = d.select(
+        "doc_id",
+        F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    vocab = (
+        ex.filter(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .select("tok")
+    )
+    return (
+        ex.filter(F.col("split") == "test")
+        .join(vocab.withColumn("in_vocab", F.lit(1)), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            (F.count(F.lit(1)) - F.count("in_vocab"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tok"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "llm_sample_capped",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('s13|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def llm_sample_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — 'at most k docs per domain', the
+    standard defense against a single crawled site dominating the mix.
+    Ranking by a seeded hash of the id (not by id order) makes the kept
+    subset a uniform sample of each source, deterministic under
+    reprocessing; ROW_NUMBER over the source partitioning is one
+    shuffle, and a skewed giant source costs only its own partition's
+    sort. DuckDB reproduces the identical ranking from the identical
+    md5 keys."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("s13|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select(
+            "source", "doc_id", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+             END AS n_chunks
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, i.i AS chunk_idx,
+             list_slice(toks, i.i * 24 + 1, i.i * 24 + 32) AS chunk
+      FROM n, LATERAL (
+        SELECT unnest(generate_series(0, n_chunks - 1)) AS i
+      ) i
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM ch
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking — the sequence-prep step
+    between cleaning and packing: each document's token stream splits
+    into windows of 32 tokens with stride 24 (8-token overlap), so no
+    span is lost at a chunk boundary. Emits (doc_id, chunk_idx,
+    chunk_tokens, chunk_hash); the hash stands in for the chunk text
+    (the driver compares compact digests, and at 100 TB the digest is
+    what you'd shuffle to downstream dedup anyway).
+
+    Plan shape: chunk starts are computed INSIDE array expressions
+    (sequence → transform → posexplode) — pure codegen 1→N fan-out on
+    the map side, no shuffle at all, and the fan-out factor is
+    n_tokens/stride, bounded per row."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 32, F.lit(1)).otherwise(
+        (F.ceil((n - 32) / F.lit(24.0)) + 1).cast("int")
+    )
+    base = d.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    return (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.slice(F.col("toks"), i * 24 + 1, 32),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("chunk").cast("bigint").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        )
     )

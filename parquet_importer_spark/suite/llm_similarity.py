@@ -362,3 +362,80 @@ def llm_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("qid", "rnk", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "llm_embed_centroid_dist",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i.i AS pos,
+             CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL (
+        SELECT unnest(range(1, len(embedding) + 1)) AS i
+      ) i
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(round(x, 6) AS DECIMAL(30,8)))
+                        AS DOUBLE), 6) / COUNT(*) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_sum(list_transform(list_zip(e.embedding, v.centroid),
+             p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2]))), 6) AS dist2
+    FROM embeddings e JOIN cvec v ON e.label = v.label
+    """,
+)
+def llm_embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring: squared L2 distance of every
+    vector to its LABEL's centroid — the distance-to-class-center
+    signal curation pipelines threshold to drop mislabeled/garbage
+    samples before training.
+
+    Bit-portability: the centroid's cross-ROW mean is order-dependent
+    in doubles, so components quantize to the 6-dp grid, accumulate in
+    exact decimal, snap back to the grid, then one IEEE division —
+    identical on both engines (the registry exact_avg recipe applied
+    per dimension). The per-vector distance is then a position-ORDERED
+    fold like every other vector op here.
+
+    Scale shape: explode to (label, pos, x) rows → partial-aggregated
+    groupBy — the classic mergeable element-wise mean, no single
+    reducer sees a whole class; centroids (n_labels × dim rows →
+    n_labels arrays) broadcast back to the un-shuffled corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "label",
+        F.col("pos0"),
+        F.round(F.col("xf").cast("double"), 6).alias("xq"),
+    )
+    cent = ex.groupBy("label", "pos0").agg(
+        (
+            F.round(F.sum(F.col("xq").cast("decimal(30,8)")).cast("double"), 6)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return emb.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("dist2"),
+    )

@@ -324,3 +324,74 @@ def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", "v", F.round(z, 4).alias("zscore")
     )
+
+
+@query(
+    "win_concurrent_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS ts, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS ts, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (
+               PARTITION BY event_type
+               ORDER BY ts, delta, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS n_active
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(n_active) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type
+    """,
+)
+def win_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics: each event opens a 5-minute activity
+    interval; peak concurrency per event type via the classic
+    boundary-sweep — +1 at interval start, −1 at end, running sum over
+    the time-ordered boundaries, max of the running sum. Ends sort
+    before starts at the same instant (delta ascending), so touching
+    intervals never double-count; event_id makes the order total and
+    both engines' running sums row-identical.
+
+    Scale shape: ONE shuffle on event_type (the window partitioning),
+    then a per-partition sort — the sweep never materializes pairwise
+    overlaps (the naive self-join is O(n²) per hot window). A global
+    (partition-less) concurrency curve at 100 TB would instead bucket
+    boundaries by coarse time range, sweep per bucket, and prefix-sum
+    the per-bucket net deltas — same primitive, two passes."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("ts"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("e").alias("ts"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("n_active"))
+    return run.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+        F.max("n_active").cast("bigint").alias("peak_concurrency"),
+    )

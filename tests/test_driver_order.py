@@ -101,7 +101,36 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 183 and len(o) == 155
+    assert len(q) == 194 and len(o) == 166
+
+
+def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
+    """A key listed in _DEFER_NEW must sort AFTER every never-verified
+    backlog key (oracle or rows-only) and BEFORE the verified tail —
+    new additions must not push the pre-existing backlog out of the
+    driver's 50-slot window."""
+    from parquet_importer_spark.suite import ORACLES, QUERIES
+
+    verified, _ = entry._driver_history()
+    backlog = [k for k in QUERIES if k not in verified and k != entry._SENTINEL]
+    deferred = {k for k in backlog if k in entry._DEFER_NEW}
+    if not deferred:
+        pytest.skip("no deferred keys this round")
+    order = entry._driver_order()
+    pos = {k: i for i, k in enumerate(order)}
+    last_backlog = max(
+        pos[k] for k in backlog if k not in deferred
+    )
+    first_verified = min(
+        (pos[k] for k in order if k in verified and k != entry._SENTINEL),
+        default=len(order),
+    )
+    for k in deferred:
+        assert last_backlog < pos[k] < first_verified, (
+            f"deferred key {k} at {pos[k]} must sit between the backlog "
+            f"(ends {last_backlog}) and the verified tail "
+            f"(starts {first_verified})"
+        )
 
 
 def test_bench_stdout_line_fits_driver_capture():

@@ -361,3 +361,45 @@ def test_bloom_bits_table_broadcasts(spark):
     probe side as broadcasts, never a shuffled join."""
     plan = plan_of(spark, "llm_contamination_bloom")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bloom_prefilter_probes_broadcast(spark):
+    """join_bloom_prefilter's three bit-table probes must be broadcast
+    left-semi hash joins (zero fact shuffle, zero row expansion before
+    the exact join) — a shuffled semi join would defeat the pattern."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    semis = plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "LeftSemi" in plan
+    assert semis >= 4, (
+        "expected 3 broadcast semi probes + 1 broadcast exact join, "
+        f"found {semis} broadcast joins"
+    )
+    assert "SortMergeJoin" not in plan, "fact side must never shuffle"
+
+
+def test_chunk_overlap_has_no_shuffle(spark):
+    """llm_chunk_overlap is a pure map-side 1→N fan-out: chunk starts
+    are array expressions, the explode is a Generate — any Exchange
+    means the chunker would reshuffle 100 TB for nothing."""
+    plan = plan_of(spark, "llm_chunk_overlap")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_centroid_dist_broadcasts_centroids(spark):
+    """llm_embed_centroid_dist: the n_labels-row centroid table joins
+    back by broadcast — the corpus itself must not shuffle — and the
+    per-dimension mean combines map-side before its exchange."""
+    plan = plan_of(spark, "llm_embed_centroid_dist")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_count_min_cells_broadcast(spark):
+    """agg_count_min: the ≤1024-cell sketch grid broadcasts into the
+    probe join; the top-10 avoids a global sort."""
+    plan = plan_of(spark, "agg_count_min")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

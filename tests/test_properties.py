@@ -156,6 +156,54 @@ def test_connected_components_invariants(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_twophase_cc_matches_naive_on_deep_chain(spark):
+    """large-star/small-star must label a DIAMETER-63 path graph — the
+    adversarial case where naive min-label propagation needs 63 rounds
+    — within its default round budget, and must agree with the naive
+    algorithm on a mixed graph (chain + star + triangle + singleton)."""
+    from parquet_importer_spark.operators.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    chain_nodes = spark.createDataFrame(
+        [(i,) for i in range(64)], "node long"
+    )
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    got = {
+        r.node: r.lab
+        for r in connected_components_twophase(
+            chain_nodes, chain_edges, max_iter=10
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+    mixed_nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 22, 30)],
+        "node long",
+    )
+    mixed_edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1),       # reversed chain
+         (10, 11), (10, 12),                    # star
+         (20, 21), (21, 22), (22, 20)],         # triangle
+        "src long, dst long",
+    )
+    naive = {
+        r.node: r.lab
+        for r in connected_components(mixed_nodes, mixed_edges).collect()
+    }
+    twophase = {
+        r.node: r.lab
+        for r in connected_components_twophase(
+            mixed_nodes, mixed_edges
+        ).collect()
+    }
+    assert naive == twophase
+    assert twophase[30] == 30  # singleton labels itself
+
+
 def test_dedup_clusters_partition_docs(spark, sf_dir):
     """llm_dedup_clusters: every doc appears exactly once; identical
     normalized text ⇒ same cluster; cluster_id is the cluster min."""
