@@ -53,6 +53,8 @@ _DEFER_NEW = frozenset({
     "llm_sample_capped",
     "llm_chunk_overlap",
     "llm_embed_centroid_dist",
+    "join_point_in_time",
+    "llm_dedup_url",
 })
 
 

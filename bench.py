@@ -149,7 +149,10 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        # names only in the compact line — full messages would blow the
+        # length budget right when the driver most needs a parseable
+        # metric; the messages go to the stderr detail record below
+        out["failed"] = sorted(errors)
     # Stage-level diagnostics go to STDERR: the driver captures only the
     # last 2000 chars of stdout and JSON-parses them, and stage_tasks/
     # serial_plans grew the round-2/3 stdout line past that window
@@ -157,6 +160,7 @@ def main() -> None:
     # compact result JSON alone; tests/test_driver_order.py pins its
     # length under 1800 chars for the current headline.
     detail = {
+        "errors": errors,
         "stage_tasks": partitions,
         "serial_plans": sorted(
             q for q, p in partitions.items() if p["max"] <= 1

@@ -398,10 +398,11 @@ def connected_components(
     sum (one tiny action per round). ``localCheckpoint`` truncates the
     lineage so round N's plan does not re-execute rounds 1..N-1 — the
     standard Spark iterative-algorithm guard. At 100 TB swap the naive
-    propagation for the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce") — same driver-loop skeleton,
-    provably O(log n) rounds on high-diameter graphs; dup-cluster
-    graphs are near-star-shaped, so diameter stays small in practice.
+    propagation for :func:`connected_components_twophase` (the
+    large-star/small-star variant below, same ``(node, lab)`` contract)
+    — provably O(log n) rounds on high-diameter graphs; dup-cluster
+    graphs are near-star-shaped, so diameter stays small in practice
+    and the naive loop's single shuffle per round wins there.
 
     ``init`` (optional ``node, lab`` frame) seeds the labels: any lab
     that is (a) ≤ its node's id and (b) the id of a node in the same

@@ -405,3 +405,96 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c.c_custkey, v.v AS version,
+             c.c_mktsegment || '_v' || CAST(v.v AS VARCHAR) AS segment_at,
+             CASE v.v WHEN 0 THEN TIMESTAMP '1990-01-01'
+                      WHEN 1 THEN TIMESTAMP '1997-01-01'
+                      ELSE TIMESTAMP '1999-01-01' END AS valid_from,
+             CASE v.v WHEN 0 THEN TIMESTAMP '1997-01-01'
+                      WHEN 1 THEN TIMESTAMP '1999-01-01'
+                      ELSE TIMESTAMP '9999-12-31' END AS valid_to
+      FROM customer c, (SELECT unnest(range(0, 3)) AS v) v
+    )
+    SELECT d.version, d.segment_at,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8)))
+                      AS DOUBLE), 4) AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate <  d.valid_to
+    GROUP BY d.version, d.segment_at
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the SCD2 companion to
+    sink_scd2_history: every fact row joins the dimension VERSION that
+    was valid at the fact's own timestamp, the correctness rule that
+    makes slowly-changing attributes reproducible in backfills (a plain
+    equi join against current-state attributes silently rewrites
+    history). Versions here are synthesized deterministically (three
+    global validity windows per customer) so the oracle reproduces the
+    exact dimension.
+
+    Scale shape: the versioned dimension is |dim| × n_versions — still
+    dimension-sized — and BROADCASTS; the interval predicate rides the
+    broadcast hash join on the equi key (each fact row probes its
+    customer's 3 versions and keeps exactly one), so the fact never
+    shuffles and no range-join explosion occurs. As-of joins
+    (operators/joins.asof_join) cover the sortable-stream variant; this
+    is the warehouse-dimension variant."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    bounds = [
+        ("1990-01-01", "1997-01-01"),
+        ("1997-01-01", "1999-01-01"),
+        ("1999-01-01", "9999-12-31"),
+    ]
+    versions = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("version"),
+                F.lit(lo).cast("timestamp").alias("valid_from"),
+                F.lit(hi).cast("timestamp").alias("valid_to"),
+            )
+            for v, (lo, hi) in enumerate(bounds)
+        ]
+    )
+    dim = (
+        c.select("c_custkey", "c_mktsegment", F.explode(versions).alias("v"))
+        .select(
+            "c_custkey",
+            F.col("v.version").alias("version"),
+            F.concat(
+                F.col("c_mktsegment"),
+                F.lit("_v"),
+                F.col("v.version").cast("string"),
+            ).alias("segment_at"),
+            F.col("v.valid_from"),
+            F.col("v.valid_to"),
+        )
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o.o_custkey == dim.c_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate < dim.valid_to),
+        )
+        .groupBy("version", "segment_at")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+        )
+    )

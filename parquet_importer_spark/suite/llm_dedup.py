@@ -530,3 +530,98 @@ def llm_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_copies"),
         F.round(F.lit(1.0) / n, 6).alias("weight"),
     )
+
+
+@query(
+    "llm_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('u1|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'https://WWW.' ELSE 'https://' END
+               || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN substr(md5('u2|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                            < '8'
+                       THEN '/?utm_source=feed&utm_campaign=x&lang=' || lang
+                       ELSE '?lang=' || lang || '&ref=tw' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(url, '^[a-z]+://(?:www\\.)?([^?#]*)',
+                                          1)),
+                     '/$', ''),
+                   '$', '?' || regexp_extract(url, '\\?(.*)$', 1)),
+                 '(utm_[a-z]+|ref)=[^&]*(&|$)', '', 'g'),
+               '[?&]+$', '') AS canonical
+      FROM raw
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS canonical_doc
+    FROM canon GROUP BY canonical
+    """,
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier pass that runs
+    BEFORE any content fetch: lowercase, strip the www. prefix and the
+    scheme, drop tracking params (utm_*, ref), trim trailing slashes
+    and dangling separators, then group by the canonical form. Messy
+    variants are synthesized deterministically (md5-chosen www/tracking
+    decorations over the same logical URL) so both engines canonicalize
+    identical inputs and the group counts verify the normalizer.
+
+    Scale shape: canonicalization is a pure codegen regexp chain (no
+    UDF), then ONE groupBy on the canonical string — the same
+    single-shuffle cost as exact text dedup, which is the point: URL
+    dedup at frontier scale is an aggregation, never a pairwise
+    compare."""
+    d = read_table(spark, sf_dir, "documents")
+    pick = lambda seed: (  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"u{seed}|"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        < "8"
+    )
+    url = F.concat(
+        F.when(pick(1), F.lit("https://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            pick(2),
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=x&lang="), F.col("lang")
+            ),
+        ).otherwise(
+            F.concat(F.lit("?lang="), F.col("lang"), F.lit("&ref=tw"))
+        ),
+    )
+    host_path = F.lower(
+        F.regexp_extract(url, r"^[a-z]+://(?:www\.)?([^?#]*)", 1)
+    )
+    qs = F.regexp_extract(url, r"\?(.*)$", 1)
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(F.regexp_replace(host_path, r"/$", ""), F.lit("?"), qs),
+            r"(utm_[a-z]+|ref)=[^&]*(&|$)",
+            "",
+        ),
+        r"[?&]+$",
+        "",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
