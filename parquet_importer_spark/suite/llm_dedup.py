@@ -553,10 +553,10 @@ def llm_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     lower(regexp_extract(url, '^[a-z]+://(?:www\\.)?([^?#]*)',
-                                          1)),
+                     regexp_extract(lower(url),
+                                    '^[a-z]+://(?:www\\.)?([^?#]*)', 1),
                      '/$', ''),
-                   '$', '?' || regexp_extract(url, '\\?(.*)$', 1)),
+                   '$', '?' || regexp_extract(lower(url), '\\?(.*)$', 1)),
                  '(utm_[a-z]+|ref)=[^&]*(&|$)', '', 'g'),
                '[?&]+$', '') AS canonical
       FROM raw
@@ -604,10 +604,11 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("?lang="), F.col("lang"), F.lit("&ref=tw"))
         ),
     )
-    host_path = F.lower(
-        F.regexp_extract(url, r"^[a-z]+://(?:www\.)?([^?#]*)", 1)
-    )
-    qs = F.regexp_extract(url, r"\?(.*)$", 1)
+    # lowercase FIRST: the www-prefix strip and param matching are
+    # case-sensitive regexes, and raw crawl URLs arrive as WWW./UTM_
+    lurl = F.lower(url)
+    host_path = F.regexp_extract(lurl, r"^[a-z]+://(?:www\.)?([^?#]*)", 1)
+    qs = F.regexp_extract(lurl, r"\?(.*)$", 1)
     canonical = F.regexp_replace(
         F.regexp_replace(
             F.concat(F.regexp_replace(host_path, r"/$", ""), F.lit("?"), qs),
