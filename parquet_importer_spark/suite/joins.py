@@ -362,7 +362,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+aggregate, and the bloom stage is pure plumbing the optimizer
     can't see through. This is the manual form of Spark's runtime
     bloom-filter join (spark.sql.optimizer.runtime.bloomFilter), kept
-    explicit so the plan shape is pinned and testable."""
+    explicit so the plan shape is pinned and testable.
+
+    Honest cost accounting: at fixture scale the filtered dim is small
+    enough to broadcast outright, so the md5 probes are pure overhead
+    (~2.2 s vs ~1 s plain at sf0.1) — the pattern pays off when the
+    filtered dim exceeds the broadcast threshold (the exact join
+    degrades to sort-merge) but its bit table still fits: the bloom
+    then prunes the fact BEFORE the fact-side exchange, which is the
+    expensive thing at 100 TB."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 480000

@@ -156,6 +156,38 @@ def test_connected_components_invariants(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=14,
+    )
+)
+def test_twophase_cc_matches_naive_on_random_graphs(spark, edges):
+    """large-star/small-star and naive min-label propagation must
+    produce the IDENTICAL labeling on arbitrary small graphs (self
+    loops and duplicate edges included — both must be tolerated)."""
+    from parquet_importer_spark.operators.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "node long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    naive = {
+        r.node: r.lab for r in connected_components(nodes, e).collect()
+    }
+    two = {
+        r.node: r.lab
+        for r in connected_components_twophase(nodes, e).collect()
+    }
+    assert naive == two
+
+
 def test_twophase_cc_matches_naive_on_deep_chain(spark):
     """large-star/small-star must label a DIAMETER-63 path graph — the
     adversarial case where naive min-label propagation needs 63 rounds
