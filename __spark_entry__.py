@@ -32,16 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-rotates automatically.
 _SENTINEL = "flagship_pricing_summary"
 
-# Operators added in round 4. Backlog keys from earlier rounds must
-# clear the window before brand-new ones: a new key would otherwise
-# enter the never-verified-with-oracle tier ahead of the rows-only
-# stragglers and push them past slot 50 for yet another round. Deferred
-# keys slot BETWEEN the never-verified backlog and the already-verified
-# tail — with 37 backlog slots occupied this round, up to 13 of these
-# still land inside the window. Once a deferred key gets a green driver
-# row it graduates to the verified tail like any other; the set only
-# matters while its members are unverified.
-_DEFER_NEW = frozenset({
+# Operators added in round 4 (and later), in DEFERRAL ORDER. Backlog
+# keys from earlier rounds must clear the window before brand-new ones:
+# a new key would otherwise enter the never-verified-with-oracle tier
+# ahead of the rows-only stragglers and push them past slot 50 for yet
+# another round. Deferred keys slot BETWEEN the never-verified backlog
+# and the already-verified tail, ordered by THIS tuple (not registry
+# import order) so earlier additions keep their window slots when more
+# are appended — with 37 backlog slots occupied this round, the first
+# 13 entries land inside the window and the rest queue for the next
+# rotation. Once a deferred key gets a green driver row it graduates to
+# the verified tail like any other; the list only matters while its
+# members are unverified.
+_DEFER_ORDER = (
     "join_bloom_prefilter",
     "agg_count_min",
     "win_concurrent_intervals",
@@ -55,7 +58,15 @@ _DEFER_NEW = frozenset({
     "llm_embed_centroid_dist",
     "join_point_in_time",
     "llm_dedup_url",
-})
+    # round-5 queue: outside this round's window (slots 51+), first in
+    # line after the current batch goes green
+    "join_asof_nearest",
+    "ts_change_points",
+    "llm_bpe_pair_counts",
+    "llm_corpus_stats",
+    "llm_emb_pca_power",
+)
+_DEFER_NEW = frozenset(_DEFER_ORDER)
 
 
 def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
@@ -112,7 +123,14 @@ def _driver_order() -> list[str]:
         return 1 if name in ORACLES else 2
 
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+
+    def rank(name: str) -> int:
+        # tier 3 orders by the deferral list; other tiers by registry
+        if name in _DEFER_NEW and name not in verified and name not in errored:
+            return _DEFER_ORDER.index(name)
+        return names.index(name)
+
+    return sorted(names, key=lambda n: (tier(n), rank(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

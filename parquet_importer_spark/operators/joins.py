@@ -23,7 +23,9 @@ def asof_join(
 ) -> DataFrame:
     """Nearest-match join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (direction="backward"; "forward" = earliest
-    right row with ``right_ts >= left_ts``), per key ``on``.
+    right row with ``right_ts >= left_ts``; "nearest" = whichever of
+    the two is closer in time, preferring the earlier on exact ties),
+    per key ``on``.
 
     Algorithm (union sort-merge): tag both sides, union on
     (key, ts, side), and carry the most recent right payload forward with
@@ -35,8 +37,10 @@ def asof_join(
     struct ordering via ``max`` upstream — callers should de-duplicate
     right to one row per (key, ts) for full determinism.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c != on]
@@ -70,13 +74,49 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = F.last("__r", ignorenulls=True).over(w)
-    else:
+    elif direction == "forward":
         w = (
             Window.partitionBy("__k")
             .orderBy(F.col("__ts").desc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # nearest: BOTH candidates ride one sort — the latest right at
+        # or before (prev, inclusive: right sorts before left on ties,
+        # so an equal-ts match lands here with distance 0 and wins) and
+        # the earliest right strictly after (next) — then pick the
+        # smaller time distance, preferring prev on exact ties. Still
+        # ONE shuffle on the key; no second pass, no expansion.
+        asc = Window.partitionBy("__k").orderBy(
+            F.col("__ts").asc(), F.col("__side").asc()
+        )
+        prev = F.last("__r", ignorenulls=True).over(
+            asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        nxt = F.first("__r", ignorenulls=True).over(
+            asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        d_prev = F.col("__ts").cast("double") - prev.getField(
+            right_ts
+        ).cast("double")
+        d_next = nxt.getField(right_ts).cast("double") - F.col(
+            "__ts"
+        ).cast("double")
+        matched = (
+            F.when(prev.isNull(), nxt)
+            .when(nxt.isNull(), prev)
+            .when(d_next < d_prev, nxt)
+            .otherwise(prev)
+        )
+        u = u.withColumn("__match_n", matched)
+        out = (
+            u.filter(F.col("__side") == 1)
+            .select("__l.*", F.col("__match_n").alias("__match"))
+        )
+        for c in rcols:
+            out = out.withColumn(c, F.col("__match").getField(c))
+        return out.drop("__match")
 
     out = (
         u.withColumn("__match", matched)

@@ -506,3 +506,76 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2,
+             event_type, value
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, ts2, MAX(value) AS click_value
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts2
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts2, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.ts2 AS purchase_ts,
+             p.purchase_value, c.ts2 AS click_ts, c.click_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch(p.ts2) - epoch(c.ts2)), c.ts2 ASC
+             ) AS rn
+      FROM purch p JOIN clicks c ON p.user_id = c.user_id
+    )
+    SELECT p.event_id, p.user_id, p.ts2 AS purchase_ts, p.purchase_value,
+           c.click_ts, c.click_value
+    FROM purch p
+    LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+           ON c.event_id = p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: each purchase matches its closest
+    click (before OR after) by the same user — the sensor-alignment
+    variant of the as-of join (pair each reading with the closest
+    calibration sample, whichever side of it). Same union-merge plan as
+    direction='backward': both the latest-preceding and
+    earliest-following candidates ride ONE key-partitioned sort, so
+    nearest costs exactly one shuffle, no expansion — while the oracle
+    does the O(clicks×purchases-per-user) pairwise ranking that this
+    plan exists to avoid. Ties (equidistant clicks) resolve to the
+    earlier click on both engines."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts2")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts2"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        purch,
+        clicks.withColumnRenamed("ts2", "click_ts"),
+        on="user_id",
+        left_ts="ts2",
+        right_ts="click_ts",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts2").alias("purchase_ts"),
+        "purchase_value",
+        "click_ts",
+        "click_value",
+    )

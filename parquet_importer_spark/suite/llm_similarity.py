@@ -439,3 +439,62 @@ def llm_embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6
         ).alias("dist2"),
     )
+
+
+@query("llm_emb_pca_power")  # rows-only: cross-row float sums (order-dependent)
+def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by distributed
+    POWER ITERATION — the building block of corpus-level spectral
+    diagnostics (anisotropy measurement, whitening, spectral dedup of
+    embedding spaces): v ← normalize(Σ_rows x·(xᵀv)), 8 rounds from a
+    deterministic uniform start.
+
+    Why rows-only: each round's per-dimension sums accumulate doubles
+    across rows, which is partition-order-dependent — the INVARIANTS
+    (unit norm, Rayleigh-quotient growth, planted-direction recovery)
+    are pinned in tests/test_round4_ops.py instead of a bit-exact
+    oracle.
+
+    Scale shape: per round, ONE map-side projection (dot product with
+    the broadcast v — a 64-float literal, never a join) and one
+    explode → groupBy(pos) partial-aggregated sum producing d rows; the
+    d-vector collect is dimension-sized, not corpus-sized. 8 rounds =
+    8 slim aggregations over an un-shuffled corpus scan (the scan is
+    re-read per round; at 100 TB you'd cache or checkpoint the
+    normalized input once)."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    v = [1.0 / math.sqrt(dim)] * dim
+    eigval = 0.0
+    for _ in range(8):
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), v_lit, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        contrib = emb.select(
+            F.posexplode(
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double") * s
+                )
+            ).alias("pos", "w")
+        )
+        rows = (
+            contrib.groupBy("pos").agg(F.sum("w").alias("w")).collect()
+        )
+        w = [0.0] * dim
+        for r in rows:
+            w[r.pos] = r.w
+        eigval = math.sqrt(sum(x * x for x in w))
+        if eigval == 0.0:
+            break
+        v = [x / eigval for x in w]
+    return spark.createDataFrame(
+        [(i, float(v[i]), float(eigval)) for i in range(dim)],
+        "pos int, component double, eigenvalue double",
+    )

@@ -434,3 +434,95 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+      FROM w WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair ASC
+    LIMIT 50
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer TRAINING: count adjacent
+    character pairs across the corpus (each round of BPE merges the
+    most frequent pair; this is that candidate table, top-50). Word
+    boundaries reset pairing — pairs never span tokens, matching the
+    standard pre-tokenized BPE setup.
+
+    Scale shape: pair extraction happens inside array expressions per
+    word (sequence → substring transform, pure codegen), then ONE
+    map-combinable count aggregation — each executor reduces its split
+    to ≤|alphabet|² partial counts before the shuffle, so counting
+    pairs over 100 TB costs one slim exchange, and per-round re-counts
+    (after a merge) reuse the identical plan. TakeOrderedAndProject
+    caps the result without a global sort."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "llm_corpus_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(SUM(CAST(n_tok AS DECIMAL(30,8))) AS DOUBLE), 4)
+             / COUNT(*) AS avg_tokens
+    FROM t GROUP BY source, lang
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card table: per (source, language) doc counts, token
+    totals, char-length ranges, and mean tokens — the summary every
+    training-data release publishes and every mixing decision reads.
+    One map-combinable aggregation over the corpus; the float mean goes
+    through the decimal-exact sum so the card is bit-reproducible."""
+    d = read_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return (
+        d.select("source", "lang", "n_chars", n_tok.alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            (
+                F.round(
+                    F.sum(F.col("n_tok").cast("decimal(30,8)")).cast("double"),
+                    4,
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+        )
+    )

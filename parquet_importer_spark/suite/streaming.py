@@ -1095,3 +1095,100 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch")
     )
+
+
+@query(
+    "ts_change_points",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, ts, event_id,
+             SUM(cents) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS prefix,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cents) OVER (PARTITION BY event_type) AS total
+      FROM v
+    ),
+    s AS (
+      SELECT event_type, ts, rn, n,
+             abs(n * prefix - rn * total) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n * prefix - rn * total) DESC, ts ASC, rn ASC
+             ) AS pick
+      FROM c
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(rn AS BIGINT) AS cp_row,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS cp_epoch,
+           CAST(score AS BIGINT) AS score_cents
+    FROM s WHERE pick = 1
+    """,
+)
+def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point detection per series: the point
+    maximizing |cumulative deviation from the series mean| — where the
+    running sum departs furthest from the even-accumulation line — is
+    the classic single-change-point estimator (complements
+    ts_anomaly_mad, which flags individual outliers, by locating a
+    persistent LEVEL shift).
+
+    Bit-portability: the usual cusum_i = prefix_i − i·mean needs a
+    division; multiplying through by n gives score_i = n·prefix_i −
+    i·total, and quantizing values to integer cents first makes every
+    score pure BIGINT arithmetic — the argmax comparison is exact on
+    both engines, no decimal→double conversion anywhere.
+
+    Scale shape: one shuffle on the series key, two window passes over
+    the same (ts, event_id) sort (cumsum + ranking), partial-agg
+    per-series totals. At 100 TB a series too big for one partition
+    splits into time buckets whose per-bucket prefix sums chain with a
+    second tiny pass — same primitive as the concurrency sweep."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    whole = Window.partitionBy("event_type")
+    c = ev.select(
+        "event_type",
+        "ts",
+        F.sum("cents")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.row_number().over(order).alias("rn"),
+        F.count(F.lit(1)).over(whole).alias("n"),
+        F.sum("cents").over(whole).alias("total"),
+    )
+    score = F.abs(F.col("n") * F.col("prefix") - F.col("rn") * F.col("total"))
+    pick = Window.partitionBy("event_type").orderBy(
+        score.desc(), F.col("ts").asc(), F.col("rn").asc()
+    )
+    return (
+        c.withColumn("score", score)
+        .withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.col("rn").cast("bigint").alias("cp_row"),
+            F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+            .cast("bigint")
+            .alias("cp_epoch"),
+            F.col("score").cast("bigint").alias("score_cents"),
+        )
+    )

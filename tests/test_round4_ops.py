@@ -203,3 +203,111 @@ def test_centroid_dist_zero_for_degenerate_label(spark):
         }
     assert rows[1] == 0.0 and rows[2] == 0.0
     assert rows[3] == pytest.approx(2.0) and rows[4] == pytest.approx(2.0)
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """Power iteration on data with one dominant planted direction must
+    return a unit vector nearly collinear with it, and the eigenvalue
+    must dominate the noise floor."""
+    import math
+    import random
+
+    import parquet_importer_spark.suite.llm_similarity as sim
+    import unittest.mock as mock
+
+    rng = random.Random(7)
+    d = 8
+    planted = [1.0 if i == 2 else 0.0 for i in range(d)]
+    rows = []
+    for vid in range(200):
+        scale = rng.uniform(2.0, 4.0) * (1 if rng.random() < 0.5 else -1)
+        vec = [
+            scale * planted[i] + rng.uniform(-0.1, 0.1) for i in range(d)
+        ]
+        rows.append((vid, vec, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with mock.patch.object(sim, "read_table", lambda *_: df):
+        out = sim.llm_emb_pca_power(spark, SF).collect()
+    comp = [0.0] * d
+    for r in out:
+        comp[r.pos] = r.component
+    norm = math.sqrt(sum(x * x for x in comp))
+    assert abs(norm - 1.0) < 1e-9, "component must be unit-norm"
+    cos = abs(sum(a * b for a, b in zip(comp, planted)))
+    assert cos > 0.99, f"planted direction not recovered (|cos|={cos})"
+    assert out[0].eigenvalue > 100, "dominant eigenvalue must dwarf noise"
+
+
+def test_change_point_finds_planted_shift(spark):
+    """A series whose mean jumps at a known row must have its CUSUM
+    argmax at exactly that boundary."""
+    import datetime
+
+    import parquet_importer_spark.suite.streaming as stp
+    import unittest.mock as mock
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        val = 10.0 if i < 120 else 50.0  # shift after row 120
+        rows.append(
+            (i, base + datetime.timedelta(minutes=i), 1, "shift", val, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(stp, "read_table", lambda *_: df):
+        out = stp.ts_change_points(spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    # cusum of (x - mean) is extremal exactly at the last pre-shift row
+    assert r.cp_row == 120
+    assert r.n_points == 200
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Constructed frame: a purchase 10s after click A and 3s before
+    click B must match B (nearest), while backward matches A."""
+    import datetime
+
+    from parquet_importer_spark.operators.joins import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 100, at(10))], "pid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, at(0), "A"), (100, at(13), "B")],
+        "user_id long, rts timestamp, tag string",
+    )
+    nearest = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()[0]
+    backward = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        direction="backward",
+    ).collect()[0]
+    assert nearest.tag == "B" and backward.tag == "A"
+    # exact tie (5s each side) prefers the earlier right row
+    left_tie = spark.createDataFrame(
+        [(2, 100, at(5)), (3, 100, at(18))],
+        "pid long, user_id long, ts timestamp",
+    )
+    tie_rows = {
+        r.pid: r.tag
+        for r in asof_join(
+            left_tie, right, on="user_id", left_ts="ts", right_ts="rts",
+            direction="nearest",
+        ).collect()
+    }
+    assert tie_rows[2] == "A", "equidistant must prefer the earlier row"
+    assert tie_rows[3] == "B"
