@@ -65,6 +65,7 @@ _DEFER_ORDER = (
     "llm_bpe_pair_counts",
     "llm_corpus_stats",
     "llm_emb_pca_power",
+    "llm_dedup_containment",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

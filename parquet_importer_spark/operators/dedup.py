@@ -181,6 +181,85 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    containment_threshold: float = 0.5,
+    k: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate CONTAINMENT pairs: same LSH candidate pipeline as
+    :func:`minhash_lsh_pairs`, but the verify metric is the asymmetric
+    containment C(A in B) = |A∩B| / |A| — the signal that catches a
+    short document embedded verbatim inside a longer one (wire stories
+    in aggregator pages, quoted posts, licence boilerplate), which
+    symmetric Jaccard dilutes toward 0 as the size ratio grows.
+
+    Keeps a pair when EITHER direction's containment clears the
+    threshold; returns (id_1, id_2, n_shared_bands, containment_1in2,
+    containment_2in1, jaccard) with id_1 < id_2. Candidates still come
+    from symmetric MinHash banding, which under-recalls extreme
+    small-in-large pairs (their Jaccard, hence band-collision odds, is
+    low) — at production scale swap the banding stage for bottom-k
+    sketches of the SMALLER side; the verify and plan shape stay
+    identical.
+    """
+    base = parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    banded = _banded_keys(base, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = cand.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    c12 = F.round(inter / F.size("sh1").cast("double"), 6)
+    c21 = F.round(inter / F.size("sh2").cast("double"), 6)
+    return (
+        verified.withColumn("containment_1in2", c12)
+        .withColumn("containment_2in1", c21)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(
+            (F.col("containment_1in2") >= containment_threshold)
+            | (F.col("containment_2in1") >= containment_threshold)
+        )
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "containment_1in2",
+            "containment_2in1",
+            "jaccard",
+        )
+    )
+
+
 def minhash_lsh_cross_pairs(
     probe: DataFrame,
     corpus: DataFrame,

@@ -626,3 +626,68 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH2} AS grams FROM t),
+    sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, grams, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             COUNT(*) AS n_shared_bands,
+             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT d1 AS id_1, d2 AS id_2,
+             CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+             ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                   / len(g1), 6) AS containment_1in2,
+             ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                   / len(g2), 6) AS containment_2in1,
+             ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                   / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
+               AS jaccard
+      FROM cand
+    )
+    SELECT * FROM m
+    WHERE containment_1in2 >= 0.5 OR containment_2in1 >= 0.5
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — |A∩B| / |A| — the metric that
+    catches a short document embedded inside a longer one (wire copy
+    in aggregator pages, quoted posts, licence boilerplate), where
+    symmetric Jaccard tends to 0 as the size ratio grows. Same LSH
+    candidate pipeline and bucket caps as llm_dedup_near; only the
+    verify metric changes (operators.dedup.minhash_containment_pairs),
+    and the docstring there records the bottom-k sketch swap for
+    extreme small-in-large recall at corpus scale."""
+    from parquet_importer_spark.operators.dedup import (
+        minhash_containment_pairs,
+    )
+
+    return minhash_containment_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        containment_threshold=0.5,
+        k=2,
+    )

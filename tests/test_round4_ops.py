@@ -311,3 +311,32 @@ def test_asof_nearest_picks_closer_side(spark):
     }
     assert tie_rows[2] == "A", "equidistant must prefer the earlier row"
     assert tie_rows[3] == "B"
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one has containment 1.0 in
+    that direction even though Jaccard is diluted — the case the
+    asymmetric metric exists for."""
+    import unittest.mock as mock
+
+    import parquet_importer_spark.suite.llm_dedup as ld
+
+    # fixture chosen so the deterministic md5 banding DOES collide for
+    # the pair (symmetric MinHash under-recalls low-Jaccard embeddings;
+    # the operator docstring records the bottom-k sketch fix for that —
+    # this test pins the METRIC, the jaccard<0.5 assert pins why it
+    # exists)
+    short = " ".join(f"tok{i}" for i in range(12))
+    long = short + " " + " ".join(f"zz{i}" for i in range(18))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(ld, "read_table", lambda *_: df):
+        rows = ld.llm_dedup_containment(spark, SF).collect()
+    pairs = {(r.id_1, r.id_2): r for r in rows}
+    assert (1, 2) in pairs, "embedded doc must surface as a candidate"
+    r = pairs[(1, 2)]
+    assert r.containment_1in2 == 1.0, "short doc is fully contained"
+    assert r.jaccard < 0.5, "Jaccard alone would have missed this pair"
+    assert not any(3 in p for p in pairs), "unrelated doc must not pair"
