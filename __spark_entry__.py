@@ -66,6 +66,8 @@ _DEFER_ORDER = (
     "llm_corpus_stats",
     "llm_emb_pca_power",
     "llm_dedup_containment",
+    "llm_rank_fusion",
+    "llm_html_strip",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

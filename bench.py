@@ -60,10 +60,14 @@ HEADLINE = (
     "llm_index_bm25",
     "sink_cdc_apply",
     # round 4 additions: O(log n) connected components, bloom-prefiltered
-    # fact join, n-gram-level decontamination
+    # fact join, n-gram-level decontamination, containment dedup, CUSUM
+    # change points, hybrid rank fusion
     "llm_dedup_cc_bigstar",
     "join_bloom_prefilter",
     "llm_contamination_ngram",
+    "llm_dedup_containment",
+    "ts_change_points",
+    "llm_rank_fusion",
 )
 
 

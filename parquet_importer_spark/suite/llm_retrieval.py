@@ -186,3 +186,101 @@ def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "llm_rank_fusion",
+    oracle=_BM25_CTES
+    + f"""
+    , bmrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+      FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    top1 AS (
+      SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 1
+    ),
+    qv AS (
+      SELECT e.embedding AS qvec FROM embeddings e
+      WHERE e.vec_id = (SELECT doc_id FROM top1)
+    ),
+    cosr AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY {oracle_cosine('e.embedding', 'qvec')} DESC,
+                        e.vec_id ASC
+             ) AS r
+      FROM embeddings e CROSS JOIN qv
+      ORDER BY {oracle_cosine('e.embedding', 'qvec')} DESC, e.vec_id ASC
+      LIMIT 50
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + b.r), 0.0)
+                   + COALESCE(1.0 / (60 + c.r), 0.0), 8) AS rrf,
+             b.r AS bm25_rank, c.r AS cos_rank
+      FROM bmrank b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cos_rank AS BIGINT) AS cos_rank
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of the lexical and semantic
+    rankings — the standard hybrid-retrieval combiner (used by every
+    production search stack that runs BM25 and a vector index side by
+    side): score = Σ_lists 1/(60 + rank). Rank lists are the BM25
+    top-50 and the cosine top-50 against the top BM25 hit's embedding
+    (the same stand-in query vector as llm_sim_rerank); fusion needs
+    only the integer RANKS, never the incomparable raw scores, which is
+    exactly why RRF is the robust default.
+
+    Scale shape: both rank lists are top-k (dimension-sized), so the
+    fusion join is broadcast-trivial; the expensive parts are the two
+    upstream retrievals, each already plan-audited (llm_index_bm25,
+    llm_sim_topk). Ranks are integers and each RRF term is one IEEE
+    division — bit-identical across engines by construction."""
+    from parquet_importer_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    scores = _bm25_scores(spark, sf_dir)
+    bmrank = (
+        scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .alias("bm_r"),
+        )
+    )
+    top1 = scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(1)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.join(
+        F.broadcast(top1), emb.vec_id == top1.doc_id, "left_semi"
+    ).select(F.col("embedding").alias("qvec"))
+    cos = F.round(cosine(F.col("embedding"), F.col("qvec")), 6)
+    cosr = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("c"))
+        .orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("doc_id").asc()))
+            .alias("cos_r"),
+        )
+    )
+    fused = bmrank.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("bm_r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("cos_r")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+        F.col("bm_r").cast("bigint").alias("bm25_rank"),
+        F.col("cos_r").cast("bigint").alias("cos_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)

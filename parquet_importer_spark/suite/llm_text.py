@@ -526,3 +526,69 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
     )
+
+
+@query(
+    "llm_html_strip",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><body><h1 class="t">' || source || '</h1><p>'
+               || text || '</p><br/><a href="/x?a=1&amp;b=2">'
+               || lang || '</a> &lt;fin&gt;&nbsp;&quot;ok&quot;</body></html>'
+               AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                 '&gt;', '>'), '&quot;', '"'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM raw
+    )
+    SELECT doc_id, clean,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean
+    FROM stripped
+    """,
+)
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform of every crawl
+    pipeline: drop tags, decode the common entities (&amp; &lt; &gt;
+    &nbsp; &quot;), collapse whitespace. The markup is synthesized
+    deterministically around each document (headline, paragraph,
+    attributed link, entity samples) so both engines strip identical
+    inputs and the cleaned text is verifiable.
+
+    Tag removal inserts a space (never plain deletion: '</p><p>' glues
+    two paragraphs into one token otherwise), entity decode runs AFTER
+    tag removal so '&lt;fin&gt;' survives as text rather than being
+    eaten as a tag. Pure codegen regexp/replace chain — zero shuffle,
+    scales as a map."""
+    d = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><h1 class="t">'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><br/><a href="/x?a=1&amp;b=2">'),
+        F.col("lang"),
+        F.lit("</a> &lt;fin&gt;&nbsp;&quot;ok&quot;</body></html>"),
+    )
+    clean = F.regexp_replace(html, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+    ):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
