@@ -60,6 +60,9 @@ SHOWCASE = (
     ("llm_embed_centroid_dist", "per-dimension partial-agg mean; n_labels-row centroid table broadcast back"),
     ("llm_contamination_ngram", "one shingle pass; single digest exchange serves the train-membership window AND the per-doc rollup"),
     ("agg_count_min", "≤1024-cell sketch grid broadcast into the probe join; TakeOrderedAndProject top-10"),
+    ("llm_dedup_containment", "same slim LSH band shuffle as llm_dedup_near; only the verify metric differs"),
+    ("ts_change_points", "one series-key shuffle; cumsum + argmax ranking share the same sort; all-BIGINT scores"),
+    ("llm_rank_fusion", "two top-k rank lists (dimension-sized) fused by broadcast full-outer join"),
 )
 
 
