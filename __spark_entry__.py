@@ -68,6 +68,7 @@ _DEFER_ORDER = (
     "llm_dedup_containment",
     "llm_rank_fusion",
     "llm_html_strip",
+    "ts_autocorr",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

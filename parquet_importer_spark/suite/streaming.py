@@ -1192,3 +1192,86 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("score_cents"),
         )
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             LAG(c, 10) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS cl
+      FROM v
+    ),
+    p AS (SELECT event_type, c, cl FROM lagged WHERE cl IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(c) AS sx, SUM(cl) AS sy,
+             SUM(c * c) AS sxx, SUM(cl * cl) AS syy,
+             SUM(c * cl) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+    FROM s
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-10 autocorrelation per series — the seasonality/memory
+    diagnostic behind forecasting-model choice and anomaly-detector
+    windows: Pearson correlation of the series with itself shifted 10
+    observations.
+
+    Bit-portability, same discipline as ts_change_points: values
+    quantize to integer cents, every moment (Σx, Σx², Σxy) accumulates
+    in exact BIGINT (order-independent), and the textbook
+    n·Σxy − Σx·Σy form keeps even the covariance exact — doubles
+    appear only in the final division and sqrt, both correctly-rounded
+    single IEEE ops, so the correlation is identical on both engines
+    at full precision (the round(6) guards nothing but future drift).
+
+    Scale shape: one shuffle on the series key; the lag window and the
+    moment aggregation share the same per-series sort, and the moments
+    partial-aggregate. Products of cents² over 20k-row series stay
+    ~1e14, far under BIGINT range; at larger series pre-scale the
+    quantization grid."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "c", F.lag("c", 10).over(order).alias("cl")
+    ).filter(F.col("cl").isNotNull())
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("cl").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("cl") * F.col("cl")).alias("syy"),
+        F.sum(F.col("c") * F.col("cl")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr"),
+    )
