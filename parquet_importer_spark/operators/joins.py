@@ -36,11 +36,17 @@ def asof_join(
     Ties in ``right_ts`` within a key are resolved by the payload's
     struct ordering via ``max`` upstream — callers should de-duplicate
     right to one row per (key, ts) for full determinism.
+
+    Right rows with a NULL ``right_ts`` are dropped up front: they have
+    no position on the time axis, and in direction="nearest" a null ts
+    inside a matched struct would make both distance comparisons false
+    and silently fall through to the prev candidate.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    right = right.filter(F.col(right_ts).isNotNull())
 
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c != on]

@@ -9,9 +9,13 @@ treated as WKB (app.py:169-175), CRS defaulting to EPSG:4326
 Spark has no native geometry type (SURVEY §1.3); geometry stays a WKB
 ``BinaryType`` column + CRS convention, decoded only at the edges:
 
-- the WKB point codec below is a self-contained vectorized pandas UDF
-  (pure struct packing — no shapely/GDAL needed for points; swap in
-  shapely inside the same UDF for full geometry support);
+- the WKB codecs below are self-contained vectorized pandas UDFs
+  (pure struct packing — no shapely/GDAL): a lon/lat fast path for
+  Point columns plus a general Point/LineString/Polygon pair
+  (``wkb_geom_encode``/``wkb_geom_decode``) covering the geometry
+  classes the reference ingests via ``gpd.GeoSeries.from_wkb``; swap
+  shapely into the same UDF shape for the exotic types
+  (Multi*/GeometryCollection);
 - the PostGIS write is a two-phase staging adapter: bytea staging table
   via JDBC, then driver-side DDL promoting bytea → geometry with
   ST_GeomFromWKB — no new engine dependency (SURVEY §4 decision (a)).
@@ -111,6 +115,152 @@ def wkb_point_decode(wkb: Column) -> Column:
                 lons.append(None)
                 lats.append(None)
         return pd.DataFrame({"lon": lons, "lat": lats})
+
+    return _dec(wkb)
+
+
+_GEOM_STRUCT = T.StructType(
+    [
+        T.StructField("gtype", T.StringType()),
+        T.StructField(
+            "rings",
+            T.ArrayType(T.ArrayType(_POINT_STRUCT)),
+        ),
+    ]
+)
+
+_WKB_TYPE_NAMES = {1: "Point", 2: "LineString", 3: "Polygon"}
+
+
+def wkb_geom_encode(gtype: Column, rings: Column) -> Column:
+    """(gtype, rings) → WKB bytes for Point / LineString / Polygon —
+    pure struct packing, no shapely/GDAL, matching the generality of the
+    reference's ``gpd.GeoSeries.from_wkb`` ingest (app.py:148,
+    app.py:172) for the three core geometry classes.
+
+    ``rings`` is array<array<struct<lon,lat>>>: Point = one ring of one
+    vertex, LineString = one ring, Polygon = outer ring first then
+    holes. Unknown gtype or empty rings → NULL (tolerant posture).
+
+    The nested rings flatten Spark-side to (ring_sizes, lons, lats) —
+    three flat arrays — before crossing the Arrow boundary: PySpark's
+    pandas converter np.array()s nested arrays and rejects RAGGED ring
+    lists (a polygon whose hole has a different vertex count), and flat
+    double arrays are cheaper to transfer anyway. Self-contained
+    closure (executor workers don't import this package).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ring_sizes = F.transform(rings, lambda ring: F.size(ring))
+    lons = F.flatten(
+        F.transform(rings, lambda ring: F.transform(ring, lambda p: p["lon"]))
+    )
+    lats = F.flatten(
+        F.transform(rings, lambda ring: F.transform(ring, lambda p: p["lat"]))
+    )
+
+    @pandas_udf(T.BinaryType())
+    def _enc(
+        gtype_s: pd.Series,
+        sizes_s: pd.Series,
+        lons_s: pd.Series,
+        lats_s: pd.Series,
+    ) -> pd.Series:
+        import struct
+
+        codes = {"Point": 1, "LineString": 2, "Polygon": 3}
+        out = []
+        for gt, sizes, lons_v, lats_v in zip(gtype_s, sizes_s, lons_s, lats_s):
+            try:
+                code = codes[gt]
+                pts = list(zip(map(float, lons_v), map(float, lats_v)))
+                rr, off = [], 0
+                for n in sizes:
+                    rr.append(pts[off : off + n])
+                    off += n
+                if code == 1:
+                    (x, y) = rr[0][0]
+                    out.append(struct.pack("<BIdd", 1, 1, x, y))
+                elif code == 2:
+                    out.append(
+                        struct.pack("<BII", 1, 2, len(rr[0]))
+                        + b"".join(struct.pack("<dd", x, y) for x, y in rr[0])
+                    )
+                else:
+                    body = b"".join(
+                        struct.pack("<I", len(ring))
+                        + b"".join(struct.pack("<dd", x, y) for x, y in ring)
+                        for ring in rr
+                    )
+                    out.append(struct.pack("<BII", 1, 3, len(rr)) + body)
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _enc(gtype, ring_sizes, lons, lats)
+
+
+def wkb_geom_decode(wkb: Column) -> Column:
+    """WKB bytes → struct<gtype, rings> for Point / LineString /
+    Polygon, either byte order; NULL for other types or malformed
+    payloads (the tolerant posture of the reference's retry ladder,
+    app.py:114-122). The 2.5D/SRID flag bits (0x80000000 / 0x20000000
+    EWKB) are rejected rather than misread."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GEOM_STRUCT)
+    def _dec(wkb_s: pd.Series) -> pd.DataFrame:
+        import struct
+
+        names = {1: "Point", 2: "LineString", 3: "Polygon"}
+        gtypes, all_rings = [], []
+        for raw in wkb_s:
+            try:
+                b = bytes(raw)
+                endian = "<" if b[0] == 1 else ">"
+                (gcode,) = struct.unpack_from(endian + "I", b, 1)
+                name = names[gcode]  # KeyError → malformed
+                if gcode == 1:
+                    x, y = struct.unpack_from(endian + "dd", b, 5)
+                    rings = [[(x, y)]]
+                    end = 5 + 16
+                elif gcode == 2:
+                    (n,) = struct.unpack_from(endian + "I", b, 5)
+                    coords = struct.unpack_from(endian + "d" * (2 * n), b, 9)
+                    rings = [list(zip(coords[0::2], coords[1::2]))]
+                    end = 9 + 16 * n
+                else:
+                    (nr,) = struct.unpack_from(endian + "I", b, 5)
+                    off = 9
+                    rings = []
+                    for _ in range(nr):
+                        (n,) = struct.unpack_from(endian + "I", b, off)
+                        coords = struct.unpack_from(
+                            endian + "d" * (2 * n), b, off + 4
+                        )
+                        rings.append(list(zip(coords[0::2], coords[1::2])))
+                        off += 4 + 16 * n
+                    end = off
+                if end != len(b):
+                    raise ValueError("trailing bytes")
+                gtypes.append(name)
+                all_rings.append(
+                    [
+                        [{"lon": x, "lat": y} for x, y in ring]
+                        for ring in rings
+                    ]
+                )
+            except Exception:
+                gtypes.append(None)
+                all_rings.append(None)
+        # explicit object dtype: ragged ring lists must never be
+        # coerced through a numpy ndarray (inhomogeneous-shape error)
+        return pd.DataFrame(
+            {
+                "gtype": pd.Series(gtypes, dtype=object),
+                "rings": pd.Series(all_rings, dtype=object),
+            }
+        )
 
     return _dec(wkb)
 

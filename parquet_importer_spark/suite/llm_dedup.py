@@ -69,11 +69,17 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
       FROM sig, (SELECT unnest(range(0, 4)) AS band) b
     ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
+    ),
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              COUNT(*) AS n_shared_bands,
              ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
-      FROM banded a JOIN banded b
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -645,11 +651,17 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
              sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
       FROM sig, (SELECT unnest(range(0, 4)) AS band) b
     ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
+    ),
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              COUNT(*) AS n_shared_bands,
              ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
-      FROM banded a JOIN banded b
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),

@@ -236,11 +236,15 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the integer RANKS, never the incomparable raw scores, which is
     exactly why RRF is the robust default.
 
-    Scale shape: both rank lists are top-k (dimension-sized), so the
-    fusion join is broadcast-trivial; the expensive parts are the two
-    upstream retrievals, each already plan-audited (llm_index_bm25,
-    llm_sim_topk). Ranks are integers and each RRF term is one IEEE
-    division — bit-identical across engines by construction."""
+    Scale shape: fusion is join-free — the two top-k rank lists UNION
+    into (doc_id, source, rank) rows and one groupBy(doc_id) sums the
+    RRF terms and pivots out the per-source ranks. One tiny shuffle
+    over ≤100 rows, no SortMergeJoin (Spark cannot broadcast a
+    full-outer build side, so the outer-join formulation would
+    sort-merge); the expensive parts are the two upstream retrievals,
+    each already plan-audited (llm_index_bm25, llm_sim_topk). Ranks
+    are integers and each RRF term is one IEEE division —
+    bit-identical across engines by construction."""
     from parquet_importer_spark.functions.vectors import cosine
     from pyspark.sql import Window
 
@@ -273,14 +277,20 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_r"),
         )
     )
-    fused = bmrank.join(cosr, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (60 + F.col("bm_r")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (60 + F.col("cos_r")), F.lit(0.0)),
-            8,
-        ).alias("rrf"),
-        F.col("bm_r").cast("bigint").alias("bm25_rank"),
-        F.col("cos_r").cast("bigint").alias("cos_rank"),
+    terms = bmrank.select(
+        "doc_id", F.lit("bm").alias("src"), F.col("bm_r").alias("r")
+    ).unionByName(
+        cosr.select(
+            "doc_id", F.lit("cos").alias("src"), F.col("cos_r").alias("r")
+        )
+    )
+    fused = terms.groupBy("doc_id").agg(
+        F.round(F.sum(F.lit(1.0) / (60 + F.col("r"))), 8).alias("rrf"),
+        F.max(F.when(F.col("src") == "bm", F.col("r")))
+        .cast("bigint")
+        .alias("bm25_rank"),
+        F.max(F.when(F.col("src") == "cos", F.col("r")))
+        .cast("bigint")
+        .alias("cos_rank"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)

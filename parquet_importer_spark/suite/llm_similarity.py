@@ -465,7 +465,14 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # dimension probe is an eager 1-row job at construction time; guard
+    # the empty-table case explicitly instead of crashing on None[0]
+    head = emb.select("embedding").head(1)
+    if not head:
+        return spark.createDataFrame(
+            [], "pos int, component double, eigenvalue double"
+        )
+    dim = len(head[0][0])
     v = [1.0 / math.sqrt(dim)] * dim
     eigval = 0.0
     for _ in range(8):

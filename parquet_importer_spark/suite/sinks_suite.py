@@ -21,6 +21,8 @@ from parquet_importer_spark.sources.sinks import (
 )
 from parquet_importer_spark.sources.spatial import (
     postgis_promote_ddl,
+    wkb_geom_decode,
+    wkb_geom_encode,
     wkb_point_decode,
     wkb_point_encode,
 )
@@ -114,29 +116,69 @@ def sink_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("spatial_wkb_roundtrip")  # rows-only: pandas_udf boundary
 def spatial_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WKB geometry column end-to-end: synthesize lon/lat, encode to WKB
-    (BinaryType — the engine's geometry representation, SURVEY §1.3),
-    decode back, verify exactness. The pandas_udf pair is the app.py:148
-    WKB decode, vectorized."""
+    """WKB geometry column end-to-end across all three core geometry
+    classes — Point, LineString, Polygon — matching the generality of
+    the reference's ``gpd.GeoSeries.from_wkb`` decode (app.py:148):
+    synthesize geometries from event values, encode to WKB (BinaryType,
+    the engine's geometry representation, SURVEY §1.3), decode back
+    through the general pure-struct codec, and verify exact per-vertex
+    roundtrip. One row per geometry type; n_decode_failures must be 0."""
     ev = read_table(spark, sf_dir, "events").limit(2000)
-    pts = ev.select(
-        "event_id",
-        (F.col("value") % 360 - 180).alias("lon"),
-        (F.col("value") % 180 - 90).alias("lat"),
+    lon = (F.col("value") % 360 - 180).alias("lon")
+    lat = (F.col("value") % 180 - 90).alias("lat")
+    pts = ev.select("event_id", lon, lat)
+    vertex = F.struct(F.col("lon"), F.col("lat"))
+    shifted = F.struct(
+        (F.col("lon") / 2).alias("lon"), (F.col("lat") / 2).alias("lat")
     )
-    enc = pts.withColumn("geometry", wkb_point_encode(F.col("lon"), F.col("lat")))
-    dec = enc.withColumn("pt", wkb_point_decode(F.col("geometry")))
-    return dec.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(
-                (F.col("pt.lon") == F.col("lon")) & (F.col("pt.lat") == F.col("lat")),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("n_exact_roundtrip"),
-        F.sum(F.when(F.col("pt.lon").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_decode_failures"),
+    origin = F.struct(
+        F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat")
+    )
+    # Point = 1 ring × 1 vertex; LineString = 1 ring × 3 vertices;
+    # Polygon = closed outer ring (first vertex repeated at the end)
+    geoms = pts.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("Point").alias("gtype"),
+                    F.array(F.array(vertex)).alias("rings"),
+                ),
+                F.struct(
+                    F.lit("LineString").alias("gtype"),
+                    F.array(F.array(vertex, shifted, origin)).alias("rings"),
+                ),
+                F.struct(
+                    F.lit("Polygon").alias("gtype"),
+                    F.array(
+                        F.array(vertex, shifted, origin, vertex)
+                    ).alias("rings"),
+                ),
+            )
+        ).alias("g"),
+    ).select("event_id", "g.gtype", "g.rings")
+    enc = geoms.withColumn(
+        "geometry", wkb_geom_encode(F.col("gtype"), F.col("rings"))
+    )
+    dec = enc.withColumn("back", wkb_geom_decode(F.col("geometry")))
+    return (
+        dec.groupBy("gtype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("back.gtype") == F.col("gtype"))
+                    & (F.col("back.rings") == F.col("rings")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_exact_roundtrip"),
+            F.sum(F.when(F.col("back.gtype").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_decode_failures"),
+        )
+        .orderBy("gtype")
     )
 
 

@@ -1146,8 +1146,10 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit-portability: the usual cusum_i = prefix_i − i·mean needs a
     division; multiplying through by n gives score_i = n·prefix_i −
     i·total, and quantizing values to integer cents first makes every
-    score pure BIGINT arithmetic — the argmax comparison is exact on
-    both engines, no decimal→double conversion anywhere.
+    score exact integer arithmetic. Sums and products run in
+    decimal(38,0) to mirror DuckDB's SUM(BIGINT)→HUGEINT promotion —
+    the argmax comparison is exact on both engines up to ~1e38, no
+    silent BIGINT wrap and no decimal→double conversion anywhere.
 
     Scale shape: one shuffle on the series key, two window passes over
     the same (ts, event_id) sort (cumsum + ranking), partial-agg
@@ -1164,17 +1166,26 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = Window.partitionBy("event_type").orderBy("ts", "event_id")
     whole = Window.partitionBy("event_type")
+    # accumulate in decimal(38,0): DuckDB promotes SUM(BIGINT) to
+    # HUGEINT (int128) so its n·prefix − rn·total stays exact, while
+    # Spark's BIGINT would wrap silently under non-ANSI mode on very
+    # long/high-valued series. decimal(38,0) keeps the argmax exact to
+    # ~1e38 on both engines (overflow beyond that nulls, not wraps).
+    dec_cents = F.col("cents").cast("decimal(38,0)")
     c = ev.select(
         "event_type",
         "ts",
-        F.sum("cents")
+        F.sum(dec_cents)
         .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("prefix"),
         F.row_number().over(order).alias("rn"),
         F.count(F.lit(1)).over(whole).alias("n"),
-        F.sum("cents").over(whole).alias("total"),
+        F.sum(dec_cents).over(whole).alias("total"),
     )
-    score = F.abs(F.col("n") * F.col("prefix") - F.col("rn") * F.col("total"))
+    score = F.abs(
+        F.col("n").cast("decimal(38,0)") * F.col("prefix")
+        - F.col("rn").cast("decimal(38,0)") * F.col("total")
+    )
     pick = Window.partitionBy("event_type").orderBy(
         score.desc(), F.col("ts").asc(), F.col("rn").asc()
     )
@@ -1234,7 +1245,8 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-portability, same discipline as ts_change_points: values
     quantize to integer cents, every moment (Σx, Σx², Σxy) accumulates
-    in exact BIGINT (order-independent), and the textbook
+    in exact decimal(38,0) (order-independent, mirroring DuckDB's
+    SUM→HUGEINT promotion so neither engine wraps), and the textbook
     n·Σxy − Σx·Σy form keeps even the covariance exact — doubles
     appear only in the final division and sqrt, both correctly-rounded
     single IEEE ops, so the correlation is identical on both engines
@@ -1242,9 +1254,9 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on the series key; the lag window and the
     moment aggregation share the same per-series sort, and the moments
-    partial-aggregate. Products of cents² over 20k-row series stay
-    ~1e14, far under BIGINT range; at larger series pre-scale the
-    quantization grid."""
+    partial-aggregate. decimal(38,0) accumulation is safe to ~1e38 —
+    ~1e26 rows/series at cents² ≈ 1e12/row — beyond which Spark nulls
+    (never wraps) and DuckDB's HUGEINT overflows too."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -1257,18 +1269,24 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = ev.select(
         "event_type", "c", F.lag("c", 10).over(order).alias("cl")
     ).filter(F.col("cl").isNotNull())
+    # moments in decimal(38,0), mirroring DuckDB's SUM→HUGEINT
+    # promotion: per-row products of cents fit BIGINT comfortably, but
+    # their SUM (and the n·Σxy − Σx·Σy cross terms) would wrap BIGINT
+    # silently on >~1e6-row series; decimal stays exact to ~1e38.
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     s = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sx"),
-        F.sum("cl").alias("sy"),
-        F.sum(F.col("c") * F.col("c")).alias("sxx"),
-        F.sum(F.col("cl") * F.col("cl")).alias("syy"),
-        F.sum(F.col("c") * F.col("cl")).alias("sxy"),
+        F.sum(dec(F.col("c"))).alias("sx"),
+        F.sum(dec(F.col("cl"))).alias("sy"),
+        F.sum(dec(F.col("c") * F.col("c"))).alias("sxx"),
+        F.sum(dec(F.col("cl") * F.col("cl"))).alias("syy"),
+        F.sum(dec(F.col("c") * F.col("cl"))).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    n_dec = F.col("n").cast("decimal(38,0)")
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return s.select(
         "event_type",

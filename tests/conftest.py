@@ -22,7 +22,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    # Default parity scale matches the driver's verification scale
+    # (sf0.01); sf0.001 stays available for explicitly-smoke tests.
+    return os.environ.get("PARITY_SF_DIR", SF_ORACLE)
 
 
 @pytest.fixture(scope="session")

@@ -118,9 +118,10 @@ def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
         pytest.skip("no deferred keys this round")
     order = entry._driver_order()
     pos = {k: i for i, k in enumerate(order)}
-    last_backlog = max(
-        pos[k] for k in backlog if k not in deferred
-    )
+    non_deferred = [k for k in backlog if k not in deferred]
+    if not non_deferred:
+        pytest.skip("entire backlog is deferred keys; ordering is trivial")
+    last_backlog = max(pos[k] for k in non_deferred)
     first_verified = min(
         (pos[k] for k in order if k in verified and k != entry._SENTINEL),
         default=len(order),

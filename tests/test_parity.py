@@ -1,5 +1,7 @@
 """Oracle-parity for every registered SQL-expressible query (the driver's
-correctness gate, run locally at sf0.001 for speed)."""
+correctness gate), run locally at the driver's own scale (sf0.01 via
+the ``sf_dir`` fixture; override with PARITY_SF_DIR for a quick
+sf0.001 smoke)."""
 
 from __future__ import annotations
 

@@ -1,5 +1,9 @@
 """Driver simulation: consume /root/repo/__spark_entry__.py exactly as the
-verification driver does — import boundary only, no internal imports."""
+verification driver does — import boundary only, no internal imports.
+
+Usage: python drive_entry.py [query_name ...]
+With names given, only those queries run (incremental re-verify after
+touching a few operators); with none, the full registry runs."""
 import hashlib
 import sys
 
@@ -41,6 +45,12 @@ def vhash(pdf):
     )
     return hashlib.sha256(str(rows).encode()).hexdigest()[:12]
 
+only = set(sys.argv[1:])
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"unknown query names: {sorted(unknown)}"
+    qs = {k: v for k, v in qs.items() if k in only}
+
 fails = 0
 for name, fn in qs.items():
     sdf = fn(spark, SF).toPandas()
@@ -58,7 +68,7 @@ for name, fn in qs.items():
 # 3. probes
 print("--- probes ---")
 # trailing slash in sf_dir (driver may normalize differently)
-p = qs["flagship_pricing_summary"](spark, SF + "/").count()
+p = e.queries()["flagship_pricing_summary"](spark, SF + "/").count()
 print(f"probe trailing-slash sf_dir: {p} rows")
 # repeat entry() — schema stability
 df2 = e.entry(spark)
