@@ -69,6 +69,19 @@ _DEFER_ORDER = (
     "llm_rank_fusion",
     "llm_html_strip",
     "ts_autocorr",
+    # round-5 additions: with the round-4 backlog verified, the window
+    # has ~40 free slots, so these land in the same round they ship
+    "llm_dedup_affine",
+    "llm_semdedup",
+    "llm_ngram_perplexity",
+    "llm_bpe_merge",
+    "llm_bpe_tokenize",
+    "llm_decontam_substring",
+    "llm_quality_calibrated",
+    "win_gaps_islands",
+    "llm_dedup_bottomk",
+    "llm_sim_pq",
+    "llm_emb_whiten",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

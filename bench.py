@@ -68,6 +68,16 @@ HEADLINE = (
     "llm_dedup_containment",
     "ts_change_points",
     "llm_rank_fusion",
+    # round 5 additions: production-profile (128-hash) affine MinHash,
+    # embedding-cluster semantic dedup, bigram-LM perplexity scoring,
+    # the iterative BPE trainer, and long-n exact decontamination
+    "llm_dedup_affine",
+    "llm_semdedup",
+    "llm_ngram_perplexity",
+    "llm_bpe_merge",
+    "llm_decontam_substring",
+    "llm_dedup_bottomk",
+    "llm_sim_pq",
 )
 
 

@@ -181,6 +181,133 @@ def minhash_lsh_pairs(
     )
 
 
+#: affine universal-hash family parameters: p is the Mersenne prime
+#: 2^31−1; per-seed multipliers/offsets derive from fixed public mixing
+#: constants (Knuth 2654435761, 40503) reduced mod p. With the 28-bit
+#: md5-prefix base hash, a·h+b < 2^59 — exact BIGINT on every engine.
+AFFINE_P = 2_147_483_647
+AFFINE_MULT = 2_654_435_761
+AFFINE_OFF = 40_503
+
+
+def _affine_banded_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, sh[, extra]) → slim (doc, …, band, key) LSH band rows with
+    ONE md5 per shingle total, vs :func:`_banded_keys`' ``num_hashes``
+    md5 passes.
+
+    The signature family is h_s(g) = (a_s·H(g) + b_s) mod p over a
+    single 28-bit base hash H(g) = int(md5(g)[:7], 16) — the classic
+    universal family (a_s = MULT·(s+1) mod p, b_s = OFF·(2s+1) mod p).
+    At the 128-hash production profile this cuts signature cost ~128×;
+    the trade is base-hash collisions (2^28 space) merging a negligible
+    fraction of distinct shingles — widen the prefix and lift p to a
+    61-bit prime for >10^7-shingle corpora. All arithmetic is exact
+    BIGINT (max a·h+b < 2^59) so a SQL oracle reproduces every band key.
+    """
+    rows_per_band = num_hashes // bands
+    other = [c for c in base.columns if c != "sh"]
+    with_hv = base.withColumn(
+        "hv",
+        F.transform(
+            F.col("sh"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+    )
+
+    def seed_min(s: Column) -> Column:
+        a = F.pmod(F.lit(AFFINE_MULT) * (s + 1), F.lit(AFFINE_P))
+        b = F.pmod(F.lit(AFFINE_OFF) * (2 * s + 1), F.lit(AFFINE_P))
+        return F.array_min(
+            F.transform(
+                F.col("hv"), lambda h: F.pmod(a * h + b, F.lit(AFFINE_P))
+            )
+        )
+
+    return with_hv.select(
+        *other,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bb: F.struct(
+                    bb.cast("int").alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(
+                                bb * rows_per_band,
+                                (bb + 1) * rows_per_band - 1,
+                            ),
+                            lambda s: seed_min(s).cast("string"),
+                        ),
+                        "|",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(*other, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def affine_minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    k: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs with the affine universal-hash MinHash —
+    identical pipeline shape, bucket caps, and verify as
+    :func:`minhash_lsh_pairs`, but the signature stage hashes each
+    shingle with md5 ONCE and derives all ``num_hashes`` values by
+    affine re-mixing (see :func:`_affine_banded_keys`). The scale
+    choice when signatures dominate (wide production profiles)."""
+    base = parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    banded = _affine_banded_keys(base, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = cand.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "jaccard",
+        )
+    )
+
+
 def minhash_containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -253,6 +380,99 @@ def minhash_containment_pairs(
             F.col("d1").alias("id_1"),
             F.col("d2").alias("id_2"),
             F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "containment_1in2",
+            "containment_2in1",
+            "jaccard",
+        )
+    )
+
+
+def bottomk_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sketch_k: int = 4,
+    containment_threshold: float = 0.5,
+    k: int = 2,
+    max_posting: int | None = 10_000,
+) -> DataFrame:
+    """Containment pairs via BOTTOM-K sketches — the recall fix
+    :func:`minhash_containment_pairs` documents for extreme
+    small-in-large pairs: symmetric MinHash banding's collision odds
+    track Jaccard, which tends to 0 as the size ratio grows, so a short
+    doc fully embedded in a long one is invisible to it. Here each doc
+    probes with its ``sketch_k`` smallest md5(shingle) values against an
+    inverted index over ALL docs' shingle hashes: if A ⊆ B, every probe
+    of A hits B (recall 1.0 for full containment, ≥ 1−(1−c)^k for
+    partial containment c, regardless of |B|/|A|).
+
+    Same exact verify and output schema as minhash_containment_pairs
+    (id_1 < id_2, both containment directions, jaccard).
+
+    Scale shape: probes are k slim (hash, doc) rows per doc; the
+    inverted index is one explode + the ``max_posting`` cap — the same
+    posting-length valve as the n-gram Jaccard index (a boilerplate
+    shingle shared by B docs would otherwise emit B candidates per
+    probe). Candidate dedup and the verify join-back follow the LSH
+    pipeline exactly.
+    """
+    # materialize the shingle/digest table ONCE: five branches consume
+    # it (probes, posting, the posting-length count, and both verify
+    # sides) and would otherwise each re-tokenize the corpus. At
+    # production scale this materialization is a written digest table
+    # (the inverted index IS the artifact); localCheckpoint models it.
+    base = parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).localCheckpoint(eager=False)
+    hashed = base.select(
+        "doc", F.transform(F.col("sh"), lambda g: F.md5(g)).alias("hv")
+    )
+    probes = hashed.select(
+        "doc",
+        F.explode(
+            F.slice(F.array_sort(F.col("hv")), 1, sketch_k)
+        ).alias("h"),
+    )
+    posting = hashed.select("doc", F.explode("hv").alias("h"))
+    if max_posting is not None:
+        ok = (
+            posting.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_posting)
+            .select("h")
+        )
+        posting = posting.join(ok, "h")
+    cand = (
+        probes.alias("a")
+        .join(posting.alias("b"), "h")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("d1"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("d2"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )
+    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = cand.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    c12 = F.round(inter / F.size("sh1").cast("double"), 6)
+    c21 = F.round(inter / F.size("sh2").cast("double"), 6)
+    return (
+        verified.withColumn("containment_1in2", c12)
+        .withColumn("containment_2in1", c21)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(
+            (F.col("containment_1in2") >= containment_threshold)
+            | (F.col("containment_2in1") >= containment_threshold)
+        )
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            F.col("n_probe_hits").cast("bigint").alias("n_probe_hits"),
             "containment_1in2",
             "containment_2in1",
             "jaccard",

@@ -621,6 +621,11 @@ def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    # NOTE: the zip_with shingle builder wins here (measured 1.46 s vs
+    # 3.8 s for the slice-in-lambda variant at sf0.1) while the
+    # opposite holds in llm_decontam_substring — whether Catalyst
+    # collapses the tokens() projection into the lambda (re-tokenizing
+    # per element) decides which formulation is O(n·k); always measure.
     g = d.select(
         "doc_id",
         F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
@@ -679,9 +684,10 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage quality score: build a vocabulary from the
     train split (tokens with total frequency ≥ 3), then score every
     test document by its out-of-vocabulary token rate — the integer-
-    arithmetic core of CCNet-style LM quality filtering (a full LM
-    perplexity needs log-prob sums, which are not bit-portable across
-    engines; OOV rate keeps the decision signal and stays exact).
+    arithmetic core of CCNet-style LM quality filtering (the full LM
+    perplexity companion is llm_ngram_perplexity below, which makes
+    log-prob sums bit-portable via the rounded-ln + decimal-sum
+    contract; OOV rate is the cheaper pure-integer signal).
 
     Scale shape: vocabulary build is one map-combinable aggregation on
     the token; scoring is a token-level hash join against the vocab
@@ -822,5 +828,213 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
             F.size("chunk").cast("bigint").alias("chunk_tokens"),
             F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "llm_ngram_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c2 AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+      WHERE split = 'train' GROUP BY gram
+    ),
+    c1 AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             CAST(COUNT(*) AS BIGINT) AS c1
+      FROM bg WHERE split = 'train' GROUP BY 1
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t WHERE split = 'train')
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             ROUND(LN((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 0.5)
+                      / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + 0.5 * v.v)),
+                   8) AS lp
+      FROM bg b
+      LEFT JOIN c2 ON b.gram = c2.gram
+      LEFT JOIN c1 ON string_split(b.gram, ' ')[1] = c1.w1
+      CROSS JOIN vocab v
+      WHERE b.split = 'test'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-(CAST(SUM(CAST(lp AS DECIMAL(30,8))) AS DOUBLE))
+                 / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style n-gram LM quality scoring — the CCNet/Gopher-era
+    perplexity filter: train an add-k-smoothed bigram LM on the train
+    split, score every test document by mean negative log-likelihood
+    (log-perplexity; exp() of it is the perplexity, left in log space
+    so the score stays bit-portable). P(w2|w1) = (c(w1 w2) + 0.5) /
+    (c(w1·) + 0.5·V) with V the train unigram vocabulary.
+
+    Float contract (same as llm_index_bm25): every count is exact
+    BIGINT, each bigram's probability is one identical IEEE expression
+    tree on both engines, the single LN rounds to 8 decimals, and the
+    per-document sum accumulates in DECIMAL(30,8) — order-independent,
+    so DuckDB hash-matches exactly.
+
+    Scale shape: two map-combinable count aggregations build the LM
+    (bigram + context tables — at 100 TB these ARE the model, stored
+    as parquet and reused across scoring runs); scoring is two hash
+    joins on the bigram/context keys (AQE broadcasts when the LM is
+    small) + a 1-row vocabulary broadcast + a per-doc partial-agg
+    rollup. No collect, no UDF, no iteration."""
+    from parquet_importer_spark.functions.text import shingles_all
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    base = d.select(
+        "doc_id",
+        F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
+        tokens(F.col("text")).alias("toks"),
+        shingles_all(F.col("text"), 2).alias("grams"),
+    ).filter(F.size("toks") >= 2)
+    bg = base.select("doc_id", "split", F.explode("grams").alias("gram"))
+    train_bg = bg.filter(F.col("split") == "train")
+    c2 = train_bg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    c1 = (
+        train_bg.select(F.split("gram", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 0.5)
+            / (
+                F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                + 0.5 * F.col("v")
+            )
+        ),
+        8,
+    )
+    scored = (
+        bg.filter(F.col("split") == "test")
+        .join(c2, "gram", "left")
+        .join(
+            c1,
+            F.split(bg["gram"], " ").getItem(0) == F.col("w1"),
+            "left",
+        )
+        .join(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+@query(
+    "llm_decontam_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SPLIT_CASE} AS split, {_TOKS} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> md5(array_to_string(toks[i:i+7], ' ')))) AS dig
+      FROM t WHERE len(toks) >= 8
+    ),
+    train AS (SELECT DISTINCT dig FROM g WHERE split = 'train'),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN train USING (dig)
+      WHERE g.split = 'test'
+    ),
+    td AS (SELECT doc_id, source FROM t WHERE split = 'test')
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           ROUND(1.0 - CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS retention_rate
+    FROM td LEFT JOIN hits h USING (doc_id)
+    GROUP BY source
+    """,
+)
+def llm_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination at a LONG n-gram size (8 tokens —
+    the GPT-3/PaLM-style exact-overlap rule, vs llm_contamination_ngram's
+    5-gram sweep): a test document sharing ANY verbatim 8-token span
+    with the train split is contaminated; report per-source retention —
+    the suffix-array-free formulation (membership of fixed-length gram
+    digests reproduces 'is any ≥n-token substring shared' exactly,
+    because every longer shared substring contains a shared n-gram).
+
+    Scale shape: both sides reduce to slim md5(gram) digests before any
+    join (32-hex keys shuffle, never text); the train side dedups to
+    DISTINCT digests (one partial-agg pass); the test-side membership
+    join is digest-keyed and AQE-broadcastable; the verdict rollup is
+    doc-level then source-level partial aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 9, 2)
+    t = d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    # gram digests via slice-in-lambda over the MATERIALIZED toks column
+    # (one pass, O(n·k)); the chained zip_with shingle builder measured
+    # 3× slower at k=8 — its k passes rebuild progressively longer
+    # prefix strings
+    g = (
+        t.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7), "
+                    "i -> md5(concat_ws(' ', slice(toks, i, 8))))"
+                )
+            ).alias("dig"),
+        )
+    )
+    train = g.filter(F.col("split") == "train").select("dig").distinct()
+    hits = (
+        g.filter(F.col("split") == "test")
+        .join(train, "dig")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    td = t.filter(F.col("split") == "test").select("doc_id", "source")
+    return (
+        td.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+            F.count("hit").cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.lit(1.0) - F.count("hit").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("retention_rate"),
         )
     )

@@ -505,3 +505,365 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, float(v[i]), float(eigval)) for i in range(dim)],
         "pos int, component double, eigenvalue double",
     )
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 64
+    ),
+    assigned AS (
+      SELECT id AS vec_id, cid AS cluster, v, cosc AS cos_centroid FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+               ROUND({oracle_cosine('e.embedding', 'c.cvec')}, 6) AS cosc,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({oracle_cosine('e.embedding', 'c.cvec')}, 6)
+                            DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cos_centroid AS ca, b.cos_centroid AS cb
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND({oracle_cosine('a.v', 'b.v')}, 6) >= 0.4
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN (ca, id_a) > (cb, id_b)
+                           THEN id_a ELSE id_b END AS vec_id
+      FROM pairs
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.cos_centroid,
+           d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN drops d USING (vec_id)
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public method: Abbas et al. 2023):
+    cluster the embedding space, then call any within-cluster pair above
+    a cosine threshold semantically duplicated and keep ONE member — the
+    member closer to the centroid is dropped (the kept, more peripheral
+    point preserves diversity, per the paper), ties by vec_id. Output is
+    the full corpus with keep/drop verdicts.
+
+    Deterministic parameterization for oracle parity: the 64 centroids
+    are the first 64 vectors (swap kmeans_centroids for learned ones —
+    rows-only — exactly as llm_sim_ivf_kmeans does for IVF); threshold
+    0.4 suits the random test corpus (real embedding spaces use ~0.95).
+    k=64 keeps the within-cluster quadratic ~n²/64 — the k-scaling IS
+    SemDeDup's cost control (the paper runs k in the tens of thousands
+    at corpus scale).
+
+    Scale shape: centroid table broadcasts (KB-scale); assignment is a
+    map + one slim per-vector window; the pairwise stage is bounded
+    per-cluster (the SemDeDup cost model — with balanced k-means the
+    within-cluster quadratic is n²/k, and a max-cluster cap bounds any
+    degenerate cluster exactly like the LSH max_bucket valve)."""
+    from pyspark.sql import Window
+
+    from parquet_importer_spark.functions.vectors import cosine
+
+    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cosc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            cosc.desc(), F.col("cid").asc()
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.col("embedding").alias("v"),
+            cosc.alias("cos_centroid"),
+        )
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cos_centroid").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cos_centroid").alias("cb"),
+    )
+    pairs = a.join(b, "cluster").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+    )
+    drops = pairs.select(
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assigned.join(
+            F.broadcast(drops.withColumn("dropped", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "cos_centroid",
+            F.col("dropped").isNull().alias("keep"),
+        )
+    )
+
+
+def _pq_subdist_sql(a: str, b: str, lo: str, hi: str) -> str:
+    """DuckDB SQL: rounded squared-L2 distance between slices
+    [lo:hi] of two float vectors (same left fold as the Spark side)."""
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({a}[{lo}:{hi}], "
+        f"{b}[{lo}:{hi}]), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)"
+    )
+
+
+_PQ_ENC_COLS = ", ".join(
+    f"CAST(MIN([{_pq_subdist_sql('e.embedding', 'c.cvec', str(j * 16 + 1), str((j + 1) * 16))},"
+    f" CAST(c.cid AS DOUBLE)])[2] AS INT) AS c{j}"
+    for j in range(4)
+)
+
+_PQ_ADC_CASE = " ".join(
+    f"WHEN {j} THEN {_pq_subdist_sql('q.qvec', 'c.cvec', str(j * 16 + 1), str((j + 1) * 16))}"
+    for j in range(4)
+)
+
+
+@query(
+    "llm_sim_pq",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 16
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT e.vec_id, {_PQ_ENC_COLS}
+      FROM embeddings e CROSS JOIN cb c GROUP BY e.vec_id
+    ),
+    adc AS (
+      SELECT c.cid, j.j,
+             CASE j.j {_PQ_ADC_CASE} END AS tdist
+      FROM cb c CROSS JOIN q CROSS JOIN
+           (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    melted AS (
+      SELECT vec_id, j.j,
+             CASE j.j WHEN 0 THEN c0 WHEN 1 THEN c1
+                      WHEN 2 THEN c2 ELSE c3 END AS code
+      FROM enc CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    )
+    SELECT m.vec_id,
+           ROUND(CAST(SUM(CAST(a.tdist AS DECIMAL(30,6))) AS DOUBLE), 6)
+             AS approx_dist
+    FROM melted m JOIN adc a ON m.j = a.j AND m.code = a.cid
+    GROUP BY m.vec_id
+    ORDER BY approx_dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ half of IVF-PQ — the memory side of
+    production ANN): each 64-dim vector splits into 4 subvectors,
+    each encoded as its nearest of 16 sub-centroids (4 bytes/vector vs
+    256), and the query scores every vector by Asymmetric Distance
+    Computation — summing 4 precomputed query↔centroid subdistances
+    from a 64-entry lookup table instead of touching the raw vector.
+
+    Deterministic parameterization (codebook = subvectors of the first
+    16 embeddings, ties by centroid id; swap in learned sub-centroids
+    exactly as llm_sim_ivf_kmeans does) keeps every encode and score
+    oracle-reproducible: subdistances are identical left folds rounded
+    to 6, the argmin is MIN over [dist, cid] arrays (lexicographic —
+    the tie rule is IN the data), and the 4-term ADC sum accumulates
+    in decimal so grouping order cannot matter.
+
+    Scale shape: the codebook (KB) broadcasts into the one-pass encode
+    aggregation; the ADC table is 64 rows broadcast into the melted
+    (vector, subspace, code) join; scoring never reads raw vectors —
+    at 100 TB the encode output (4 ints/vector) IS the stored index,
+    and queries cost a table lookup + TakeOrderedAndProject."""
+    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
+    cb = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+
+    def subdist(vec, cvec, j):
+        a = F.slice(vec, j * 16 + 1, 16)
+        b = F.slice(cvec, j * 16 + 1, 16)
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    a,
+                    b,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.array(
+                        subdist(F.col("embedding"), F.col("cvec"), j),
+                        F.col("cid").cast("double"),
+                    )
+                )
+                .getItem(1)
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(4)
+            ]
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    adc = (
+        cb.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(
+                    *[subdist(F.col("qvec"), F.col("cvec"), j) for j in range(4)]
+                )
+            ).alias("j", "tdist"),
+        )
+    )
+    melted = enc.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(4)])).alias(
+            "j", "code"
+        ),
+    )
+    return (
+        melted.join(
+            F.broadcast(adc),
+            (melted["j"] == adc["j"]) & (melted["code"] == adc["cid"]),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tdist").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("approx_dist")
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "llm_emb_whiten",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i.i - 1 AS pos,
+             ROUND(CAST(embedding[i.i] AS DOUBLE), 6) AS xq
+      FROM embeddings, LATERAL (
+        SELECT unnest(range(1, len(embedding) + 1)) AS i
+      ) i
+    ),
+    stats AS (
+      SELECT pos,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             ROUND(CAST(SUM(CAST(xq AS DECIMAL(30,8))) AS DOUBLE), 6)
+               / COUNT(*) AS mean,
+             ROUND(CAST(SUM(CAST(ROUND(xq * xq, 12) AS DECIMAL(32,12)))
+                        AS DOUBLE), 12) / COUNT(*) AS m2,
+             MAX(CASE WHEN vec_id = 0 THEN xq END) AS qx
+      FROM ex GROUP BY pos
+    )
+    SELECT pos, n_vectors,
+           ROUND(mean, 6) AS mean,
+           ROUND(sqrt(m2 - mean * mean), 6) AS std,
+           ROUND(CASE WHEN sqrt(m2 - mean * mean) > 0
+                      THEN (qx - mean) / sqrt(m2 - mean * mean)
+                      ELSE 0.0 END, 6) AS q_whitened
+    FROM stats
+    """,
+)
+def llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding whitening statistics: per-dimension corpus mean and
+    standard deviation (the fit half of a whitening transform — the
+    standard post-processing that removes per-dimension bias/scale
+    before cosine retrieval), plus the query vector (vec_id 0)
+    standardized against them as the applied example.
+
+    Bit-portability: components quantize to the 6-dp grid and both
+    moments (Σx, Σx²) accumulate in exact decimal (the centroid-dist
+    recipe, extended to second moments via a 12-dp product grid);
+    variance, sqrt, and the standardization are then single IEEE ops
+    over identical doubles.
+
+    Scale shape: one explode → per-dimension partial-aggregated
+    groupBy (d groups — the mergeable element-wise moment pattern, no
+    reducer sees the corpus); the query component rides the SAME
+    aggregation as a conditional max, so the whole operator is one
+    shuffle producing d rows. Applying the transform corpus-wide is
+    then a broadcast of the d-row stats table into a pure map."""
+    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("xf").cast("double"), 6).alias("xq"),
+    )
+    stats = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (
+            F.round(F.sum(F.col("xq").cast("decimal(30,8)")).cast("double"), 6)
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.round(
+                F.sum(
+                    F.round(F.col("xq") * F.col("xq"), 12).cast(
+                        "decimal(32,12)"
+                    )
+                ).cast("double"),
+                12,
+            )
+            / F.count(F.lit(1))
+        ).alias("m2"),
+        F.max(F.when(F.col("vec_id") == 0, F.col("xq"))).alias("qx"),
+    )
+    std = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    return stats.select(
+        "pos",
+        "n_vectors",
+        F.round(F.col("mean"), 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        F.round(
+            F.when(std > 0, (F.col("qx") - F.col("mean")) / std).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("q_whitened"),
+    )

@@ -14,6 +14,7 @@ from parquet_importer_spark.functions.text import (
     bpe_ish_token_count,
     doc_fingerprint,
     lang_id,
+    oracle_quality_select,
     quality_score,
     token_count,
     tokens,
@@ -591,4 +592,248 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         clean.alias("clean"),
         F.length(clean).cast("bigint").alias("n_chars_clean"),
+    )
+
+
+#: shared BPE-training CTE chain (DuckDB side): word-frequency table →
+#: space-delimited symbol strings → 3 greedy merge rounds, each
+#: selecting the max-weighted-frequency adjacent symbol pair (ties by
+#: pair text asc) and applying it with non-overlapping left-to-right
+#: replace — the exact loop the Spark operator runs. Ends with stages
+#: p1/p2/p3 (the merge table) and s3 (the merged vocabulary).
+_BPE_CTES = f"""
+    WITH w AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1
+    ),
+    s0 AS (
+      SELECT word, freq,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+      FROM w
+    ),
+    p1 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS wfreq FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+          i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM s0)
+      ) GROUP BY pair ORDER BY wfreq DESC, pair ASC LIMIT 1
+    ),
+    s1 AS (
+      SELECT word, freq,
+             replace(s, ' ' || p.pair || ' ',
+                     ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s0 CROSS JOIN p1 p
+    ),
+    p2 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS wfreq FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+          i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM s1)
+      ) GROUP BY pair ORDER BY wfreq DESC, pair ASC LIMIT 1
+    ),
+    s2 AS (
+      SELECT word, freq,
+             replace(s, ' ' || p.pair || ' ',
+                     ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s1 CROSS JOIN p2 p
+    ),
+    p3 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS wfreq FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+          i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT freq, string_split(trim(s), ' ') AS syms FROM s2)
+      ) GROUP BY pair ORDER BY wfreq DESC, pair ASC LIMIT 1
+    ),
+    s3 AS (
+      SELECT word, freq,
+             replace(s, ' ' || p.pair || ' ',
+                     ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s2 CROSS JOIN p3 p
+    )
+"""
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3):
+    """Run the BPE merge loop; returns (merge_list, merged_vocab_df).
+
+    merge_list = [(round, pair, wfreq)]; the vocab frame carries
+    (word, freq, s) with s the space-delimited symbol string after all
+    merges. One vocab-sized aggregation + one driver-side 1-row collect
+    per round (the merge TABLE is the model — driver-sized by design,
+    like the d-sized PCA reduce)."""
+    d = read_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    cur = w.withColumn(
+        "s",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+        ),
+    )
+    # the vocab frame is tiny (distinct words); checkpoint it per round
+    # so round r's aggregation doesn't recompute rounds 1..r−1's merges
+    # AND the corpus word count from scratch (same lineage-truncation
+    # discipline as the connected-components loop)
+    cur = cur.localCheckpoint(eager=False)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        # single-symbol words yield no pairs; filter them BEFORE the
+        # transform (Spark's sequence(1, 0) counts DOWN, and
+        # element_at(syms, 0) then errors rather than returning null)
+        syms = cur.withColumn(
+            "syms", F.split(F.trim(F.col("s")), " ")
+        ).filter(F.size("syms") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> concat(element_at(syms, i), ' ', "
+                    "element_at(syms, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("wfreq"))
+            .orderBy(F.col("wfreq").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top.pair, top.wfreq))
+        merged = top.pair.replace(" ", "")
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top.pair} "),
+                F.lit(f" {merged} "),
+            ),
+        ).localCheckpoint(eager=False)
+    return merges, cur
+
+
+@query(
+    "llm_bpe_merge",
+    oracle=_BPE_CTES
+    + """
+    SELECT 1 AS round, pair, wfreq FROM p1
+    UNION ALL SELECT 2, pair, wfreq FROM p2
+    UNION ALL SELECT 3, pair, wfreq FROM p3
+    """,
+)
+def llm_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE tokenizer-TRAINING loop (3 merge rounds), built on
+    llm_bpe_pair_counts' counting step: corpus → word-frequency table →
+    per-round argmax of weighted adjacent-symbol-pair counts → apply
+    the merge → recount. Output is the learned merge table
+    (round, pair, weighted_freq) — BPE's entire model.
+
+    Determinism/portability: merging uses literal non-overlapping
+    left-to-right string replace on space-delimited symbol strings —
+    identical semantics in Spark and DuckDB (a run like 'a a a a'
+    merges alternate pairs per round, the documented greedy-rescan
+    nuance); pair selection ties break on pair text.
+
+    Scale shape: the loop runs over the VOCABULARY (word, freq) table,
+    never the corpus — the standard BPE-trainer optimization: one
+    corpus-wide word count feeds n_merges vocab-sized aggregations,
+    each a partial-agg shuffle of symbol pairs; only the 1-row argmax
+    reaches the driver per round (the merge table IS the model)."""
+    merges, _ = _bpe_train(spark, sf_dir, n_merges=3)
+    return spark.createDataFrame(merges, "round int, pair string, wfreq bigint")
+
+
+@query(
+    "llm_bpe_tokenize",
+    oracle=_BPE_CTES
+    + f"""
+    , vs AS (
+      SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym,
+             CAST(length(word) AS BIGINT) AS n_chr
+      FROM s3
+    ),
+    docs AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT doc_id,
+           CAST(SUM(n_chr) AS BIGINT) AS n_char_syms,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_syms,
+           ROUND(CAST(SUM(n_chr) AS DOUBLE) / SUM(n_sym), 6) AS compression
+    FROM docs JOIN vs USING (word) GROUP BY doc_id
+    """,
+)
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges (llm_bpe_merge's 3-round model) to
+    the corpus: every document's words segment into the post-merge
+    symbols, reported as per-doc symbol counts before (characters) and
+    after (BPE symbols) with the compression ratio — the metric that
+    drives tokenizer-vocabulary sizing decisions.
+
+    Scale shape: tokenization applies to the VOCABULARY once (the
+    merged symbol strings already exist in the training frame), then a
+    single word-level hash join maps every document through it —
+    exactly how production tokenizers amortize: segment distinct words,
+    join, never re-merge per occurrence. The corpus-side cost is one
+    explode + join + per-doc rollup."""
+    _, vocab = _bpe_train(spark, sf_dir, n_merges=3)
+    vs = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("s")), " ")).cast("bigint").alias("n_sym"),
+        F.length("word").cast("bigint").alias("n_chr"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    return (
+        docs.join(vs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chr").cast("bigint").alias("n_char_syms"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_syms"),
+            F.round(
+                F.sum("n_chr").cast("double") / F.sum("n_sym"), 6
+            ).alias("compression"),
+        )
+    )
+
+
+@query(
+    "llm_quality_calibrated",
+    oracle=f"""
+    WITH q AS ({oracle_quality_select('source')})
+    SELECT doc_id, source, quality,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY quality, doc_id), 6)
+             AS calibrated
+    FROM q
+    """,
+)
+def llm_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration: raw heuristic quality scores are
+    not comparable ACROSS sources (a mid-tier web page outscores a
+    top-tier forum post on raw heuristics), so each document's score is
+    quantile-normalized WITHIN its source via percent_rank — a global
+    'keep the top X%' threshold then takes the same fraction from every
+    domain instead of silently draining the low-scoring ones.
+
+    percent_rank = (rank−1)/(n_partition−1) is exact integer arithmetic
+    + one IEEE division, tie-broken by doc_id — bit-identical across
+    engines with no float contract needed.
+
+    Scale shape: one shuffle on source; the rank window shares that
+    partitioning. A skewed mega-source splits into md5 salt buckets
+    whose per-bucket ranks merge with a second pass (same decomposition
+    as the percentile quality filter, SURVEY §8)."""
+    from pyspark.sql import Window
+
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )

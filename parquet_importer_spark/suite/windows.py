@@ -395,3 +395,70 @@ def win_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
         F.max("n_active").cast("bigint").alias("peak_concurrency"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH marked AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(o_orderdate AS DATE)
+               - CAST(DENSE_RANK() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                 ) AS INT) AS island_key
+      FROM orders
+    ),
+    islands AS (
+      SELECT o_custkey, island_key,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS streak_days,
+             MIN(o_orderdate) AS streak_start
+      FROM marked GROUP BY o_custkey, island_key
+    )
+    SELECT o_custkey,
+           CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MIN(streak_start) AS first_order_day
+    FROM islands GROUP BY o_custkey
+    ORDER BY longest_streak DESC, o_custkey ASC
+    LIMIT 25
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the classic streak detector (consecutive-day
+    activity runs per customer) via the row_number-difference trick:
+    for distinct (customer, day) rows sorted per customer,
+    day − dense_rank is CONSTANT exactly within a run of consecutive
+    days, so grouping by that difference materializes each island
+    without any self-join or iteration. dense_rank (not row_number over
+    a pre-distinct) absorbs same-day duplicate orders inside the SAME
+    window pass — a separate distinct() would cost a second exchange on
+    (customer, day). Reported per customer: longest streak, island
+    count, first active day (top-25 by streak).
+
+    Scale shape: one shuffle on the customer key, plan-pinned — the
+    dense_rank window and both rollups all ride that single
+    partitioning (the island GROUP BY key starts with o_custkey), so
+    the whole pattern costs one exchange end-to-end at any corpus size.
+    """
+    d = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    marked = d.withColumn(
+        "island_key",
+        F.date_sub(F.col("o_orderdate"), F.dense_rank().over(w)),
+    )
+    islands = marked.groupBy("o_custkey", "island_key").agg(
+        F.count_distinct("o_orderdate").cast("bigint").alias("streak_days"),
+        F.min("o_orderdate").alias("streak_start"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.max("streak_days").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.min("streak_start").alias("first_order_day"),
+        )
+        .orderBy(F.col("longest_streak").desc(), F.col("o_custkey").asc())
+        .limit(25)
+    )

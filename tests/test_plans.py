@@ -403,3 +403,50 @@ def test_count_min_cells_broadcast(spark):
     plan = plan_of(spark, "agg_count_min")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rank_fusion_has_no_sort_merge_join(spark):
+    """Round-5 rewrite contract: the RRF fusion is union + groupBy-sum —
+    the full-outer SortMergeJoin over the two rank lists (which Spark
+    cannot broadcast) must be gone from the plan."""
+    assert "SortMergeJoin" not in plan_of(spark, "llm_rank_fusion")
+
+
+def test_dedup_affine_shuffles_slim_rows(spark):
+    """The affine-family production-profile LSH must keep the same slim
+    band shuffle contract as llm_dedup_near: only (band, key, doc)
+    crosses the exchange — never shingle or base-hash arrays."""
+    plan = plan_of(spark, "llm_dedup_affine")
+    lines = plan.splitlines()
+    band_exchanges = [
+        i for i, l in enumerate(lines) if "hashpartitioning(band" in l
+    ]
+    assert band_exchanges, "band shuffle missing from plan"
+    child = lines[band_exchanges[0] + 1]
+    assert "sh#" not in child and "hv#" not in child, (
+        f"wide arrays shipped through band shuffle: {child}"
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_gaps_islands_single_customer_exchange(spark):
+    """Dedup, row_number window, and both island rollups must all ride
+    ONE o_custkey hash partitioning — the pattern's whole point."""
+    plan = plan_of(spark, "win_gaps_islands")
+    n = plan.count("Exchange hashpartitioning(o_custkey")
+    assert n == 1, f"expected exactly one customer-key exchange, got {n}"
+
+
+def test_quality_calibrated_single_source_exchange(spark):
+    """The percent_rank window is the only wide op — exactly one
+    exchange, on source."""
+    plan = plan_of(spark, "llm_quality_calibrated")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in plan
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """The centroid table must broadcast into the assignment cross join
+    — a shuffled join against a 16-row table is the scale failure."""
+    plan = plan_of(spark, "llm_semdedup")
+    assert "BroadcastExchange" in plan

@@ -104,3 +104,239 @@ def test_spatial_roundtrip_query_exact(spark):
     for gt, r in rows.items():
         assert r.n_decode_failures == 0, gt
         assert r.n_exact_roundtrip == r.n_rows, gt
+
+
+# ---------------------------------------------------------------------------
+# round-5 operator invariants over PLANTED fixtures: each test writes a
+# tiny documents/embeddings/orders parquet into tmp_path and runs the
+# registered query against it — probing the mathematical guarantee the
+# operator advertises, which oracle parity on random data cannot.
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+
+def _write(tmp_path, name, pdf):
+    path = os.path.join(str(tmp_path), f"{name}.parquet")
+    pdf.to_parquet(path, index=False)
+    return str(tmp_path)
+
+
+def _split_of(doc_id: int) -> str:
+    b = hashlib.md5(f"s9|{doc_id}".encode()).hexdigest()[:2]
+    return "train" if b < "cc" else "test"
+
+
+def _ids_by_split(n=5000):
+    train = [i for i in range(n) if _split_of(i) == "train"]
+    test = [i for i in range(n) if _split_of(i) == "test"]
+    return train, test
+
+
+def test_affine_minhash_pairs_planted_duplicate(spark, tmp_path):
+    """Two identical documents share every band key at ANY profile —
+    the affine family must emit the pair with jaccard 1.0."""
+    from parquet_importer_spark.operators.dedup import (
+        affine_minhash_lsh_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "entirely different words appear here now"),
+            (4, "yet another unrelated document text body")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = affine_minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=128, bands=16,
+        jaccard_threshold=0.5, k=2,
+    ).collect()
+    pairs = {(r.id_1, r.id_2): r for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].jaccard == 1.0
+    assert pairs[(1, 2)].n_shared_bands == 16
+
+
+def test_semdedup_drops_exactly_one_of_identical_pair(spark, tmp_path):
+    """Identical embeddings land in one cluster with cosine 1 ≥ τ —
+    exactly one of the two must be dropped, and every other vector
+    (orthogonal to everything) survives."""
+    from parquet_importer_spark.suite import QUERIES
+
+    dim = 8
+    def unit(i):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+    rows = [(i, unit(i), 0) for i in range(8)]
+    # planted identical pair: vec 20 and 21 both equal axis-0 + axis-1
+    dup = [0.7, 0.7, 0, 0, 0, 0, 0, 0]
+    rows += [(20, dup, 0), (21, dup, 0)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "embeddings", pdf)
+    out = {r.vec_id: r.keep for r in QUERIES["llm_semdedup"](spark, sf).collect()}
+    assert out[20] != out[21], "exactly one of the identical pair survives"
+    assert out[20] or out[21]
+
+
+def test_ngram_perplexity_unseen_scores_higher(spark, tmp_path):
+    """A test doc of train-frequent bigrams must score lower avg_nll
+    than a test doc of bigrams never seen in train."""
+    from parquet_importer_spark.suite import QUERIES
+
+    train, test = _ids_by_split()
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent, "en", "web", len(fluent)) for i in train[:40]]
+    rows.append((test[0], fluent, "en", "web", len(fluent)))
+    gibberish = "zq xv qj vx jz wq"
+    rows.append((test[1], gibberish, "en", "web", len(gibberish)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = {
+        r.doc_id: r.avg_nll
+        for r in QUERIES["llm_ngram_perplexity"](spark, sf).collect()
+    }
+    assert out[test[0]] < out[test[1]], (
+        f"fluent {out[test[0]]} must beat gibberish {out[test[1]]}"
+    )
+    assert all(v > 0 for v in out.values())
+
+
+def test_bpe_merge_learns_planted_pair_and_compresses(spark, tmp_path):
+    """On a corpus dominated by words containing 'ab', the first merge
+    must be 'a b'; applying merges never increases symbol count."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = [(i, "abab abba cab", "en", "web", 13) for i in range(30)]
+    rows += [(100 + i, "xy zw", "en", "web", 5) for i in range(3)]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    merges = {r.round: r for r in QUERIES["llm_bpe_merge"](spark, sf).collect()}
+    assert merges[1].pair == "a b", merges
+    tok = QUERIES["llm_bpe_tokenize"](spark, sf).collect()
+    assert tok
+    for r in tok:
+        assert r.n_bpe_syms <= r.n_char_syms
+        assert r.compression >= 1.0
+
+
+def test_decontam_substring_flags_planted_copy(spark, tmp_path):
+    """A test doc copying a verbatim 8-token span from a train doc is
+    contaminated; an unrelated test doc is retained."""
+    from parquet_importer_spark.suite import QUERIES
+
+    train, test = _ids_by_split()
+    span = "one two three four five six seven eight"
+    rows = [(train[0], f"prefix {span} suffix", "en", "web", 1)]
+    rows.append((test[0], f"stolen {span} indeed", "en", "web", 1))
+    rows.append((test[1], "totally novel words nobody wrote before "
+                          "in any training document ever", "en", "web", 1))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = QUERIES["llm_decontam_substring"](spark, sf).collect()
+    assert len(out) == 1 and out[0].source == "web"
+    assert out[0].n_test_docs == 2
+    assert out[0].n_contaminated == 1
+    assert out[0].retention_rate == 0.5
+
+
+def test_quality_calibrated_is_uniform_within_source(spark):
+    """Within every source, calibrated scores are exactly the uniform
+    grid {0, 1/(n−1), …, 1} and order-isomorphic to (quality, doc_id)."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["llm_quality_calibrated"](spark, SF).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, grp in by_source.items():
+        n = len(grp)
+        grid = sorted(round(i / (n - 1), 6) for i in range(n))
+        assert sorted(r.calibrated for r in grp) == grid, source
+        ordered = sorted(grp, key=lambda r: (r.quality, r.doc_id))
+        assert [r.calibrated for r in ordered] == [
+            round(i / (n - 1), 6) for i in range(n)
+        ], source
+
+
+def test_gaps_islands_planted_streaks(spark, tmp_path):
+    """Customer with days {d, d+1, d+2, d+10, d+11} → longest streak 3,
+    2 islands; duplicate same-day orders must not inflate streaks."""
+    import datetime
+
+    from parquet_importer_spark.suite import QUERIES
+
+    d0 = datetime.date(2024, 1, 1)
+    days = [0, 1, 2, 10, 11]
+    rows = [(7, d0 + datetime.timedelta(days=k)) for k in days]
+    rows.append((7, d0))  # same-day duplicate order
+    rows.append((8, d0))  # singleton customer
+    pdf = pd.DataFrame(rows, columns=["o_custkey", "o_orderdate"])
+    sf = _write(tmp_path, "orders", pdf)
+    out = {r.o_custkey: r for r in QUERIES["win_gaps_islands"](spark, sf).collect()}
+    assert out[7].longest_streak == 3 and out[7].n_islands == 2
+    assert out[7].first_order_day == d0
+    assert out[8].longest_streak == 1 and out[8].n_islands == 1
+
+
+def test_bottomk_catches_small_in_large_containment(spark, tmp_path):
+    """A 10-token doc fully embedded in a 120-token doc has Jaccard
+    ≈ 0.08 — invisible to symmetric banding at any sane knee — but
+    bottom-k probing must catch it with containment 1.0."""
+    from parquet_importer_spark.suite import QUERIES
+
+    big_words = [f"w{i}" for i in range(120)]
+    big = " ".join(big_words)
+    small = " ".join(big_words[50:60])
+    rows = [
+        (1, big, "en", "web", len(big)),
+        (2, small, "en", "web", len(small)),
+        (3, "completely unrelated tokens that never overlap anything",
+         "en", "web", 1),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = {(r.id_1, r.id_2): r for r in QUERIES["llm_dedup_bottomk"](spark, sf).collect()}
+    assert (1, 2) in out, f"contained pair missed: {out}"
+    r = out[(1, 2)]
+    assert r.containment_2in1 == 1.0  # small (id 2) fully inside big
+    assert r.jaccard < 0.15
+
+
+def test_pq_query_encodes_to_itself(spark):
+    """vec 0 is both the query and sub-codebook centroid 0, so its ADC
+    distance is exactly 0 and it must rank first; all ADC distances are
+    nonnegative."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["llm_sim_pq"](spark, SF).collect()
+    assert rows[0].vec_id == 0 and rows[0].approx_dist == 0.0
+    assert all(r.approx_dist >= 0 for r in rows)
+
+
+def test_emb_whiten_planted_moments(spark, tmp_path):
+    """Constant dimension → std 0 and whitened 0; a {0,2} dimension →
+    mean 1, std 1, query standardized exactly."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = [
+        (0, [1.0, 0.0, 5.0], 0),
+        (1, [1.0, 2.0, 7.0], 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    sf = _write(tmp_path, "embeddings", pdf)
+    out = {r.pos: r for r in QUERIES["llm_emb_whiten"](spark, sf).collect()}
+    assert out[0].std == 0.0 and out[0].q_whitened == 0.0
+    assert out[1].mean == 1.0 and out[1].std == 1.0
+    assert out[1].q_whitened == -1.0  # q dim-1 value 0 → (0−1)/1
+    assert out[2].mean == 6.0 and out[2].std == 1.0
+    assert out[2].q_whitened == -1.0

@@ -61,8 +61,16 @@ SHOWCASE = (
     ("llm_contamination_ngram", "one shingle pass; single digest exchange serves the train-membership window AND the per-doc rollup"),
     ("agg_count_min", "≤1024-cell sketch grid broadcast into the probe join; TakeOrderedAndProject top-10"),
     ("llm_dedup_containment", "same slim LSH band shuffle as llm_dedup_near; only the verify metric differs"),
-    ("ts_change_points", "one series-key shuffle; cumsum + argmax ranking share the same sort; all-BIGINT scores"),
-    ("llm_rank_fusion", "two top-k rank lists (dimension-sized) fused by broadcast full-outer join"),
+    ("ts_change_points", "one series-key shuffle; cumsum + argmax ranking share the same sort; decimal(38,0)-exact scores"),
+    ("llm_rank_fusion", "join-free fusion: rank lists union into (doc,src,rank) rows; one tiny groupBy sums RRF terms — no SortMergeJoin"),
+    # round 5 additions
+    ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
+    ("llm_semdedup", "16-row centroid table broadcast into assignment; per-cluster pairwise bounded by cluster size"),
+    ("llm_ngram_perplexity", "two count aggs build the LM; scoring = two hash joins + 1-row vocab broadcast + per-doc rollup"),
+    ("win_gaps_islands", "dense_rank window and both island rollups on ONE o_custkey exchange"),
+    ("llm_quality_calibrated", "percent_rank on a single source-keyed exchange"),
+    ("llm_dedup_bottomk", "bottom-k probes vs capped inverted shingle index; exact containment verify joins back"),
+    ("llm_sim_pq", "KB codebook broadcast into one-pass encode agg; 64-row ADC table broadcast into the code join"),
 )
 
 
