@@ -330,9 +330,9 @@ def minhash_containment_pairs(
     containment_2in1, jaccard) with id_1 < id_2. Candidates still come
     from symmetric MinHash banding, which under-recalls extreme
     small-in-large pairs (their Jaccard, hence band-collision odds, is
-    low) — at production scale swap the banding stage for bottom-k
-    sketches of the SMALLER side; the verify and plan shape stay
-    identical.
+    low) — :func:`bottomk_containment_pairs` below is the bottom-k
+    sketch variant that fixes exactly that (recall 1.0 for full
+    containment); the verify and output schema are shared.
     """
     base = parallelize(df).select(
         F.col(id_col).alias("doc"),

@@ -173,3 +173,23 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
         for r in ivf_topk(emb, qdf, nprobe=4, k=10, centroids=cent).collect()
     }
     assert len(truth & got) >= 6, f"IVF recall too low: {truth & got}"
+
+
+def test_affine_family_production_recall(spark):
+    """The affine universal-hash family must match the seeded-md5
+    family's recall at the production profile — the 128× md5 saving
+    must not cost planted near-duplicates."""
+    from parquet_importer_spark.operators.dedup import (
+        affine_minhash_lsh_pairs,
+    )
+
+    rows, planted = _planted_corpus()
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    recall = _recall(
+        affine_minhash_lsh_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5,
+            **MINHASH_PROFILES["production"],
+        ),
+        planted,
+    )
+    assert recall >= 0.95
