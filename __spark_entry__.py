@@ -82,6 +82,7 @@ _DEFER_ORDER = (
     "llm_dedup_bottomk",
     "llm_sim_pq",
     "llm_emb_whiten",
+    "join_interval_bucketed",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -78,6 +78,7 @@ HEADLINE = (
     "llm_decontam_substring",
     "llm_dedup_bottomk",
     "llm_sim_pq",
+    "join_interval_bucketed",
 )
 
 

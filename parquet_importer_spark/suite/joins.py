@@ -579,3 +579,87 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "click_value",
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.click_id, b.purchase_id,
+           CAST(LEAST(a.s + 600, b.s + 600) - GREATEST(a.s, b.s) AS BIGINT)
+             AS overlap_sec
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.s < b.s + 600 AND b.s < a.s + 600
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between two FACT-sized interval sets — the
+    scale pattern range_join's docstring defers to: when neither side
+    broadcasts, decompose the range predicate into an EQUI-join on
+    (key, coarse time bucket) plus a residual overlap filter. Here:
+    10-minute click windows × 10-minute purchase windows per user
+    (attribution's click-to-purchase overlap), each interval exploded
+    into the 1–2 grid buckets it covers, joined on (user_id, bucket),
+    residual-filtered to true overlap, then deduped (a pair straddling
+    a bucket boundary matches twice).
+
+    Scale shape: one hash shuffle per side on (user_id, bucket) — no
+    BroadcastNestedLoopJoin (plan-pinned), which is what Spark plans
+    for a raw theta join and what dies when both sides are big. Bucket
+    grain trades shuffle width vs residual selectivity; intervals
+    spanning many buckets explode proportionally (cap grain at the
+    interval's typical length). Timestamps truncate to seconds BEFORE
+    arithmetic (parquet ns vs Spark µs vs DuckDB ns precision), so
+    overlap seconds are exact BIGINTs."""
+    ev = read_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint")
+
+    def side(etype, idname):
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("event_id").alias(idname), sec.alias("s")
+        )
+
+    a = side("click", "click_id").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / 600), F.floor((F.col("s") + 600) / 600)
+            )
+        ),
+    )
+    b = side("purchase", "purchase_id").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / 600), F.floor((F.col("s") + 600) / 600)
+            )
+        ),
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.s") < F.col("b.s") + 600)
+        & (F.col("b.s") < F.col("a.s") + 600),
+    )
+    return joined.select(
+        F.col("a.user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.least(F.col("a.s") + 600, F.col("b.s") + 600)
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        )
+        .cast("bigint")
+        .alias("overlap_sec"),
+    ).distinct()

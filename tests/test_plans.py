@@ -450,3 +450,12 @@ def test_semdedup_broadcasts_centroids(spark):
     — a shuffled join against a 16-row table is the scale failure."""
     plan = plan_of(spark, "llm_semdedup")
     assert "BroadcastExchange" in plan
+
+
+def test_interval_bucketed_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval join's whole point: the range predicate
+    must ride an equi-join on (user_id, bucket), never the
+    BroadcastNestedLoopJoin Spark plans for a raw theta join."""
+    plan = plan_of(spark, "join_interval_bucketed")
+    assert "NestedLoop" not in plan
+    assert "bucket" in plan

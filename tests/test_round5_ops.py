@@ -340,3 +340,29 @@ def test_emb_whiten_planted_moments(spark, tmp_path):
     assert out[1].q_whitened == -1.0  # q dim-1 value 0 → (0−1)/1
     assert out[2].mean == 6.0 and out[2].std == 1.0
     assert out[2].q_whitened == -1.0
+
+
+def test_interval_bucketed_planted_overlap_and_dedup(spark, tmp_path):
+    """A click/purchase pair overlapping across a bucket boundary must
+    appear exactly ONCE with the exact overlap; disjoint and
+    other-user pairs must not appear."""
+    import datetime
+
+    from parquet_importer_spark.suite import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 8, 0)  # straddles 0:00/0:10 grid
+    rows = [
+        (1, 7, "click", 0.0, t0),
+        (2, 7, "purchase", 0.0, t0 + datetime.timedelta(minutes=5)),
+        (3, 7, "purchase", 0.0, t0 + datetime.timedelta(minutes=30)),
+        (4, 8, "purchase", 0.0, t0 + datetime.timedelta(minutes=5)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    out = QUERIES["join_interval_bucketed"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.click_id, r.purchase_id) == (7, 1, 2)
+    assert r.overlap_sec == 300  # 10-min windows offset by 5 min

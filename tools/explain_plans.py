@@ -71,6 +71,7 @@ SHOWCASE = (
     ("llm_quality_calibrated", "percent_rank on a single source-keyed exchange"),
     ("llm_dedup_bottomk", "bottom-k probes vs capped inverted shingle index; exact containment verify joins back"),
     ("llm_sim_pq", "KB codebook broadcast into one-pass encode agg; 64-row ADC table broadcast into the code join"),
+    ("join_interval_bucketed", "two fact interval sets: equi-join on (user_id, bucket) + residual overlap — no NestedLoop"),
 )
 
 

@@ -4,7 +4,8 @@ gate can't see: decimal→double conversion drift (SURVEY §7.4.8), tie
 instability in larger groups, float sums crossing representability
 thresholds.
 
-Run: python tools/parity_sweep.py [sf_dir]   (exit 1 on any mismatch)
+Run: python tools/parity_sweep.py [sf_dir [query_name ...]]
+(exit 1 on any mismatch; with names given, only those oracle pairs run)
 """
 import os
 import sys
@@ -41,6 +42,12 @@ for t in (
 # handling + first-diff reporting) so this tool can never disagree with
 # tests/test_parity.py on the same data
 from tests.parity import compare  # noqa: E402
+
+only = set(sys.argv[2:])
+if only:
+    unknown = only - set(oracles)
+    assert not unknown, f"unknown oracle names: {sorted(unknown)}"
+    oracles = {k: v for k, v in oracles.items() if k in only}
 
 fails = 0
 for name in oracles:
