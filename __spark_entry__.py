@@ -83,6 +83,7 @@ _DEFER_ORDER = (
     "llm_sim_pq",
     "llm_emb_whiten",
     "join_interval_bucketed",
+    "stream_transform_with_state",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -1293,3 +1293,142 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / den, 6).alias("autocorr"),
     )
+
+
+@query("stream_transform_with_state")  # rows-only: custom stateful operator
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas —
+    Spark 4's successor to applyInPandasWithState (SPARK-46815): a
+    StatefulProcessor object with NAMED, individually-typed state
+    variables (plus timers and TTL in the full API) instead of one
+    monolithic state tuple. Here: per-user ValueState carrying
+    (n_events, total_cents) rolled forward across micro-batches —
+    the per-key-model extension point (counters, CEP, online stats)
+    that built-in streaming aggregates can't express.
+
+    AvailableNow drains the fixture; state lives in the per-partition
+    state store exactly as in a continuous run, so the plumbing is the
+    production shape. Values accumulate as integer cents — exact and
+    order-independent across batch boundaries.
+
+    ENV GATE: the transformWithState Python worker needs the protobuf
+    package (its state-server protocol is proto-encoded), which this
+    container does not ship — when `google.protobuf` is missing the
+    operator computes the IDENTICAL result through
+    applyInPandasWithState (one packed state tuple instead of named
+    state variables), keeping the query surface and output stable;
+    with protobuf present the real StatefulProcessor path runs."""
+    from parquet_importer_spark.streaming.microbatch import as_stream_dir
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    source = spark.readStream.schema(schema).parquet(
+        as_stream_dir(table_path(sf_dir, "events"))
+    )
+    out_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            # self-contained: executor workers don't import this package
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.totals = handle.getValueState(
+                    "totals", "n bigint, cents bigint"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd  # noqa: PLC0415
+
+                prev = self.totals.get() if self.totals.exists() else (0, 0)
+                n, cents = int(prev[0]), int(prev[1])
+                for pdf in rows:
+                    n += len(pdf)
+                    # quantize PER ROW: the total is then independent
+                    # of how rows split across batches
+                    cents += int(
+                        (pdf["value"].astype(float) * 100)
+                        .round()
+                        .astype("int64")
+                        .sum()
+                    )
+                self.totals.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_cents": [cents],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        stream = source.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import (  # noqa: PLC0415
+            GroupStateTimeout,
+        )
+
+        def running_totals(key, pdfs, state):
+            # same semantics, packed state tuple
+            import pandas as pd  # noqa: PLC0415
+
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"].astype(float) * 100)
+                    .round()
+                    .astype("int64")
+                    .sum()
+                )
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        stream = source.groupBy("user_id").applyInPandasWithState(
+            running_totals,
+            outputStructType=out_schema,
+            stateStructType="n bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest emission per user = the final running totals
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+    )

@@ -366,3 +366,33 @@ def test_interval_bucketed_planted_overlap_and_dedup(spark, tmp_path):
     r = out[0]
     assert (r.user_id, r.click_id, r.purchase_id) == (7, 1, 2)
     assert r.overlap_sec == 300  # 10-min windows offset by 5 min
+
+
+def test_transform_with_state_matches_batch_totals(spark):
+    """The stateful streaming totals must equal the same aggregation
+    computed in one batch pass — state rolled across micro-batches
+    loses nothing (integer-cents accumulation is order-exact)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in QUERIES["stream_transform_with_state"](spark, SF).collect()
+    }
+    # groundtruth batch pass: per-partition int-cent sums then total —
+    # same quantize-then-sum arithmetic as the stateful path
+    ev = read_table(spark, SF, "events").toPandas()
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        want[int(uid)] = (
+            len(grp),
+            int(
+                (grp["value"].astype(float) * 100)
+                .round()
+                .astype("int64")
+                .sum()
+            ),
+        )
+    assert got == want
