@@ -84,6 +84,7 @@ _DEFER_ORDER = (
     "llm_emb_whiten",
     "join_interval_bucketed",
     "stream_transform_with_state",
+    "source_xml_roundtrip",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

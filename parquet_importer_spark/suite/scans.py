@@ -219,3 +219,30 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "row_group int, num_rows long, key_min long, key_max long",
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT n_name, n_regionkey
+    FROM nation ORDER BY n_name
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source format — NATIVE in Spark 4 (SPARK-44265, the former
+    spark-xml package folded into core): export nation to XML with a
+    row tag, read back with an explicit schema, verify row-for-row vs
+    the parquet oracle. XML remains the interchange format of
+    enterprise feeds (SEPA/ISO-20022, RSS/sitemaps in crawl pipelines);
+    both edges are per-partition part-files, so ingest scales out like
+    every other file source."""
+    out = _roundtrip_dir("xml")
+    src = read_table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    src.write.mode("overwrite").format("xml").option("rowTag", "row").save(out)
+    back = (
+        spark.read.schema("n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "row")
+        .load(out)
+    )
+    return back.orderBy("n_name")
