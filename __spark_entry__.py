@@ -85,6 +85,14 @@ _DEFER_ORDER = (
     "join_interval_bucketed",
     "stream_transform_with_state",
     "source_xml_roundtrip",
+    # round-5 late additions (same session): line-level dedup, DSIR
+    # importance weights, char entropy, triangle counting, seasonal
+    # decomposition — window has ~21 free slots, all five land
+    "llm_line_dedup",
+    "llm_dsir_weights",
+    "llm_char_entropy",
+    "graph_triangle_count",
+    "ts_seasonal_decompose",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

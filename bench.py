@@ -79,6 +79,12 @@ HEADLINE = (
     "llm_dedup_bottomk",
     "llm_sim_pq",
     "join_interval_bucketed",
+    # round 5 late additions: corpus-wide line-level dedup (FineWeb
+    # stage), degree-oriented triangle counting, windowed seasonal
+    # decomposition
+    "llm_line_dedup",
+    "graph_triangle_count",
+    "ts_seasonal_decompose",
 )
 
 

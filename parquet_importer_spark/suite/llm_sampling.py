@@ -1038,3 +1038,138 @@ def llm_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+# 2-gram shingles WITH multiplicity — mirrors functions.text.shingles_all(k=2)
+_SH2_ALL = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+@query(
+    "llm_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             substr(md5(g.gram), 1, 2) AS bucket
+      FROM t, LATERAL (SELECT unnest({_SH2_ALL}) AS gram) g
+    ),
+    db AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ),
+    ct AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM g
+      WHERE lang = 'en' GROUP BY 1
+    ),
+    cs AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM g GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS ns
+      FROM g
+    ),
+    scored AS (
+      SELECT db.doc_id, db.lang, db.cnt,
+             db.cnt * ROUND(LN(
+               ((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1) / (tot.nt + 256))
+               / ((CAST(COALESCE(cs.cs, 0) AS DOUBLE) + 1) / (tot.ns + 256))
+             ), 8) AS contrib
+      FROM db
+      LEFT JOIN ct USING (bucket)
+      LEFT JOIN cs USING (bucket)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, ANY_VALUE(lang) AS lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(CAST(contrib AS DECIMAL(30,8))) AS DOUBLE)
+                 / SUM(cnt), 6) AS avg_llr
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how target-like its hashed-n-gram feature
+    distribution is. Features are bigrams hashed into 256 md5 buckets;
+    the target distribution is estimated from the English subset, the
+    raw distribution from the whole corpus, both add-one smoothed. A
+    document's score is the mean log-likelihood ratio of its features
+    — the quantity DSIR exponentiates to resample a raw crawl toward
+    a curated target domain.
+
+    Float contract: counts are exact BIGINT, each bucket's log-ratio
+    is one identical IEEE expression rounded to 8 decimals, per-bucket
+    contributions (count x ratio) accumulate in DECIMAL(30,8).
+
+    Scale shape: the two "models" are 256-row bucket tables — built by
+    map-combinable counts, broadcast everywhere (at 100 TB the hashed
+    feature space stays 256 rows no matter the corpus size; that
+    dimensionality cap is DSIR's entire point). Per-doc work is one
+    explode → (doc,bucket) partial agg → two broadcast joins → rollup.
+    No collect, no UDF, no iteration."""
+    from parquet_importer_spark.functions.text import shingles_all
+
+    d = read_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles_all(F.col("text"), 2)).alias("gram"),
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("gram"), 1, 2).alias("bucket")
+    )
+    db = g.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ct = (
+        g.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    cs = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    tot = g.agg(
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+    )
+    lr8 = F.round(
+        F.log(
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1)
+                / (F.col("nt") + 256)
+            )
+            / (
+                (F.coalesce(F.col("cs"), F.lit(0)).cast("double") + 1)
+                / (F.col("ns") + 256)
+            )
+        ),
+        8,
+    )
+    scored = (
+        db.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cs), "bucket", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "cnt",
+            (F.col("cnt") * lr8).alias("contrib"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(30,8)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("avg_llr"),
+    )

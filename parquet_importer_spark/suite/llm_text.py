@@ -837,3 +837,93 @@ def llm_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )
+
+
+@query(
+    "llm_char_entropy",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(s) AS n, ch.ch AS ch,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM s, LATERAL (
+        SELECT unnest(list_transform(range(1, len(s) + 1),
+                                     i -> s[i:i])) AS ch
+      ) ch
+      WHERE len(s) >= 1
+      GROUP BY 1, 2, 3
+    ),
+    term AS (
+      SELECT doc_id, n, ch,
+             ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE) / n), 8)
+               AS t
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_chars_nospace,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(-(CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE))
+                 / ANY_VALUE(n), 6) AS entropy
+    FROM term GROUP BY doc_id
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/compression-artifact detector: natural language sits in
+    a narrow entropy band (~4.1 bits for English letters), while
+    base64 blobs, mode-collapsed repetition, and binary spill fall
+    far outside it, so the score feeds the same percentile gates as
+    the other quality signals. Whitespace is stripped first (layout
+    doesn't carry content entropy). Reported in nats.
+
+    Float contract: character counts are exact; each character class
+    contributes ROUND(c * ln(c/n), 8) — one IEEE expression tree —
+    and contributions accumulate in DECIMAL(30,8), so DuckDB
+    hash-matches exactly.
+
+    Scale shape: the 1→n_chars fan-out happens inside an array
+    expression (sequence → transform → explode, pure codegen), the
+    (doc, char) rollup is map-combinable with at most |alphabet|
+    groups per doc, and the final per-doc reduce is a second partial
+    agg. Nothing but (doc_id, char, count) triples ever shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    chars = (
+        d.select("doc_id", s.alias("s"))
+        .filter(F.length("s") >= 1)
+        .select(
+            "doc_id",
+            F.length("s").cast("bigint").alias("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s")),
+                    lambda i: F.substring(F.col("s"), i, F.lit(1)),
+                )
+            ).alias("ch"),
+        )
+    )
+    c = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    t = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double") / F.col("n")),
+        8,
+    )
+    return (
+        c.select("doc_id", "n", t.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_chars_nospace"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                -F.sum(F.col("t").cast("decimal(30,8)")).cast("double")
+                / F.any_value("n"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -1432,3 +1432,95 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 8)
+               / COUNT(*) AS mean_v
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, bucket, mean_v,
+             ROUND(CAST(SUM(CAST(mean_v AS DECIMAL(30,8))) OVER w
+                        AS DOUBLE), 8) / COUNT(*) OVER w AS trend
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ),
+    de AS (
+      SELECT event_type, bucket, mean_v, trend,
+             mean_v - trend AS detrended
+      FROM tr
+    ),
+    se AS (
+      SELECT event_type, bucket, mean_v, trend, detrended,
+             ROUND(CAST(SUM(CAST(detrended AS DECIMAL(30,8))) OVER s
+                        AS DOUBLE), 8) / COUNT(*) OVER s AS seasonal
+      FROM de
+      WINDOW s AS (PARTITION BY event_type, extract(hour FROM bucket))
+    )
+    SELECT event_type, bucket, mean_v, trend, seasonal,
+           detrended - seasonal AS residual
+    FROM se
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series: value = trend + seasonal + residual. Trend is a centered
+    5-point moving average per event type; the seasonal component is
+    the mean detrended value at each hour-of-day (the daily cycle);
+    what remains is the residual an anomaly gate would threshold
+    (ts_anomaly_mad is the robust sibling). This is the
+    decompose-before-detect shape every monitoring pipeline runs.
+
+    Float contract (registry.exact_avg shape, SURVEY §7.4.1): every
+    mean ROUNDs its DECIMAL(30,8)-accumulated sum back onto the 8dp
+    grid and divides LAST — one identical IEEE division on both
+    engines — and differences of identical doubles are never
+    re-rounded (rounding a quotient would sit on a half-point;
+    dividing a grid-snapped sum cannot).
+
+    Scale shape: one partial-agg rollup to hourly grain (the only
+    full-data pass — everything after runs on |types| x |hours| rows),
+    then two window functions over the SAME partition-by-event_type
+    exchange (Catalyst reuses it; the hour-of-day partition is a
+    repartition of already-tiny data). At 100 TB the raw-events
+    rollup is the entire cost and it is map-combinable."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def dec_mean(col: str, over=None) -> F.Column:
+        sm = F.sum(F.col(col).cast(_DEC))
+        ct = F.count(F.lit(1))
+        if over is not None:
+            sm, ct = sm.over(over), ct.over(over)
+        return F.round(sm.cast("double"), 8) / ct
+
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 8)
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-2, 2)
+    )
+    tr = h.withColumn("trend", dec_mean("mean_v", w))
+    de = tr.withColumn("detrended", F.col("mean_v") - F.col("trend"))
+    s = Window.partitionBy("event_type", F.hour("bucket"))
+    se = de.withColumn("seasonal", dec_mean("detrended", s))
+    return se.select(
+        "event_type",
+        "bucket",
+        "mean_v",
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )

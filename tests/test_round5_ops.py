@@ -396,3 +396,107 @@ def test_transform_with_state_matches_batch_totals(spark):
             ),
         )
     assert got == want
+
+
+def test_line_dedup_first_occurrence_and_within_doc(spark, tmp_path):
+    """A 3-token line survives only in its minimal doc_id; a line
+    repeated INSIDE one doc keeps only its first position."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = [
+        (1, "a b c d e f"),          # lines: "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" duplicates doc 1's line
+        (3, "p q r p q r"),          # same line twice within one doc
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf = _write(tmp_path, "documents", pdf)
+    out = {r.doc_id: r for r in QUERIES["llm_line_dedup"](spark, sf).collect()}
+    assert out[1].n_lines == 2 and out[1].n_kept == 2
+    assert out[2].n_lines == 2 and out[2].n_kept == 1
+    assert out[3].n_lines == 2 and out[3].n_kept == 1
+    assert out[2].kept_ratio == 0.5
+
+
+def test_dsir_weights_target_like_scores_higher(spark, tmp_path):
+    """A non-English doc written from target-frequent bigrams must
+    out-score one built from bigrams the target never uses."""
+    from parquet_importer_spark.suite import QUERIES
+
+    en = [(i, "alpha beta gamma delta epsilon", "en") for i in range(10)]
+    other = [(100 + i, "zork quux blarg fnord wibble", "de") for i in range(10)]
+    probe_like = [(200, "alpha beta gamma delta", "de")]
+    probe_unlike = [(201, "zork quux blarg fnord", "de")]
+    pdf = pd.DataFrame(
+        en + other + probe_like + probe_unlike,
+        columns=["doc_id", "text", "lang"],
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = {r.doc_id: r.avg_llr for r in QUERIES["llm_dsir_weights"](spark, sf).collect()}
+    assert out[200] > out[201]
+    assert out[0] > out[100]
+
+
+def test_char_entropy_exact_extremes(spark, tmp_path):
+    """Single-character text has entropy 0; a 4-char uniform alphabet
+    hits ln(4) exactly (round-6)."""
+    from parquet_importer_spark.suite import QUERIES
+
+    pdf = pd.DataFrame(
+        [(1, "aaaa"), (2, "a b c d"), (3, "abab")],
+        columns=["doc_id", "text"],
+    )
+    sf = _write(tmp_path, "documents", pdf)
+    out = {r.doc_id: r for r in QUERIES["llm_char_entropy"](spark, sf).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert abs(out[2].entropy - 1.386294) < 1e-6   # ln(4), whitespace stripped
+    assert abs(out[3].entropy - 0.693147) < 1e-6   # ln(2)
+    assert out[2].n_chars_nospace == 4
+
+
+def test_triangle_count_planted_triangle(spark, tmp_path):
+    """Suppliers 1-2-3 co-occur in 10 orders per pair — more than one
+    σ above the mean over the 8 observed pairs — while five stray
+    pairs co-occur once each: exactly one triangle, counted once per
+    member, and every below-threshold node is excluded entirely."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = []
+    for ok in range(101, 111):
+        rows += [(ok, 1), (ok, 2), (ok, 3)]
+    for ok, (u, v) in zip(
+        range(201, 206), [(1, 4), (2, 5), (3, 6), (4, 5), (5, 6)]
+    ):
+        rows += [(ok, u), (ok, v)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_suppkey"])
+    sf = _write(tmp_path, "lineitem", pdf)
+    out = {r.suppkey: r for r in QUERIES["graph_triangle_count"](spark, sf).collect()}
+    # co-counts: 3 pairs at 10, 5 pairs at 1 → n=8, Σc=35, Σc²=305;
+    # c=10: (80−35)² = 2025 > 8·305 − 35² = 1215 → edge; c=1: 8 < 35 → not
+    assert set(out) == {1, 2, 3}
+    for k in (1, 2, 3):
+        assert out[k].n_triangles == 1 and out[k].degree == 2
+
+
+def test_seasonal_decompose_constant_series_is_all_trend(spark, tmp_path):
+    """A constant series decomposes to trend == value, seasonal == 0,
+    residual == 0 at every bucket."""
+    from datetime import datetime, timedelta
+
+    from parquet_importer_spark.suite import QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i), 7, "click", 10.0, "{}")
+        for i in range(48)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    out = QUERIES["ts_seasonal_decompose"](spark, sf).collect()
+    assert len(out) == 48
+    for r in out:
+        assert r.mean_v == 10.0
+        assert r.trend == 10.0
+        assert r.seasonal == 0.0
+        assert r.residual == 0.0

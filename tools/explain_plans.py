@@ -72,6 +72,11 @@ SHOWCASE = (
     ("llm_dedup_bottomk", "bottom-k probes vs capped inverted shingle index; exact containment verify joins back"),
     ("llm_sim_pq", "KB codebook broadcast into one-pass encode agg; 64-row ADC table broadcast into the code join"),
     ("join_interval_bucketed", "two fact interval sets: equi-join on (user_id, bucket) + residual overlap — no NestedLoop"),
+    # round 5 late additions
+    ("llm_line_dedup", "slim (md5,doc,pos) shuffle; groupBy-min owner table; AQE-broadcastable membership join; per-doc rollup"),
+    ("llm_dsir_weights", "256-row bucket models built map-combinably, broadcast into the (doc,bucket) partial-agg join"),
+    ("graph_triangle_count", "id-oriented edge-iterator: wedge join + closing-edge hash join on slim int pairs; 1-row mean broadcast"),
+    ("ts_seasonal_decompose", "one map-combinable hourly rollup; both window stages on tiny aggregate; event_type exchange reused"),
 )
 
 
