@@ -93,6 +93,8 @@ _DEFER_ORDER = (
     "llm_char_entropy",
     "graph_triangle_count",
     "ts_seasonal_decompose",
+    "ts_ewma",
+    "llm_url_blocklist",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

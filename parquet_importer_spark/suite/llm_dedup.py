@@ -1152,3 +1152,114 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_url_blocklist",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5('u1|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'https://WWW.' ELSE 'https://' END
+               || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN substr(md5('u2|' || CAST(doc_id AS VARCHAR)), 1, 1)
+                            < '8'
+                       THEN '/?utm_source=feed&utm_campaign=x&lang=' || lang
+                       ELSE '?lang=' || lang || '&ref=tw' END AS url
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, lang,
+             regexp_extract(lower(url),
+                            '^[a-z]+://(?:www\\.)?([^/?#]*)', 1) AS host
+      FROM raw
+    ),
+    bl AS (
+      SELECT unnest(['src3.example.com', 'src7.example.com',
+                     'src13.example.com', 'src17.example.com']) AS host
+    ),
+    marked AS (
+      SELECT h.doc_id, h.lang, (bl.host IS NOT NULL) AS blocked
+      FROM hosts h LEFT JOIN bl ON h.host = bl.host
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE blocked) AS BIGINT) AS n_blocked,
+           ROUND(1.0 - CAST(COUNT(*) FILTER (WHERE blocked) AS DOUBLE)
+                 / COUNT(*), 6) AS retention_rate
+    FROM marked GROUP BY lang
+    """,
+)
+def llm_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering — the first gate of every crawl pipeline
+    (RefinedWeb/C4 drop adult, malware, and link-farm DOMAINS before
+    any content-level scoring, because a host verdict is orders of
+    magnitude cheaper than a document verdict). The same synthesized
+    URL universe as llm_dedup_url (the corpus has no URL column;
+    construction documented there); hosts normalize case and strip the
+    www. prefix before matching so WWW.src3.Example.COM hits the
+    blocklist entry src3.example.com. Emits per-language retention so
+    the curation dashboard sees what the cut removed.
+
+    Scale shape: the blocklist — even a production one with millions
+    of hosts — is a broadcast-sized dimension next to a 100 TB crawl;
+    the plan is scan → pure-codegen host extraction → one
+    BroadcastHashJoin mark → partial-agg rollup. No corpus shuffle
+    before the per-language reduce."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def pick(seed: int):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"u{seed}|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+
+    url = F.concat(
+        F.when(pick(1), F.lit("https://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            pick(2),
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=x&lang="),
+                F.col("lang"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?lang="), F.col("lang"), F.lit("&ref=tw"))
+        ),
+    )
+    host = F.regexp_extract(
+        F.lower(url), r"^[a-z]+://(?:www\.)?([^/?#]*)", 1
+    )
+    bl = spark.createDataFrame(
+        [(h,) for h in (
+            "src3.example.com",
+            "src7.example.com",
+            "src13.example.com",
+            "src17.example.com",
+        )],
+        "host string",
+    )
+    marked = (
+        d.select("doc_id", "lang", host.alias("host"))
+        .join(F.broadcast(bl.withColumn("blocked", F.lit(True))), "host", "left")
+        .select("lang", F.coalesce("blocked", F.lit(False)).alias("blocked"))
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if("blocked").cast("bigint").alias("n_blocked"),
+        F.round(
+            F.lit(1.0) - F.count_if("blocked").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("retention_rate"),
+    )

@@ -1524,3 +1524,75 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         (F.col("detrended") - F.col("seasonal")).alias("residual"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id,
+             list(cents) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM x
+    )
+    SELECT event_type, event_id,
+           CAST(len(l) AS BIGINT) AS n_window,
+           (CAST(list_sum(list_transform(range(1, len(l) + 1),
+                  i -> l[i] * (CAST(1 AS BIGINT) << (i - 1))))
+                 AS DOUBLE)
+            / ((CAST(1 AS BIGINT) << len(l)) - 1)) / 100.0 AS ewma
+    FROM w
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event series — the
+    smoothing primitive under alerting thresholds and trend lines.
+    Weights are DYADIC (newest = 2^(K-1), halving back through the
+    16-row window, normalized by 2^K − 1 — the alpha = 1/2 EWMA,
+    truncated and renormalized): with integer-cents inputs every
+    weighted sum is EXACT BIGINT (max |num| ≈ 1e5·2^15·16 ≈ 5e10,
+    well under 2^53, so even the final cast to double is exact), and
+    the only floating ops are one division chain both engines execute
+    identically. Same integer-exactness playbook as ts_change_points'
+    CUSUM; no rounding contract needed at all.
+
+    The Spark side folds the weighted sum in HORNER form —
+    aggregate(reverse(window), acc·2 + x) — so no per-element power
+    or shift is ever built; the oracle's shift-and-sum formulation
+    produces the identical integer.
+
+    Scale shape: one shuffle on the series key; the 16-row frame
+    bounds both state and the fold. collect_list carries 16 BIGINTs
+    per row — 128 bytes, not a corpus."""
+    ev = read_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    l = F.collect_list("cents").over(w)
+    out = x.select("event_type", "event_id", l.alias("l"))
+    num = F.aggregate(
+        F.reverse("l"),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + v,
+    )
+    den = F.pow(F.lit(2.0), F.size("l")).cast("bigint") - 1
+    return out.select(
+        "event_type",
+        "event_id",
+        F.size("l").cast("bigint").alias("n_window"),
+        ((num.cast("double") / den) / F.lit(100.0)).alias("ewma"),
+    )

@@ -1,5 +1,13 @@
-"""§2.K — user-extensible function surface (all rows-only: the Python
-boundary is exactly what a SQL oracle can't see).
+"""§2.K — user-extensible function surface, ALL oracle-checked: the
+Python boundary is no excuse for unverifiable results. Each UDF keeps
+its arithmetic on a contract a SQL oracle can reproduce bit-for-bit —
+exact integers where possible (udf_arrow, udf_scalar, udtf_flatmap),
+integer-cents quantization + identical IEEE division chains where
+floats are intrinsic (udaf_grouped), or raw un-rounded IEEE ops both
+engines execute identically (udf_pandas). Library rounding helpers
+(np.round / Python round()) are BANNED inside oracle-checked UDFs:
+they round half-to-even while Spark/DuckDB ROUND go half-away — use
+floor(x + 0.5) style expressions mirrored verbatim in the oracle.
 
 The reference exposes no function surface at all (SURVEY §2.K); these
 are the four extension points a Spark engine offers, fastest first:
@@ -20,10 +28,20 @@ from parquet_importer_spark.io import read_table
 from parquet_importer_spark.registry import query
 
 
-@query("udf_scalar")  # rows-only: Python boundary
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT CASE WHEN CAST(string_split(o_orderpriority, '-')[1] AS INT) <= 2
+                THEN 'expedite' ELSE 'standard' END AS prio_class,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF — the slow path, kept off hot paths; here
-    for surface completeness (arbitrary user logic)."""
+    for surface completeness (arbitrary user logic). String parsing +
+    integer compare is exact on both engines, so even this boundary is
+    oracle-checked."""
 
     @F.udf(T.StringType())
     def priority_class(prio: str) -> str:
@@ -38,16 +56,26 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_pandas")  # rows-only: Python boundary
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT o_orderkey, (o_totalprice - 150000.0) / 50000.0 AS price_z
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
 def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar pandas UDF (~10-100× the row UDF): z-score
-    of order totals against broadcast-side constants."""
+    of order totals against broadcast-side constants. The UDF emits the
+    RAW IEEE quotient — numpy executes the identical double subtract +
+    divide the oracle does, so repr-level hash equality holds with no
+    rounding contract (a .round(6) here would be numpy HALF-EVEN vs SQL
+    HALF-UP — the exact trap the module docstring bans)."""
 
     @F.pandas_udf(T.DoubleType())
     def zscore(v: pd.Series) -> pd.Series:
         # constants baked at plan time would be better; shown as a pure
         # vectorized transform over each Arrow batch
-        return ((v - 150000.0) / 50000.0).round(6)
+        return (v - 150000.0) / 50000.0
 
     o = read_table(spark, sf_dir, "orders")
     return o.select(
@@ -55,34 +83,80 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey").limit(100)
 
 
-@query("udaf_grouped")  # rows-only: Python boundary
+@query(
+    "udaf_grouped",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    core AS (
+      SELECT event_type, cents, n,
+             CAST(floor(n * 0.1) AS BIGINT) AS k
+      FROM c
+      WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    )
+    SELECT event_type,
+           (CAST(SUM(cents) AS DOUBLE) / COUNT(*)) / 100.0 AS trimmed_mean,
+           COUNT(*) AS n_used
+    FROM core GROUP BY event_type
+    """,
+)
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped pandas aggregation (applyInPandas): per-event-type 10%
-    trimmed mean — logic no builtin aggregate expresses."""
+    trimmed mean — logic no builtin aggregate expresses. Float contract:
+    values quantize to integer cents via floor(v*100 + 0.5) (HALF-UP,
+    expressible identically in numpy and SQL — np.round would be
+    half-even), the trimmed sum is exact int64, and the only floating
+    ops are the (sum/n)/100 division chain both engines execute
+    identically. Trimming drops the k smallest/largest VALUES, which is
+    tie-order-independent, so the pandas sort and the SQL row_number
+    agree on the surviving multiset."""
 
     def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["value"].sort_values()
         k = int(len(v) * 0.1)
         core = v.iloc[k : len(v) - k] if len(v) > 2 * k else v
+        cents = np.floor(core.to_numpy() * 100 + 0.5).astype("int64")
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "trimmed_mean": [round(float(core.mean()), 6)],
-                "n_used": [len(core)],
+                "trimmed_mean": [(float(cents.sum()) / len(cents)) / 100.0],
+                "n_used": [len(cents)],
             }
         )
 
-    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
     return ev.groupBy("event_type").applyInPandas(
         trimmed, "event_type string, trimmed_mean double, n_used long"
     )
 
 
-@query("udtf_flatmap")  # rows-only: Python boundary
+@query(
+    "udtf_flatmap",
+    oracle=r"""
+    SELECT tok AS token, COUNT(*) AS n_occurrences
+    FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
 def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table function (1→N rows) via mapInPandas: explode each document
     into (doc_id, token, position) rows in pure Python — the shape used
-    when tokenization needs a real tokenizer library."""
+    when tokenization needs a real tokenizer library. Python's
+    str.split() (any-whitespace, no empties) matches the oracle's
+    regex split of trimmed text; counts are exact integers."""
 
     def tokenize(batches):
         for pdf in batches:

@@ -459,3 +459,43 @@ def test_interval_bucketed_join_is_equi_not_nested_loop(spark):
     plan = plan_of(spark, "join_interval_bucketed")
     assert "NestedLoop" not in plan
     assert "bucket" in plan
+
+
+def test_line_dedup_shuffles_digests_not_text(spark):
+    """Only (md5, doc, pos) rows may cross the exchanges — document
+    text must stay below the posexplode, and the within-doc collapse
+    means no Window operator appears anywhere."""
+    plan = plan_of(spark, "llm_line_dedup")
+    assert "Window" not in plan, "line dedup regressed to a window pass"
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in lines[i + 1], (
+                f"document text shipped through a shuffle: {lines[i + 1]}"
+            )
+
+
+def test_dsir_models_broadcast(spark):
+    """Both 256-row bucket model tables and the 1-row totals must
+    broadcast into the per-doc scoring join — shuffling the corpus
+    against a 256-row table is the scale failure."""
+    plan = plan_of(spark, "llm_dsir_weights")
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_triangle_count_no_cartesian_no_float_threshold(spark):
+    """The wedge and closing joins must be hash equi-joins (no
+    cartesian / nested-loop), and the mu+sigma edge cut must appear as
+    decimal arithmetic, never a stddev call."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "stddev" not in plan.lower()
+
+
+def test_seasonal_decompose_single_rollup_shared_exchange(spark):
+    """The raw-events rollup is the only full-data pass; the trend
+    window must reuse the (event_type, bucket) aggregation exchange
+    rather than adding its own full-width shuffle."""
+    plan = plan_of(spark, "ts_seasonal_decompose")
+    assert plan.count("Scan parquet") == 1, "events scanned more than once"
+    assert "Window" in plan

@@ -500,3 +500,67 @@ def test_seasonal_decompose_constant_series_is_all_trend(spark, tmp_path):
         assert r.trend == 10.0
         assert r.seasonal == 0.0
         assert r.residual == 0.0
+
+
+def test_ewma_constant_series_is_identity(spark, tmp_path):
+    """Dyadic weights renormalize to 1, so a constant series smooths
+    to itself exactly at every window size — including the ramp-up
+    rows where the frame holds fewer than 16 points."""
+    from datetime import datetime, timedelta
+
+    from parquet_importer_spark.suite import QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "click", 7.25, "{}")
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    out = QUERIES["ts_ewma"](spark, sf).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.ewma == 7.25
+        assert r.n_window == min(r.event_id + 1, 16)
+
+
+def test_ewma_newest_dominates(spark, tmp_path):
+    """After a step 0 → 100 the EWMA must sit strictly above 50 on the
+    first post-step row (newest weight is half the mass) and approach
+    100 monotonically."""
+    from datetime import datetime, timedelta
+
+    from parquet_importer_spark.suite import QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "click",
+         0.0 if i < 20 else 100.0, "{}")
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = _write(tmp_path, "events", pdf)
+    out = {r.event_id: r.ewma for r in QUERIES["ts_ewma"](spark, sf).collect()}
+    assert out[19] == 0.0
+    assert out[20] > 50.0
+    assert out[20] < out[21] < out[22] <= 100.0
+
+
+def test_url_blocklist_blocks_exactly_planted_source(spark, tmp_path):
+    """Docs whose synthesized host is on the blocklist (source src3)
+    are blocked regardless of the WWW./utm URL variant; an off-list
+    source (src1) survives untouched."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = [(i, "some text", "en", "src3" if i < 6 else "src1")
+            for i in range(10)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    sf = _write(tmp_path, "documents", pdf)
+    out = {r.lang: r for r in QUERIES["llm_url_blocklist"](spark, sf).collect()}
+    assert out["en"].n_docs == 10
+    assert out["en"].n_blocked == 6
+    assert out["en"].retention_rate == 0.4

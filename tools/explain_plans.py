@@ -77,6 +77,8 @@ SHOWCASE = (
     ("llm_dsir_weights", "256-row bucket models built map-combinably, broadcast into the (doc,bucket) partial-agg join"),
     ("graph_triangle_count", "id-oriented edge-iterator: wedge join + closing-edge hash join on slim int pairs; 1-row mean broadcast"),
     ("ts_seasonal_decompose", "one map-combinable hourly rollup; both window stages on tiny aggregate; event_type exchange reused"),
+    ("ts_ewma", "one series-key exchange; 16-row bounded frame; integer Horner fold — no decimal, no rounding"),
+    ("llm_url_blocklist", "pure-codegen host extraction; blocklist BroadcastHashJoin; partial-agg rollup — no corpus shuffle"),
 )
 
 
