@@ -30,7 +30,12 @@ def normalize_by_type(df: DataFrame) -> DataFrame:
             cols.append(F.hex(c).alias(field.name))
         elif isinstance(field.dataType, T.StringType):
             cols.append(F.trim(c).alias(field.name))
-        elif isinstance(field.dataType, T.TimestampType):
+        elif isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            # NTZ included: parquet TIMESTAMP without zone reads back as
+            # TIMESTAMP_NTZ under the UTC session and previously fell
+            # through undispatched (caught by the round-5 oracle)
             cols.append(F.date_trunc("second", c).alias(field.name))
         else:
             cols.append(c)

@@ -5,11 +5,20 @@ through a near-duplicate/similarity graph).
 Same scale discipline as operators/dedup.connected_components: every
 iteration is one slim shuffle (join on node id) + one aggregate, with
 ``localCheckpoint`` truncating lineage so round N's plan doesn't
-re-execute rounds 1..N-1. Ranks are doubles, and double aggregation
-order is engine- and partitioning-dependent, so graph ops are
-rows-only at the driver (never in ``oracle_sql``); the tests assert
-the mathematical invariants (mass conservation, positivity,
-convergence direction) instead of bit equality.
+re-execute rounds 1..N-1.
+
+Float contract (what makes the 10-round fixpoint hash-checkable
+against an UNROLLED SQL oracle): the only order-dependent operation
+in PageRank is the per-node contribution sum, so contributions
+accumulate in DECIMAL(38,15) — c casts to 15 decimals (deterministic:
+decimal midpoints are not representable as binary doubles, so both
+engines' double→decimal casts see no tie), the sum is exact with
+unscaled value ≤ 10^15 < 2^53, and the cast back to double snaps to
+the 15dp grid via ROUND(..., 15) (a ≤1-ulp conversion difference is
+under half the grid step). Every other op — rank/out_deg, the damping
+affine map, dangling/n — is a single identical IEEE expression given
+identical inputs, so ranks match bit-for-bit by induction over
+rounds. The dangling mass uses the same decimal-sum-snap.
 """
 
 from __future__ import annotations
@@ -55,9 +64,16 @@ def pagerank(
     )
     ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
+    _D15 = "decimal(38,15)"
     for _ in range(n_iter):
         dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0]
+            ranks.filter(F.col("out_deg") == 0)
+            .agg(
+                F.round(
+                    F.sum(F.col("rank").cast(_D15)).cast("double"), 15
+                ).alias("d")
+            )
+            .first()[0]
             or 0.0
         )
         contribs = (
@@ -70,7 +86,11 @@ def pagerank(
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+            .agg(
+                F.round(
+                    F.sum(F.col("c").cast(_D15)).cast("double"), 15
+                ).alias("in_mass")
+            )
         )
         ranks = (
             base.join(contribs, "node", "left")

@@ -56,8 +56,8 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_near",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SH2} AS grams FROM t),
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
     sig AS (
       SELECT doc_id, grams,
              list_transform(range(0, 8), s ->
@@ -388,7 +388,94 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # rows-only: double aggregation order across rounds
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """UNROLLED 10-round PageRank oracle: one CTE triple (dangling,
+    contributions, next ranks) per iteration, mirroring operators/
+    graph.pagerank's decimal-sum-snap float contract expression by
+    expression. Edges are the llm_dedup_near LSH pair pipeline (same
+    profile: 8 hashes / 4 bands / jaccard >= 0.1 / 2-gram shingles),
+    both directions."""
+    head = f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
+    sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, grams, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2 FROM cand
+      WHERE ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
+                  / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
+            >= 0.1
+    ),
+    edges AS MATERIALIZED (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    od AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+      FROM edges GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+      SELECT d.doc_id AS node, COALESCE(od.out_deg, 0) AS out_deg
+      FROM documents d LEFT JOIN od ON od.node = d.doc_id
+    ),
+    r0 AS MATERIALIZED (SELECT node, out_deg, 1.0 / nn.n AS rank FROM base CROSS JOIN nn)"""
+    blocks = []
+    for i in range(n_iter):
+        blocks.append(f""",
+    dg{i} AS MATERIALIZED (
+      SELECT COALESCE(ROUND(CAST(SUM(CAST(rank AS DECIMAL(38,15)))
+                                 AS DOUBLE), 15), 0.0) AS d
+      FROM r{i} WHERE out_deg = 0
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             ROUND(CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,15)))
+                        AS DOUBLE), 15) AS in_mass
+      FROM edges e JOIN r{i} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT b.node, b.out_deg,
+             (1.0 - 0.85) / nn.n
+               + 0.85 * (COALESCE(c.in_mass, 0.0) + dg{i}.d / nn.n) AS rank
+      FROM base b CROSS JOIN nn CROSS JOIN dg{i}
+      LEFT JOIN cb{i} c ON c.node = b.node
+    )""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+    SELECT node AS doc_id, ROUND(rank, 8) AS rank FROM r{n_iter}
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the document near-duplicate graph (minhash LSH
     candidate pairs as undirected edges): a centrality signal for
@@ -644,8 +731,8 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_containment",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SH2} AS grams FROM t),
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
     sig AS (
       SELECT doc_id, grams,
              list_transform(range(0, 8), s ->
@@ -715,8 +802,8 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_affine",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SH2} AS grams FROM t),
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
     hv AS (
       SELECT doc_id, grams,
              list_transform(grams, g ->

@@ -441,19 +441,87 @@ def llm_embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_emb_pca_power")  # rows-only: cross-row float sums (order-dependent)
+def _pca_oracle(n_iter: int = 8) -> str:
+    """UNROLLED power-iteration oracle mirroring llm_emb_pca_power's
+    float contract expression by expression: the within-row projection
+    and the cross-dimension norm are LEFT FOLDS (list_reduce ≡ the
+    Spark-side F.aggregate / Python sequential sum — IEEE addition in
+    the identical order), and the only cross-ROW reduction snaps to
+    the 12-decimal grid via DECIMAL(38,12) accumulation. MATERIALIZED
+    keeps DuckDB from inlining each round into the next."""
+    head = """
+    WITH e AS MATERIALIZED (SELECT embedding FROM embeddings),
+    meta AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (SELECT len(embedding) FROM embeddings LIMIT 1) AS d
+      FROM e
+    ),
+    v0 AS MATERIALIZED (
+      SELECT i.i AS pos, 1.0 / sqrt(meta.d) AS comp
+      FROM meta, LATERAL (SELECT unnest(range(1, meta.d + 1)) AS i) i
+    )"""
+    blocks = []
+    for i in range(n_iter):
+        blocks.append(f""",
+    vl{i} AS MATERIALIZED (
+      SELECT list(comp ORDER BY pos) AS v FROM v{i}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT e.embedding,
+             list_reduce(
+               list_transform(range(1, len(e.embedding) + 1),
+                 j -> CAST(e.embedding[j] AS DOUBLE) * vl.v[j]),
+               (a, b) -> a + b) AS s
+      FROM e, vl{i} vl
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT j.j AS pos,
+             ROUND(CAST(SUM(CAST(
+                 CAST(embedding[j.j] AS DOUBLE) * s / meta.n
+               AS DECIMAL(38,12))) AS DOUBLE), 12) AS w
+      FROM s{i}, meta,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS j) j
+      GROUP BY j.j
+    ),
+    eig{i} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(
+               list_transform((SELECT list(w ORDER BY pos) FROM w{i}),
+                              x -> x * x),
+               (a, b) -> a + b)) AS ev
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT w{i}.pos, w{i}.w / eig{i}.ev AS comp FROM w{i}, eig{i}
+    )""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+    SELECT CAST(v.pos - 1 AS INT) AS pos, v.comp AS component,
+           g.ev AS eigenvalue
+    FROM v{n_iter} v, eig{n_iter - 1} g
+    """
+    )
+
+
+@query("llm_emb_pca_power", oracle=_pca_oracle())
 def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus by distributed
     POWER ITERATION — the building block of corpus-level spectral
     diagnostics (anisotropy measurement, whitening, spectral dedup of
-    embedding spaces): v ← normalize(Σ_rows x·(xᵀv)), 8 rounds from a
-    deterministic uniform start.
+    embedding spaces): v ← normalize((1/n)·Σ_rows x·(xᵀv)), 8 rounds
+    from a deterministic uniform start (the 1/n makes it the MEAN
+    outer-product operator — same eigenvectors as Σ x xᵀ, and it keeps
+    every cross-row sum O(feature scale), which the float contract
+    below depends on).
 
-    Why rows-only: each round's per-dimension sums accumulate doubles
-    across rows, which is partition-order-dependent — the INVARIANTS
-    (unit norm, Rayleigh-quotient growth, planted-direction recovery)
-    are pinned in tests/test_round4_ops.py instead of a bit-exact
-    oracle.
+    Float contract (round 5 — was rows-only; same technique as
+    graph_pagerank's unrolled oracle): the within-row projection xᵀv
+    is a LEFT FOLD (deterministic per row), the only cross-ROW sum
+    accumulates DECIMAL(38,12) and snaps back to the 12dp grid
+    (values are O(10), so ulp ≪ grid and the unscaled sum stays under
+    2^53), the norm is a sequential fold over the d snapped
+    components, and every divide is one identical IEEE op — so 8
+    rounds of floats match DuckDB bit-for-bit by induction.
 
     Scale shape: per round, ONE map-side projection (dot product with
     the broadcast v — a 64-float literal, never a join) and one
@@ -473,6 +541,7 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "pos int, component double, eigenvalue double"
         )
     dim = len(head[0][0])
+    n = emb.count()
     v = [1.0 / math.sqrt(dim)] * dim
     eigval = 0.0
     for _ in range(8):
@@ -487,12 +556,20 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = emb.select(
             F.posexplode(
                 F.transform(
-                    F.col("embedding"), lambda x: x.cast("double") * s
+                    F.col("embedding"),
+                    lambda x: x.cast("double") * s / F.lit(n).cast("bigint"),
                 )
             ).alias("pos", "w")
         )
         rows = (
-            contrib.groupBy("pos").agg(F.sum("w").alias("w")).collect()
+            contrib.groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("w").cast("decimal(38,12)")).cast("double"),
+                    12,
+                ).alias("w")
+            )
+            .collect()
         )
         w = [0.0] * dim
         for r in rows:

@@ -207,11 +207,22 @@ def cond_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("filter_dtype_dispatch")  # rows-only: plan-time schema dispatch
+@query(
+    "filter_dtype_dispatch",
+    oracle="""
+    SELECT event_id, date_trunc('second', ts) AS ts, user_id,
+           trim(event_type) AS event_type, value, trim(props) AS props
+    FROM events
+    """,
+)
 def filter_dtype_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan-time type dispatch (reference branches on pandas dtype at
     runtime, app.py:136-157; Spark schemas are static so the branch is
-    resolved while building the plan)."""
+    resolved while building the plan). The dispatch result is pure
+    column-wise normalization — no arithmetic — so the oracle spells
+    out the branch each events column resolves to (timestamp →
+    second-truncate neutralizes the parquet ns / Spark µs precision
+    gap; doubles pass through untouched and hash on identical bits)."""
     from parquet_importer_spark.operators.dispatch import normalize_by_type
 
     return normalize_by_type(read_table(spark, sf_dir, "events"))

@@ -237,7 +237,10 @@ def test_pca_power_recovers_planted_direction(spark):
     assert abs(norm - 1.0) < 1e-9, "component must be unit-norm"
     cos = abs(sum(a * b for a, b in zip(comp, planted)))
     assert cos > 0.99, f"planted direction not recovered (|cos|={cos})"
-    assert out[0].eigenvalue > 100, "dominant eigenvalue must dwarf noise"
+    # the round-5 contract divides by n (mean outer-product operator),
+    # so the dominant eigenvalue is E[scale^2] ~ 9, vs the ~1e-3 noise
+    # floor of the uniform(-0.1, 0.1) perturbations
+    assert out[0].eigenvalue > 5, "dominant eigenvalue must dwarf noise"
 
 
 def test_change_point_finds_planted_shift(spark):
