@@ -95,6 +95,22 @@ _DEFER_ORDER = (
     "ts_seasonal_decompose",
     "ts_ewma",
     "llm_url_blocklist",
+    # round-5 second wave: sketches, robust stats, recursive SQL, and
+    # curation metrics — 13 ops; with the 30-key backlog these fill
+    # window slots 32-44, leaving 6 rotation slots for the verified tail
+    "sql_recursive_cte",
+    "join_asof_tolerance",
+    "agg_percentile_disc",
+    "agg_kmv_distinct",
+    "agg_kmv_union",
+    "llm_sample_weighted",
+    "llm_dedup_normalized",
+    "graph_kcore",
+    "llm_tokenizer_fertility",
+    "llm_ngram_novelty",
+    "llm_rouge_overlap",
+    "ts_sax",
+    "ts_theilsen_trend",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -648,3 +648,319 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    p AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.99]) AS p)
+    SELECT r.o_orderpriority, CAST(p.p AS DOUBLE) AS p,
+           r.o_totalprice AS pct_value, CAST(r.n AS BIGINT) AS n_rows
+    FROM r JOIN p
+      ON r.rn = CAST(CEIL(CAST(p.p AS DOUBLE) * r.n) AS BIGINT)
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc semantics: the
+    SMALLEST value whose cumulative rank reaches p — an actual data
+    element, never an interpolation) per group, at p25/p50/p75/p99.
+    Implemented as explicit rank selection — row_number over the
+    group's sort, pick rn = ceil(p·n) — rather than the builtin, so
+    tie-breaking (by o_orderkey) is pinned and both engines agree
+    bit-for-bit; interpolating percentile_cont variants differ across
+    engines in their blend arithmetic, disc selection cannot.
+
+    Scale shape: one shuffle+sort per group partition (the same
+    exchange serves row_number AND the windowed count), then a
+    broadcast of the 4-row percentile spec. ceil(p·n) is a single
+    identical IEEE multiply on both engines, so the selected rank is
+    deterministic even at p = 0.99 where p has no exact binary form."""
+    o = read_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.99)])).alias("p")
+    )
+    return r.join(
+        F.broadcast(p),
+        F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"),
+    ).select(
+        "o_orderpriority",
+        F.col("p").cast("double").alias("p"),
+        F.col("o_totalprice").alias("pct_value"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketches ------------------------------
+# 60-bit uniform hash = first 15 md5 hex chars; estimator D = (k-1)·U/h(k)
+# with U = 2^60 (Bar-Yossef et al. 2002, the Theta-sketch special case).
+# Every arithmetic step is either exact BIGINT or ONE shared IEEE double
+# op, so the DuckDB oracle reproduces the estimate bit-for-bit.
+
+_KMV_K = 32
+_KMV_U = 1152921504606846976.0  # 2^60, exact as a double
+
+
+def _kmv_est(kth, n_cnt):
+    """(k-1)·U / kth as a floor'd BIGINT; exact count when n < k."""
+    est = F.floor(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_U) / F.col(kth).cast("double")
+    )
+    return F.when(F.col(n_cnt) >= _KMV_K, est).otherwise(
+        F.col(n_cnt)
+    ).cast("bigint")
+
+
+def _kmv_est_sql(kth: str, n_cnt: str) -> str:
+    return (
+        f"CAST(CASE WHEN {n_cnt} >= {_KMV_K} THEN "
+        f"FLOOR(CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976.0 "
+        f"/ CAST({kth} AS DOUBLE)) ELSE {n_cnt} END AS BIGINT)"
+    )
+
+
+_KMV_BASE_SQL = """
+      SELECT DISTINCT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM orders
+"""
+
+
+def _kmv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (group, 60-bit hash) pairs — the pre-sketch stream."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH base AS ({_KMV_BASE_SQL}),
+    r AS (
+      SELECT grp, h,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n_h
+      FROM base
+    ),
+    sk AS (
+      SELECT grp, CAST(MAX(n_h) AS BIGINT) AS n_h,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+      FROM r GROUP BY grp
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT sk.grp, CAST({_KMV_K} AS INT) AS k_used, sk.kth AS kth_min_hash,
+           {_kmv_est_sql("sk.kth", "sk.n_h")} AS est_distinct,
+           ex.exact_distinct
+    FROM sk JOIN ex USING (grp)
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / Theta) distinct-count sketch per group,
+    k = 32: keep the k smallest 60-bit hashes of the value stream; the
+    kth smallest order statistic estimates D = (k-1)·2^60/h(k). Unlike
+    approx_count_distinct (engine-private HLL, rows-only checkable,
+    agg_approx_distinct) this sketch is fully deterministic given the
+    md5 family — so the ORACLE CAN CHECK THE ESTIMATE ITSELF, including
+    the exact-fallback branch for groups with fewer than k values. The
+    result carries the true distinct count alongside for an honest
+    error reading (bounded ~1/sqrt(k) ≈ 18% rel. err at k=32;
+    production would use k = 1024+).
+
+    Scale shape: the (grp, h) distinct is a partial-aggregatable
+    dedup (map-side combine absorbs repeats before the shuffle); the
+    order-statistic selection shares ONE exchange between row_number
+    and the windowed count. The sketch itself is mergeable —
+    min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — which is what
+    agg_kmv_union exercises; at 100 TB the per-partition partial
+    sketches are 32×8 bytes regardless of input size."""
+    base = _kmv_base(spark, sf_dir)
+    from pyspark.sql import Window
+
+    r = base.select(
+        "grp",
+        "h",
+        F.row_number().over(Window.partitionBy("grp").orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_h"),
+    )
+    sk = r.groupBy("grp").agg(
+        F.max("n_h").cast("bigint").alias("n_h"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    ex = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return sk.join(ex, "grp").select(
+        "grp",
+        F.lit(_KMV_K).cast("int").alias("k_used"),
+        F.col("kth").alias("kth_min_hash"),
+        _kmv_est("kth", "n_h").alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+@query(
+    "agg_kmv_union",
+    oracle=f"""
+    WITH base AS ({_KMV_BASE_SQL}),
+    r AS (
+      SELECT grp, h,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+      FROM base
+    ),
+    sketches AS (SELECT grp, h FROM r WHERE rn <= {_KMV_K}),
+    u AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM sketches)
+    ),
+    usk AS (
+      SELECT MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+             CAST(COUNT(*) AS BIGINT) AS n_h
+      FROM u WHERE rn <= {_KMV_K}
+    ),
+    uex AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_d
+      FROM orders
+    ),
+    a AS (SELECT h FROM sketches WHERE grp = '1-URGENT'),
+    b AS (SELECT h FROM sketches WHERE grp = '5-LOW'),
+    theta AS (
+      SELECT LEAST((SELECT MAX(h) FROM a), (SELECT MAX(h) FROM b)) AS th
+    ),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM a JOIN b ON a.h = b.h, theta WHERE a.h <= theta.th
+    ),
+    iex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_d FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      )
+    )
+    SELECT 'union_all_groups' AS op,
+           {_kmv_est_sql("usk.kth", "usk.n_h")} AS est_distinct,
+           uex.exact_d AS exact_distinct
+    FROM usk, uex
+    UNION ALL
+    SELECT 'intersect_urgent_low' AS op,
+           CAST(FLOOR(CAST(inter.c AS DOUBLE) * 1152921504606846976.0
+                      / CAST(theta.th AS DOUBLE)) AS BIGINT) AS est_distinct,
+           iex.exact_d AS exact_distinct
+    FROM inter, theta, iex
+    """,
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the reason mergeable sketches matter at
+    100 TB: per-group sketches (32 hashes each) combine WITHOUT
+    re-touching the data. Union: the k smallest of the concatenated
+    sketches is exactly min-k(A ∪ B), so the union estimate reuses the
+    same (k-1)·U/h(k) estimator. Intersection (the Theta-sketch rule):
+    clip both sketches at θ = min(max_sample_A, max_sample_B); below θ
+    each sketch is a uniform sample of its set, so |A∩B| ≈ c·U/θ where
+    c counts common hashes ≤ θ. Estimates and exact counts ship
+    side-by-side, and every step is integer-exact or one shared IEEE
+    op, so the oracle checks the ESTIMATES themselves.
+
+    Scale shape: group sketches come from one windowed selection over
+    the deduped (grp, h) stream (same exchange pattern as
+    agg_kmv_distinct); everything after operates on ≤ 5·32 rows —
+    driver-free, broadcast-sized. This is the sketch-rollup pattern
+    (per-partition/per-day sketches folded into monthly/global cards)
+    that replaces COUNT(DISTINCT) over re-scanned history."""
+    from pyspark.sql import Window
+
+    base = _kmv_base(spark, sf_dir)
+    r = base.select(
+        "grp",
+        "h",
+        F.row_number().over(Window.partitionBy("grp").orderBy("h")).alias("rn"),
+    )
+    sketches = r.filter(F.col("rn") <= _KMV_K).select("grp", "h")
+    u = (
+        sketches.select("h")
+        .distinct()
+        .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    usk = u.agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    uex = orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_d")
+    )
+    union_row = usk.crossJoin(uex).select(
+        F.lit("union_all_groups").alias("op"),
+        _kmv_est("kth", "n_h").alias("est_distinct"),
+        F.col("exact_d").alias("exact_distinct"),
+    )
+    a = sketches.filter(F.col("grp") == "1-URGENT").select("h")
+    b = sketches.filter(F.col("grp") == "5-LOW").select("h")
+    theta = a.agg(F.max("h").alias("tha")).crossJoin(
+        b.agg(F.max("h").alias("thb"))
+    ).select(F.least("tha", "thb").alias("th"))
+    inter = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("th"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .crossJoin(F.broadcast(theta))
+    )
+    iex = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .intersect(
+            orders.filter(F.col("o_orderpriority") == "5-LOW")
+            .select("o_custkey")
+            .distinct()
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_d"))
+    )
+    inter_row = inter.crossJoin(iex).select(
+        F.lit("intersect_urgent_low").alias("op"),
+        F.floor(
+            F.col("c").cast("double")
+            * F.lit(_KMV_U)
+            / F.col("th").cast("double")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+        F.col("exact_d").alias("exact_distinct"),
+    )
+    return union_row.unionByName(inter_row)

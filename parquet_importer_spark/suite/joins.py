@@ -663,3 +663,80 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_sec"),
     ).distinct()
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2,
+             event_type, value
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, ts2, MAX(value) AS click_value
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts2
+    ),
+    purch AS (
+      SELECT event_id, user_id, ts2, value AS purchase_value
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts2 AS purchase_ts,
+             p.purchase_value, c.ts2 AS click_ts, c.click_value
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts2 >= c.ts2
+    )
+    SELECT event_id, user_id, purchase_ts, purchase_value,
+           CASE WHEN click_ts >= purchase_ts - INTERVAL 30 MINUTE
+                THEN click_ts END AS click_ts,
+           CASE WHEN click_ts >= purchase_ts - INTERVAL 30 MINUTE
+                THEN click_value END AS click_value
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance=``): the latest preceding click counts only if it is
+    within 30 minutes of the purchase — the attribution-window
+    semantics of every conversion pipeline. Because backward as-of
+    picks the LATEST preceding match, "latest match outside the
+    window" implies every match is outside it, so the exact
+    implementation is the plain as-of (operators/joins.py union-merge,
+    one shuffle, zero expansion) followed by a null-out of matches
+    older than the window — no second scan, no extra shuffle, and the
+    same trick holds at any scale. Tie/null handling inherited from
+    join_asof (second-truncated, right deduped per (user, second))."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", F.col("ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts2")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts2"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        purch,
+        clicks.withColumnRenamed("ts2", "click_ts"),
+        on="user_id",
+        left_ts="ts2",
+        right_ts="click_ts",
+    )
+    in_window = F.col("click_ts") >= F.col("ts2") - F.expr(
+        "INTERVAL 30 MINUTE"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts2").alias("purchase_ts"),
+        "purchase_value",
+        F.when(in_window, F.col("click_ts")).alias("click_ts"),
+        F.when(in_window, F.col("click_value")).alias("click_value"),
+    )

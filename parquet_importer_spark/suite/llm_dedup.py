@@ -1350,3 +1350,189 @@ def llm_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention_rate"),
     )
+
+
+@query(
+    "llm_dedup_normalized",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS canon_key
+      FROM documents
+    ),
+    g AS (
+      SELECT canon_key, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS keep_id
+      FROM c GROUP BY canon_key
+    )
+    SELECT c.doc_id, c.source, c.canon_key, g.n_copies,
+           c.doc_id = g.keep_id AS is_kept
+    FROM c JOIN g USING (canon_key)
+    """,
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — exact dedup after text canonicalization
+    (lowercase, every non-alphanumeric run collapsed to one space,
+    trimmed): catches the casing / punctuation / whitespace variants
+    that hash differently under llm_dedup_exact yet are the same
+    document to a reader, without any shingle machinery. This is the
+    standard first rung of the dedup ladder (cheaper than MinHash,
+    stronger than raw-byte hashing); CCNet/C4-style pipelines run
+    exactly this before near-dup.
+
+    Scale shape: pure map (normalize + md5 → 32-byte key) then ONE
+    partial-aggregatable groupBy on the digest — raw text never
+    shuffles, the exchange carries (digest, doc_id, source) only.
+    Output is the per-doc verdict (is_kept + group size) for every
+    document, so the keep-set is directly materializable with one
+    filter; the group join back is a digest self-join AQE co-locates
+    with the groupBy exchange (this synthetic corpus has no dup
+    groups, so every n_copies is 1 here — the verdict frame, not the
+    dup count, is what the oracle pins)."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            )
+        ).alias("canon_key"),
+    )
+    g = c.groupBy("canon_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    return c.join(g, "canon_key").select(
+        "doc_id",
+        "source",
+        "canon_key",
+        "n_copies",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+_KCORE_EDGE_SQL = """
+    co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
+      FROM co
+    ),
+    e AS (
+      SELECT s1, s2 FROM co, st
+      WHERE st.n * c > st.sc
+        AND (st.n * c - st.sc) * (st.n * c - st.sc)
+            > st.n * st.sc2 - st.sc * st.sc
+    )
+"""
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "u0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    d{r} AS (SELECT a, COUNT(*) AS dg FROM {prev} GROUP BY a),
+    k{r} AS (SELECT a FROM d{r} WHERE dg >= {_KCORE_K}),
+    u{r} AS (
+      SELECT u.a, u.b FROM {prev} u
+      JOIN k{r} x ON u.a = x.a JOIN k{r} y ON u.b = y.a
+    )"""
+        )
+        prev = f"u{r}"
+    return f"""
+    WITH {_KCORE_EDGE_SQL},
+    u0 AS (SELECT s1 AS a, s2 AS b FROM e
+           UNION ALL SELECT s2 AS a, s1 AS b FROM e),
+    {",".join(rounds)}
+    SELECT a AS suppkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY a
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = 8, fixed-round peel) of the supplier
+    co-occurrence graph — iteratively delete nodes of degree < k until
+    only the dense core survives. The k-core is the community-detection
+    / spam-cluster primitive that complements graph_triangle_count's
+    local clustering signal: link farms and template mills show up as
+    abnormally dense cores in web-graph curation. Same μ+σ-thresholded
+    co-supply edge set as graph_triangle_count (integer-exact cut, no
+    stddev doubles).
+
+    Fixed _KCORE_ROUNDS = 4 synchronous rounds rather than
+    peel-to-fixpoint: each round is one degree aggregate + two
+    left-semi joins on the node id — all slim int pairs — and the
+    round count bounds the unrolled DuckDB oracle, which replays the
+    identical rounds and hash-checks every survivor's degree (the
+    same unrolled-iteration oracle pattern as graph_pagerank's 10
+    rounds). Degree-peeling converges geometrically on real graphs
+    (most nodes die in round 1); at 100 TB each round reuses the
+    node-id partitioning and localCheckpoint truncates the plan, the
+    operators/graph.pagerank discipline."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
+    )
+    _D = "decimal(38,0)"
+    st = co.agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("c").cast(_D).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sc")
+    e = (
+        co.join(F.broadcast(st))
+        .filter(
+            (F.col("n") * F.col("c") > F.col("sc"))
+            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
+        )
+        .select("s1", "s2")
+    )
+    und = (
+        e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        .unionAll(e.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= _KCORE_K)
+            .select("a")
+        )
+        und = (
+            und.join(alive, "a", "left_semi")
+            .join(alive.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return und.groupBy(F.col("a").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

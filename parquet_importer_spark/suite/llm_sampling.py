@@ -1173,3 +1173,77 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_llr"),
     )
+
+
+@query(
+    "llm_sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             md5('s17|' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               ORDER BY hkey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM w
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(cum_before // 500 + 1 AS BIGINT) AS picked_stride
+    FROM c
+    WHERE cum_before // 500 < (cum_before + n_tok) // 500
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (importance) sampling — pick documents with probability
+    proportional to their TOKEN COUNT, the sampling design behind
+    token-budget subcorpora ("give me ~1M tokens, long docs
+    proportionally more likely"). Systematic sampling over a
+    hash-shuffled order: lay docs on a token number line (prefix sum of
+    token counts over the seeded-md5 order), drop a tick every
+    STRIDE = 500 tokens, keep each doc that spans a tick. Selection is
+    exactly proportional to weight for docs shorter than the stride,
+    the expected sample token mass is corpus_tokens/STRIDE ticks ×
+    ~STRIDE tokens, and — unlike exponential-race (A-ES) sampling,
+    whose ln() keys are not reproducible across libm implementations —
+    every step here is EXACT BIGINT arithmetic, so the oracle checks
+    the sampled set itself.
+
+    Scale shape: the global prefix sum is one unpartitioned window —
+    the known serial point. At 100 TB you run the identical construction
+    per shard/source partition (window PARTITION BY shard) and the
+    math is unchanged; kept here global so the oracle pins the exact
+    corpus-wide systematic design."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.lit("s17|"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    )
+    win = (
+        Window.orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = w.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(win), F.lit(0)).alias("cum_before"),
+    )
+    before = F.expr("cum_before DIV 500")
+    after = F.expr("(cum_before + n_tok) DIV 500")
+    return c.filter(before < after).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (before + 1).cast("bigint").alias("picked_stride"),
+    )

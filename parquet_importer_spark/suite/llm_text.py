@@ -927,3 +927,215 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len({_TOKS}) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS bpe,
+             CAST(length(text) AS BIGINT) AS ch
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(ch) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+           ROUND(CAST(SUM(ch) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subword tokens emitted per
+    whitespace word, plus chars per subword token: the standard
+    cross-lingual tokenizer-efficiency report (high-fertility languages
+    pay more sequence length per sentence, skewing both cost and
+    mixing weights). Uses the BPE-ish pre-tokenizer count as the
+    subword proxy (functions/text.bpe_ish_token_count; a trained
+    vocab from llm_bpe_merge would slot in identically).
+
+    All sums are exact BIGINT; each ratio is ONE IEEE division of
+    identical integers on both engines — the agg_groupby float
+    contract. One partial-aggregatable groupBy on lang; the per-doc
+    counts ride the scan (no pre-shuffle materialization)."""
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        F.length("text").cast("bigint").alias("ch"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws").alias("total_ws_tokens"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+        F.sum("ch").alias("total_chars"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.sum("ch").cast("double") / F.sum("bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_SH3N = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END)"
+)
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH3N} AS grams FROM t),
+    x AS (SELECT doc_id, md5(unnest(grams)) AS g FROM sh),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM x GROUP BY g),
+    nov AS (
+      SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM x JOIN firsts USING (g)
+      WHERE firsts.first_doc = x.doc_id
+      GROUP BY x.doc_id
+    )
+    SELECT sh.doc_id, CAST(len(sh.grams) AS BIGINT) AS n_grams,
+           COALESCE(nov.n_novel, 0) AS n_novel,
+           ROUND(CAST(COALESCE(nov.n_novel, 0) AS DOUBLE)
+                 / len(sh.grams), 6) AS novelty
+    FROM sh LEFT JOIN nov ON nov.doc_id = sh.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a doc's distinct
+    3-grams whose corpus-wide FIRST occurrence (min doc_id, i.e. the
+    arrival order of an append-only crawl) is this document. Low
+    novelty = mostly recycled phrasing (boilerplate, templates,
+    near-dups that slipped the pairwise passes); data-curation
+    pipelines use exactly this as a cheap corpus-level redundancy
+    score, and dedup-aware scaling-law work (e.g. SemDeDup's
+    motivation) reads it as the marginal-information proxy.
+
+    Scale shape: grams md5 to 32-byte digests BEFORE the shuffle (the
+    llm_contamination_ngram discipline — raw text never leaves the
+    map side); first-occurrence is one partial-aggregatable
+    groupBy-min over (digest, doc_id); the join back is digest-keyed
+    and slim. Counts are exact BIGINT, novelty is one shared IEEE
+    division."""
+    from parquet_importer_spark.functions.text import shingles
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), 3).alias("grams")
+    )
+    x = sh.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", F.md5("gram").alias("g"))
+    firsts = x.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        x.join(firsts, "g")
+        .filter(F.col("first_doc") == F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        sh.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.size("grams"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "llm_rouge_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    u AS (
+      SELECT doc_id, lang, list_distinct(toks) AS uni,
+             list_distinct(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                              i -> toks[i] || ' ' || toks[i+1])
+               ELSE [array_to_string(toks, ' ')] END) AS bi
+      FROM t
+    ),
+    refs AS (SELECT * FROM u WHERE doc_id % 50 = 0),
+    pairs AS (
+      SELECT r.doc_id AS ref_id, c.doc_id AS cand_id, r.lang,
+             len(list_intersect(r.uni, c.uni)) AS o1,
+             len(r.uni) AS nr1, len(c.uni) AS nc1,
+             len(list_intersect(r.bi, c.bi)) AS o2,
+             len(r.bi) AS nr2
+      FROM refs r JOIN u c ON r.lang = c.lang AND r.doc_id <> c.doc_id
+    )
+    SELECT ref_id, cand_id, lang,
+           ROUND(CAST(o1 AS DOUBLE) / nr1, 6) AS rouge1_recall,
+           ROUND(CAST(o1 AS DOUBLE) / nc1, 6) AS rouge1_precision,
+           ROUND(CAST(o2 AS DOUBLE) / nr2, 6) AS rouge2_recall
+    FROM pairs
+    WHERE ROUND(CAST(o1 AS DOUBLE) / nr1, 6) >= 0.2
+    """,
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-style n-gram overlap scoring — distinct-unigram recall /
+    precision and distinct-bigram recall of every same-language
+    candidate against a small reference set (doc_id % 50 = 0 stands in
+    for "the eval references"; in production the candidate list comes
+    from retrieval, llm_index_bm25 / llm_sim_topk). This is the
+    summarization-eval / reference-leakage metric: a candidate with
+    high ROUGE recall against an eval reference is a contamination
+    suspect the n-gram fingerprint pass (llm_contamination_ngram)
+    confirms span-level.
+
+    Scale shape: the reference side is tiny by construction →
+    broadcast; candidates stream past it keyed on lang, so no corpus
+    self-join ever forms. Set sizes and overlaps are exact integers
+    via array_intersect on sorted-distinct arrays; each metric is one
+    shared IEEE division, rounded on both engines; the ≥0.2 recall
+    gate bounds the output (and guarantees every emitted denominator
+    is positive)."""
+    from parquet_importer_spark.functions.text import shingles
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    u = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(toks).alias("uni"),
+        shingles(F.col("text"), 2).alias("bi"),
+    )
+    refs = u.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("lang"),
+        F.col("uni").alias("r_uni"),
+        F.col("bi").alias("r_bi"),
+    )
+    pairs = u.join(F.broadcast(refs), "lang").filter(
+        F.col("ref_id") != F.col("doc_id")
+    )
+    o1 = F.size(F.array_intersect("r_uni", "uni"))
+    o2 = F.size(F.array_intersect("r_bi", "bi"))
+    r1 = F.round(o1.cast("double") / F.size("r_uni"), 6)
+    return pairs.select(
+        "ref_id",
+        F.col("doc_id").alias("cand_id"),
+        "lang",
+        r1.alias("rouge1_recall"),
+        F.round(o1.cast("double") / F.size("uni"), 6).alias(
+            "rouge1_precision"
+        ),
+        F.round(o2.cast("double") / F.size("r_bi"), 6).alias(
+            "rouge2_recall"
+        ),
+    ).filter(F.col("rouge1_recall") >= 0.2)

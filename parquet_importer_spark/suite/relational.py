@@ -431,3 +431,50 @@ def set_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("except_all"))
     )
     return inter.unionByName(exc)
+
+
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT n_nationkey AS nationkey, n_nationkey AS anc,
+             0 AS depth, CAST(n_nationkey AS BIGINT) AS path_sum
+      FROM nation
+      UNION ALL
+      SELECT nationkey,
+             CAST(FLOOR(CAST(anc AS DOUBLE) / 2) AS INT) AS anc,
+             depth + 1 AS depth,
+             path_sum + CAST(FLOOR(CAST(anc AS DOUBLE) / 2) AS BIGINT)
+               AS path_sum
+      FROM walk WHERE anc > 0
+    )
+    SELECT nationkey, CAST(MAX(depth) AS INT) AS tree_depth,
+           MAX(path_sum) AS root_path_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_ancestors
+    FROM walk GROUP BY nationkey
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_CTE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (hierarchy walk) — the SQL:1999 surface Spark
+    gained in 4.0 (SPARK-24497, UnionLoop execution). The reference has
+    no SQL surface at all; this extends sql_entrypoint the way a
+    warehouse user expects: org charts, BOM explosions, graph
+    reachability expressed declaratively. Demo walks the implicit
+    binary-heap hierarchy over nation keys (parent = floor(key/2)) up
+    to the root, emitting depth / ancestor count / ancestor-key sum —
+    all integer-exact, so DuckDB's WITH RECURSIVE agrees bit-for-bit
+    on the IDENTICAL query text (one source string, two engines —
+    the strongest parity statement in the suite).
+
+    Scale shape: each UnionLoop round is one filter + projection over
+    the frontier (rows with anc > 0) — no shuffle at all inside a
+    round here since there is no join/agg in the recursive term; the
+    final rollup is one partial-aggregatable groupBy. Frontier size
+    shrinks geometrically (depth ≤ log2(max key)), so the loop is
+    bounded even at a 100 TB seed table. For iterative DataFrame-side
+    analytics with per-round joins see operators/graph.pagerank — this
+    op is the declarative face of the same execution pattern."""
+    from parquet_importer_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)

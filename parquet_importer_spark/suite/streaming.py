@@ -1596,3 +1596,223 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("l").cast("bigint").alias("n_window"),
         ((num.cast("double") / den) / F.lit(100.0)).alias("ewma"),
     )
+
+
+_HOURLY_MEAN_SQL = """
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 8)
+               / COUNT(*) AS mean_v
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "ts_sax",
+    oracle=f"""
+    WITH h AS ({_HOURLY_MEAN_SQL}),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(mean_v AS DECIMAL(30,8))) AS DOUBLE), 8) AS s,
+             ROUND(CAST(SUM(CAST(mean_v * mean_v AS DECIMAL(38,12)))
+                        AS DOUBLE), 12) AS s2
+      FROM h GROUP BY event_type
+    ),
+    z AS (
+      SELECT h.event_type, h.bucket,
+             CASE WHEN st.n < 2 OR st.s2 - (st.s / st.n) * st.s <= 0 THEN 'c'
+                  WHEN (h.mean_v - st.s / st.n)
+                       / sqrt((st.s2 - (st.s / st.n) * st.s) / (st.n - 1))
+                       < -0.6745 THEN 'a'
+                  WHEN (h.mean_v - st.s / st.n)
+                       / sqrt((st.s2 - (st.s / st.n) * st.s) / (st.n - 1))
+                       < 0.0 THEN 'b'
+                  WHEN (h.mean_v - st.s / st.n)
+                       / sqrt((st.s2 - (st.s / st.n) * st.s) / (st.n - 1))
+                       < 0.6745 THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM h JOIN st USING (event_type)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           string_agg(sym, '' ORDER BY bucket) AS sax_word
+    FROM z GROUP BY event_type
+    """,
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of each
+    hourly event series: z-normalize the per-type hourly means, bin
+    against the standard-normal quartile breakpoints (±0.6745, 0) into
+    a 4-letter alphabet, and emit the per-series symbol word. SAX is
+    the discretization layer under time-series motif discovery /
+    similarity indexing — the word is groupable and prefix-comparable
+    where raw doubles are not (the symbolic sibling of ts_resample +
+    win_moving_zscore).
+
+    Float contract: moments accumulate decimal-exact then snap to
+    their grids (s at 8dp, s² at 12dp — doubles cast to decimal see
+    no ties, operators/graph.py note); every later step — μ = s/n,
+    var = (s2 − μ·s)/(n−1), sqrt (IEEE-exact-rounded), the z quotient,
+    the breakpoint compares — is the IDENTICAL expression tree on
+    both engines, so each bucket's symbol matches exactly. Degenerate
+    flat series (var ≤ 0) pin to 'c' before any division.
+
+    Scale shape: the raw-event rollup to hourly grain is the only
+    full-data pass (map-combinable); the stats row per series
+    broadcasts; the word assembly aggregates |types| × |hours| rows
+    ordered within each series partition."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 8)
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    st = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("mean_v").cast(_DEC)).cast("double"), 8).alias(
+            "s"
+        ),
+        F.round(
+            F.sum(
+                (F.col("mean_v") * F.col("mean_v")).cast("decimal(38,12)")
+            ).cast("double"),
+            12,
+        ).alias("s2"),
+    )
+    mu = F.col("s") / F.col("n")
+    num = F.col("s2") - mu * F.col("s")
+    sd = F.sqrt(num / (F.col("n") - 1))
+    z = (F.col("mean_v") - mu) / sd
+    sym = (
+        F.when((F.col("n") < 2) | (num <= 0), "c")
+        .when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    zt = h.join(st, "event_type").select(
+        "event_type", "bucket", sym.alias("sym")
+    )
+    return zt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("bucket", "sym"))
+                ),
+                lambda x: x["sym"],
+            ),
+        ).alias("sax_word"),
+    )
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle=f"""
+    WITH h AS ({_HOURLY_MEAN_SQL}),
+    r AS (
+      SELECT event_type, mean_v,
+             CAST(FLOOR(epoch(bucket) / 3600) AS BIGINT) AS hr,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS rn
+      FROM h
+    ),
+    f AS (SELECT * FROM r WHERE rn <= 48),
+    sl AS (
+      SELECT a.event_type,
+             (b.mean_v - a.mean_v) / CAST(b.hr - a.hr AS DOUBLE) AS slope
+      FROM f a JOIN f b
+        ON a.event_type = b.event_type AND a.rn < b.rn
+    ),
+    o AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM sl
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CASE WHEN MAX(n) % 2 = 1
+                THEN MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END)
+                ELSE (MAX(CASE WHEN rn = n // 2 THEN slope END)
+                      + MAX(CASE WHEN rn = n // 2 + 1 THEN slope END))
+                     / 2 END AS theil_sen_slope
+    FROM o GROUP BY event_type
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event series: the MEDIAN of
+    all pairwise slopes over the first 48 hourly buckets — up to 29.3%
+    of the points can be arbitrary outliers without moving the
+    estimate, where the OLS slope (win_pct_change's world) breaks at
+    one. The 48-bucket window bounds the O(n²) pair set at 1128 pairs
+    per series; production fits run this per day/week partition, which
+    is exactly this shape with PARTITION BY added.
+
+    Median selection is EXPLICIT rank arithmetic (row_number over the
+    slope order, pick ⌈n/2⌉ / average the two middles) rather than an
+    engine median() — interpolating medians differ across engines,
+    rank selection cannot: equal-valued slopes make the picked VALUE
+    order-independent, the halving of the even case is an exact
+    power-of-two scale, and every slope is two IEEE ops (subtract,
+    divide by an exact integer hour gap) on identical inputs.
+
+    Scale shape: hourly rollup (map-combinable) → per-series pair
+    expansion INSIDE the series partition (no cross-key shuffle) →
+    one windowed sort per series. The same exchange serves row_number
+    and the windowed count."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast(_DEC)).cast("double"), 8)
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    r = h.select(
+        "event_type",
+        "mean_v",
+        F.floor(F.unix_timestamp("bucket") / 3600).cast("bigint").alias("hr"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("bucket"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 48)
+    a, b = r.alias("a"), r.alias("b")
+    sl = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.mean_v") - F.col("a.mean_v"))
+            / (F.col("b.hr") - F.col("a.hr")).cast("double")
+        ).alias("slope"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    o = sl.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid_odd = F.max(
+        F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope"))
+    )
+    lo = F.max(F.when(F.col("rn") == F.expr("n DIV 2"), F.col("slope")))
+    hi = F.max(
+        F.when(F.col("rn") == F.expr("n DIV 2 + 1"), F.col("slope"))
+    )
+    n = F.max("n")
+    return o.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.when(n % 2 == 1, mid_odd)
+        .otherwise((lo + hi) / 2)
+        .alias("theil_sen_slope"),
+    )
