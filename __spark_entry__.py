@@ -25,11 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # order, 50 entries). Each round therefore ROTATES the window from the
 # recorded results of all prior rounds: one known-green sentinel plus
 # any key whose latest driver row ERRORED lead, then every
-# never-verified operator WITH an oracle (strongest signal per slot),
-# then never-verified rows-only ops, then already-verified keys last.
-# Within each tier, registry (import) order is preserved. No per-round
-# edits needed — dropping a new CORRECTNESS_r{N}.json next to this file
-# re-rotates automatically.
+# never-verified operator WITH an oracle (strongest signal per slot) —
+# including ORACLE-UPGRADED keys whose latest driver row was rows-only
+# (err == "no_oracle") but which have since gained a DuckDB oracle, so
+# the driver hash-confirms what was previously only locally proven —
+# then never-verified rows-only ops, then already-verified keys last,
+# STALENESS-ORDERED (oldest green round first) so r1-verified keys
+# cycle back through the window instead of the same early-registry
+# keys being re-checked every round. Within each tier, registry
+# (import) order breaks ties. No per-round edits needed — dropping a
+# new CORRECTNESS_r{N}.json next to this file re-rotates automatically.
 _SENTINEL = "flagship_pricing_summary"
 
 # Operators added in round 4 (and later), in DEFERRAL ORDER. Backlog
@@ -115,6 +120,42 @@ _DEFER_ORDER = (
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 
 
+def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
+    """Each key's LATEST recorded driver row, as {key: (round, row)}.
+
+    Round numbers come from the CORRECTNESS_r{N}.json filenames; later
+    rounds overwrite earlier rows for the same key, so the mapping is
+    the driver's most recent word on every query — including WHICH
+    round said it, which the rotation uses to re-check stale keys."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if isinstance(row, dict):
+                latest[key] = (rnd, row)
+    return latest
+
+
+def _green(row: dict) -> bool:
+    ran_rows_only = (
+        row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+    )
+    return row.get("hash_match") is True or ran_rows_only
+
+
 def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
     """(verified, errored) query keys across all CORRECTNESS_r*.json.
 
@@ -126,42 +167,44 @@ def _driver_history(root: str | None = None) -> tuple[frozenset, frozenset]:
     errored = latest row is anything else — a real error OR a
     hash/rows/schema mismatch — re-prioritized until green again.
     """
-    import glob  # noqa: PLC0415
-    import json  # noqa: PLC0415
-    import os  # noqa: PLC0415
-
-    if root is None:
-        root = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for key, row in rows.items():
-            if isinstance(row, dict):
-                latest[key] = row
-
-    def green(row: dict) -> bool:
-        ran_rows_only = (
-            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-        )
-        return row.get("hash_match") is True or ran_rows_only
-
-    verified = {key for key, row in latest.items() if green(row)}
-    errored = {key for key, row in latest.items() if not green(row)}
+    latest = _driver_latest(root)
+    verified = {key for key, (_, row) in latest.items() if _green(row)}
+    errored = {key for key, (_, row) in latest.items() if not _green(row)}
     return frozenset(verified), frozenset(errored)
+
+
+def _oracle_upgraded(root: str | None = None) -> frozenset:
+    """Keys whose latest driver row ran rows-only (err == "no_oracle")
+    but which NOW carry a DuckDB oracle: the oracle landed after the
+    driver last saw the key, so its hash has been proven locally but
+    never driver-confirmed. These rank with the never-verified-oracle
+    tier — six hash-green driver rows is the whole difference between
+    "locally proven" and "driver-proven" (round-5 verdict, item #2)."""
+    from parquet_importer_spark.suite import ORACLES  # noqa: PLC0415
+
+    latest = _driver_latest(root)
+    return frozenset(
+        key
+        for key, (_, row) in latest.items()
+        if row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+        and key in ORACLES
+    )
 
 
 def _driver_order() -> list[str]:
     from parquet_importer_spark.suite import ORACLES, QUERIES  # noqa: PLC0415
 
-    verified, errored = _driver_history()
+    latest = _driver_latest()
+    verified = {k for k, (_, row) in latest.items() if _green(row)}
+    errored = {k for k, (_, row) in latest.items() if not _green(row)}
+    upgraded = _oracle_upgraded()
 
     def tier(name: str) -> int:
         if name == _SENTINEL or name in errored:
             return 0
+        if name in upgraded:
+            return 1
         if name in verified:
             return 4
         if name in _DEFER_NEW:
@@ -170,11 +213,16 @@ def _driver_order() -> list[str]:
 
     names = list(QUERIES)
 
-    def rank(name: str) -> int:
-        # tier 3 orders by the deferral list; other tiers by registry
+    def rank(name: str) -> tuple[int, int]:
+        # tier 3 orders by the deferral list; the verified tail (tier 4)
+        # is staleness-ordered — oldest green round first — so keys last
+        # checked in r1/r2 re-enter the window before recently-confirmed
+        # ones; other tiers keep registry order
         if name in _DEFER_NEW and name not in verified and name not in errored:
-            return _DEFER_ORDER.index(name)
-        return names.index(name)
+            return (0, _DEFER_ORDER.index(name))
+        if tier(name) == 4:
+            return (latest[name][0], names.index(name))
+        return (0, names.index(name))
 
     return sorted(names, key=lambda n: (tier(n), rank(n)))
 

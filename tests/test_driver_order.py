@@ -112,6 +112,9 @@ def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
     from parquet_importer_spark.suite import ORACLES, QUERIES
 
     verified, _ = entry._driver_history()
+    # oracle-upgraded keys are verified-rows-only keys re-promoted to
+    # the priority tier; they are not part of the verified TAIL
+    upgraded = entry._oracle_upgraded()
     backlog = [k for k in QUERIES if k not in verified and k != entry._SENTINEL]
     deferred = {k for k in backlog if k in entry._DEFER_NEW}
     if not deferred:
@@ -123,7 +126,11 @@ def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
         pytest.skip("entire backlog is deferred keys; ordering is trivial")
     last_backlog = max(pos[k] for k in non_deferred)
     first_verified = min(
-        (pos[k] for k in order if k in verified and k != entry._SENTINEL),
+        (
+            pos[k]
+            for k in order
+            if k in verified and k != entry._SENTINEL and k not in upgraded
+        ),
         default=len(order),
     )
     for k in deferred:
@@ -157,6 +164,64 @@ def test_bench_stdout_line_fits_driver_capture():
         f"bench stdout line is {len(line)} chars; trim the headline or "
         "shorten query ids so the driver's 2000-char tail capture parses"
     )
+
+
+def test_oracle_upgraded_keys_enter_window(entry):
+    """A key whose latest driver row was rows-only (err == "no_oracle")
+    but which NOW carries an oracle must rank in the priority tier —
+    inside the 50-slot window — so the driver hash-confirms it instead
+    of treating the stale rows-only row as 'verified' forever (round-5
+    verdict, What's wrong #2)."""
+    upgraded = entry._oracle_upgraded()
+    if not upgraded:
+        pytest.skip("no oracle-upgraded keys this round")
+    order = entry._driver_order()
+    pos = {k: i for i, k in enumerate(order)}
+    for k in upgraded:
+        assert pos[k] < WINDOW, (
+            f"oracle-upgraded key {k} at slot {pos[k]} is outside the "
+            f"driver's {WINDOW}-slot window"
+        )
+
+
+def test_oracle_upgraded_detection(entry, tmp_path):
+    """Synthetic history: a rows-only row for a key that has an oracle
+    registers as upgraded; a hash-green row does not."""
+    from parquet_importer_spark.suite import ORACLES
+
+    with_oracle = next(iter(ORACLES))
+    other = next(k for k in ORACLES if k != with_oracle)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        with_oracle: {"err": "no_oracle", "spark_rows": 7},
+        other: {"hash_match": True, "err": None, "spark_rows": 3},
+    }))
+    upgraded = entry._oracle_upgraded(str(tmp_path))
+    assert with_oracle in upgraded and other not in upgraded
+
+
+def test_verified_tail_is_staleness_ordered(entry):
+    """Within the verified tail, keys whose last green row is older
+    must sort before more recently confirmed keys, so r1-verified keys
+    cycle back through the window instead of the same early-registry
+    keys being re-checked every round (round-5 verdict, item #3)."""
+    latest = entry._driver_latest()
+    verified, errored = entry._driver_history()
+    upgraded = entry._oracle_upgraded()
+    order = entry._driver_order()
+    tail = [
+        k
+        for k in order
+        if k in verified
+        and k != entry._SENTINEL
+        and k not in errored
+        and k not in upgraded
+    ]
+    rounds = [latest[k][0] for k in tail]
+    assert rounds == sorted(rounds), (
+        "verified tail must be ordered oldest-green-round first"
+    )
+    if len(set(rounds)) > 1:
+        assert rounds[0] < rounds[-1]
 
 
 def test_regression_reenters_priority_tier(entry, tmp_path):
