@@ -157,10 +157,31 @@ def main() -> None:
         finally:
             sc.setJobGroup("", "")
 
+    # Fixture fingerprint: the sf0.1 corpus has grown between rounds
+    # (round-5 verdict traced a +8.4% common-query drift to it by
+    # inference only) — doc count, total whitespace tokens, and
+    # lineitem rows make drift attributable per round. duckdb keeps
+    # this off the Spark session being timed.
+    import duckdb  # noqa: PLC0415
+
+    fp = {
+        "documents": int(duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0] or 0),
+        "doc_tokens": int(duckdb.sql(
+            "SELECT SUM(len(regexp_split_to_array(text, '\\s+'))) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0] or 0),
+        "lineitem": int(duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()[0] or 0),
+    }
+
     out = {
         "metric": "headline_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "fixture": fp,
         # the headline grows round-over-round (19 → 24 → 28 → 32 queries);
         # compare value/n_queries or per-query timings across rounds, not
         # raw totals

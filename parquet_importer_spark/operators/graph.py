@@ -66,15 +66,19 @@ def pagerank(
     teleport = (1.0 - damping) / n
     _D15 = "decimal(38,15)"
     for _ in range(n_iter):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0)
-            .agg(
+        # dangling mass stays IN the plan: a 1-row aggregate broadcast
+        # into the rank update — zero extra driver round-trips per
+        # round (a per-round scalar fetch would be O(1) data but 10
+        # driver hops per run). Float contract unchanged: the
+        # decimal-sum-snap gives the identical double, and d/n is the
+        # same single IEEE division on either side of the boundary.
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(
                 F.round(
                     F.sum(F.col("rank").cast(_D15)).cast("double"), 15
-                ).alias("d")
-            )
-            .first()[0]
-            or 0.0
+                ),
+                F.lit(0.0),
+            ).alias("d")
         )
         contribs = (
             edges.join(
@@ -94,6 +98,7 @@ def pagerank(
         )
         ranks = (
             base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "out_deg",
@@ -102,7 +107,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("d") / F.lit(float(n))
                     )
                 ).alias("rank"),
             )

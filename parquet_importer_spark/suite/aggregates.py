@@ -760,6 +760,52 @@ def _kmv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+_KMV_BUCKETS = 64
+
+
+def _kmv_pruned(base: DataFrame) -> DataFrame:
+    """Two-stage min-k selection exploiting the sketch's mergeable
+    property (min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B))): stage 1
+    buckets the deduped stream by pmod(h, P) and keeps each bucket's
+    k smallest — every element of the group-global min-k is inside its
+    own bucket's min-k, so nothing is lost — then stage 2 ranks the
+    ≤ k·P survivors per group. No sort ever sees a whole group: the
+    stage-1 windows partition on (grp, bucket) (P-way parallel, each
+    ~|grp|/P rows) and the stage-2 window input is capped at k·P rows
+    per group regardless of data volume. With 5 priority groups the
+    naive single window had parallelism 5 and sorted full groups; this
+    runs 5·P-way and is how the sketch behaves on a real cluster.
+
+    Returns (grp, h, rb, nb, rn): rb/nb = rank and total count within
+    the stage-1 bucket (nb at rb=1 reconstructs the group's exact
+    distinct total), rn = group-global rank among survivors."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("grp", "b").orderBy("h")
+    wbc = Window.partitionBy("grp", "b")
+    pruned = (
+        base.select(
+            "grp", "h", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS)).alias("b")
+        )
+        .select(
+            "grp",
+            "h",
+            F.row_number().over(wb).alias("rb"),
+            F.count(F.lit(1)).over(wbc).alias("nb"),
+        )
+        .filter(F.col("rb") <= _KMV_K)
+    )
+    return pruned.select(
+        "grp",
+        "h",
+        "rb",
+        "nb",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("h"))
+        .alias("rn"),
+    )
+
+
 @query(
     "agg_kmv_distinct",
     oracle=f"""
@@ -800,22 +846,20 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the (grp, h) distinct is a partial-aggregatable
     dedup (map-side combine absorbs repeats before the shuffle); the
-    order-statistic selection shares ONE exchange between row_number
-    and the windowed count. The sketch itself is mergeable —
-    min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — which is what
-    agg_kmv_union exercises; at 100 TB the per-partition partial
+    order-statistic selection is the TWO-STAGE min-k of _kmv_pruned —
+    per-(grp, pmod(h, 64)) bucket windows first (5·64-way parallel,
+    exploiting min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B))), then a
+    group rank over the ≤ k·64 survivors — so no sort ever touches a
+    whole group; the exact distinct total reassembles exactly from the
+    per-bucket counts (Σ nb at rb=1). agg_kmv_union exercises the same
+    mergeability across groups; at 100 TB the per-partition partial
     sketches are 32×8 bytes regardless of input size."""
     base = _kmv_base(spark, sf_dir)
-    from pyspark.sql import Window
-
-    r = base.select(
-        "grp",
-        "h",
-        F.row_number().over(Window.partitionBy("grp").orderBy("h")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_h"),
-    )
-    sk = r.groupBy("grp").agg(
-        F.max("n_h").cast("bigint").alias("n_h"),
+    pruned = _kmv_pruned(base)
+    sk = pruned.groupBy("grp").agg(
+        F.sum(F.when(F.col("rb") == 1, F.col("nb")))
+        .cast("bigint")
+        .alias("n_h"),
         F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
     )
     ex = (
@@ -895,21 +939,17 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     side-by-side, and every step is integer-exact or one shared IEEE
     op, so the oracle checks the ESTIMATES themselves.
 
-    Scale shape: group sketches come from one windowed selection over
-    the deduped (grp, h) stream (same exchange pattern as
-    agg_kmv_distinct); everything after operates on ≤ 5·32 rows —
-    driver-free, broadcast-sized. This is the sketch-rollup pattern
-    (per-partition/per-day sketches folded into monthly/global cards)
-    that replaces COUNT(DISTINCT) over re-scanned history."""
+    Scale shape: group sketches come from the same two-stage bucketed
+    min-k selection as agg_kmv_distinct (_kmv_pruned — no sort over a
+    whole group, 5·64-way parallel); everything after operates on
+    ≤ 5·32 rows — driver-free, broadcast-sized. This is the
+    sketch-rollup pattern (per-partition/per-day sketches folded into
+    monthly/global cards) that replaces COUNT(DISTINCT) over
+    re-scanned history."""
     from pyspark.sql import Window
 
     base = _kmv_base(spark, sf_dir)
-    r = base.select(
-        "grp",
-        "h",
-        F.row_number().over(Window.partitionBy("grp").orderBy("h")).alias("rn"),
-    )
-    sketches = r.filter(F.col("rn") <= _KMV_K).select("grp", "h")
+    sketches = _kmv_pruned(base).filter(F.col("rn") <= _KMV_K).select("grp", "h")
     u = (
         sketches.select("h")
         .distinct()

@@ -602,10 +602,16 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e CROSS JOIN cent c
       ) WHERE rn = 1
     ),
+    ok AS (
+      SELECT cluster FROM assigned
+      GROUP BY cluster HAVING COUNT(*) BETWEEN 2 AND 256
+    ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              a.cos_centroid AS ca, b.cos_centroid AS cb
-      FROM assigned a JOIN assigned b
+      FROM assigned a
+      JOIN ok o ON o.cluster = a.cluster
+      JOIN assigned b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       WHERE ROUND({oracle_cosine('a.v', 'b.v')}, 6) >= 0.4
     ),
@@ -636,42 +642,55 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale).
 
     Scale shape: centroid table broadcasts (KB-scale); assignment is a
-    map + one slim per-vector window; the pairwise stage is bounded
-    per-cluster (the SemDeDup cost model — with balanced k-means the
-    within-cluster quadratic is n²/k, and a max-cluster cap bounds any
-    degenerate cluster exactly like the LSH max_bucket valve)."""
-    from pyspark.sql import Window
-
+    map-side-combinable groupBy + max_by over the broadcast cross join
+    (same plan as IVF, operators/similarity.py — the 64× candidate
+    expansion collapses to ONE row per vector BEFORE any exchange;
+    no window, no row_number, pinned in test_plans.py); the pairwise
+    stage only runs inside clusters whose size is in [2, 256] — the
+    max-cluster cap (mirrored in the oracle's HAVING) bounds any
+    degenerate cluster exactly like the LSH max_bucket valve, so one
+    all-zero-embedding cluster can never go quadratic."""
     from parquet_importer_spark.functions.vectors import cosine
 
     emb = parallelize(read_table(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    cosc = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            cosc.desc(), F.col("cid").asc()
-        )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("cosc"),
     )
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cosc", "v"),
+                F.struct(F.col("cosc"), -F.col("cid")),
+            ).alias("best")
+        )
         .select(
             "vec_id",
-            F.col("cid").alias("cluster"),
-            F.col("embedding").alias("v"),
-            cosc.alias("cos_centroid"),
+            F.col("best.cid").alias("cluster"),
+            F.col("best.v").alias("v"),
+            F.col("best.cosc").alias("cos_centroid"),
         )
     )
-    a = assigned.select(
+    ok = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 256))
+        .select("cluster")
+    )
+    eligible = assigned.join(F.broadcast(ok), "cluster")
+    a = eligible.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         F.col("cos_centroid").alias("ca"),
     )
-    b = assigned.select(
+    b = eligible.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),

@@ -154,6 +154,11 @@ def test_bench_stdout_line_fits_driver_capture():
         "metric": "headline_suite_total",
         "value": 99999.999,
         "unit": "sec",
+        "fixture": {
+            "documents": 99_999_999_999,
+            "doc_tokens": 99_999_999_999_999,
+            "lineitem": 99_999_999_999,
+        },
         "n_queries": len(bench.HEADLINE),
         "sec_per_query": 99999.999,
         "queries": {qid: 99999.999 for qid in bench.HEADLINE},

@@ -65,7 +65,7 @@ SHOWCASE = (
     ("llm_rank_fusion", "join-free fusion: rank lists union into (doc,src,rank) rows; one tiny groupBy sums RRF terms — no SortMergeJoin"),
     # round 5 additions
     ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
-    ("llm_semdedup", "16-row centroid table broadcast into assignment; per-cluster pairwise bounded by cluster size"),
+    ("llm_semdedup", "centroids broadcast; max_by partial-agg assignment (no window over the 64x expansion); [2,256] cluster cap gates the pair join"),
     ("llm_ngram_perplexity", "two count aggs build the LM; scoring = two hash joins + 1-row vocab broadcast + per-doc rollup"),
     ("win_gaps_islands", "dense_rank window and both island rollups on ONE o_custkey exchange"),
     ("llm_quality_calibrated", "percent_rank on a single source-keyed exchange"),
@@ -79,6 +79,8 @@ SHOWCASE = (
     ("ts_seasonal_decompose", "one map-combinable hourly rollup; both window stages on tiny aggregate; event_type exchange reused"),
     ("ts_ewma", "one series-key exchange; 16-row bounded frame; integer Horner fold — no decimal, no rounding"),
     ("llm_url_blocklist", "pure-codegen host extraction; blocklist BroadcastHashJoin; partial-agg rollup — no corpus shuffle"),
+    # round 6 additions
+    ("agg_kmv_distinct", "two-stage min-k: (grp,bucket) windows first (5*64-way parallel), group rank over <=k*P survivors — no whole-group sort"),
 )
 
 
