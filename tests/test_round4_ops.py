@@ -343,3 +343,36 @@ def test_containment_catches_embedded_doc(spark):
     assert r.containment_1in2 == 1.0, "short doc is fully contained"
     assert r.jaccard < 0.5, "Jaccard alone would have missed this pair"
     assert not any(3 in p for p in pairs), "unrelated doc must not pair"
+
+
+def test_pca_power_scans_input_once(spark):
+    """Round-6 verdict item 2: the power loop must iterate over a
+    localCheckpoint-ed embedding column, not re-scan the source per
+    action. An accumulator-bumping UDF on the input counts how many
+    times each row is actually computed: with the eager checkpoint the
+    UDF runs exactly once per row (during materialization); without it
+    every one of the ~10 driver actions would re-run it."""
+    import unittest.mock as mock
+
+    import parquet_importer_spark.suite.llm_similarity as sim
+
+    n = 50
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i % 7)]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<float>")
+    def counted(v):
+        acc.add(1)
+        return v
+
+    instrumented = base.select("vec_id", counted("embedding").alias("embedding"))
+    with mock.patch.object(sim, "read_table", lambda *_: instrumented):
+        out = sim.llm_emb_pca_power(spark, SF).collect()
+    assert len(out) == 4
+    assert acc.value == n, (
+        f"input computed {acc.value / n:.1f}x per row — the checkpoint "
+        "before the power loop is gone"
+    )
