@@ -68,13 +68,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimate can't hash-match (§7.4.6)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_envelope
+    FROM events
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100-TB way to count
-    distinct user_ids without a full shuffle of the key space."""
-    return read_table(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    distinct user_ids without a full shuffle of the key space.
+
+    BOUND oracle (round-6 verdict item 4): the raw HLL estimate is
+    engine-private (Spark's register layout ≠ any SQL oracle, §7.4.6),
+    but its accuracy CONTRACT is checkable — HLL++ register merge is a
+    max, so the estimate is deterministic for a given dataset, and the
+    query emits ``within_envelope`` = |approx − exact| / exact ≤ 5·rsd
+    alongside the exact count. The oracle computes the exact count and
+    asserts the envelope literally, so a drifting or broken sketch
+    hash-mismatches instead of hiding behind a rows-only check."""
+    rsd = 0.02
+    agg = read_table(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    ).cast("double")
+    return agg.select(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (err <= F.lit(5 * rsd)).alias("within_envelope"),
     )
 
 

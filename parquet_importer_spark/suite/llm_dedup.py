@@ -179,10 +179,45 @@ def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_minhash_mllib")  # rows-only: MLlib hash seeds ≠ oracle
+@query(
+    "llm_dedup_minhash_mllib",
+    oracle=f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {{toks}} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {{sh2}} AS grams FROM t),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    exact AS (
+      SELECT c.d1 AS id_1, c.d2 AS id_2,
+             ROUND(CAST(len(list_intersect(s1.grams, s2.grams)) AS DOUBLE)
+                   / (len(s1.grams) + len(s2.grams)
+                      - len(list_intersect(s1.grams, s2.grams))), 6)
+               AS exact_jaccard
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2
+    )
+    SELECT id_1, id_2, exact_jaccard, TRUE AS found_by_lsh
+    FROM exact WHERE exact_jaccard >= 0.9
+    """.replace("{toks}", _TOKS).replace("{sh2}", _SH2),
+)
 def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH approxSimilarityJoin — the library alternative to
-    the hand-rolled pipeline above. Seed-dependent → rows-only check."""
+    the hand-rolled pipeline above.
+
+    BOUND oracle (round-6 verdict item 4): MLlib's hash seeds are
+    engine-private, so the raw candidate list can't hash-match a SQL
+    oracle — but its RECALL contract can. The query computes the exact
+    2-gram-Jaccard ≥ 0.9 pair set via a shingle inverted index (exact
+    for any threshold > 0: such a pair shares ≥ 1 gram, so candidate
+    generation misses nothing) and flags each pair with whether the
+    MLlib LSH join surfaced it. The oracle recomputes the exact pair
+    set and asserts ``found_by_lsh`` literally — with 4 OR-amplified
+    hash tables a 0.9-similar pair collides with probability
+    1 − (1 − s)⁴ ≈ 1 − 10⁻⁴, and the fixed seed makes the outcome
+    deterministic per dataset, so a recall break hash-mismatches."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from parquet_importer_spark.functions.text import shingles
@@ -197,13 +232,69 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = tf.transform(docs).filter(F.size("toks") > 0)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    lsh_pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_1"),
             F.col("datasetB.doc_id").alias("id_2"),
-            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+        .distinct()
+    )
+
+    # exact ≥0.9 ground truth via the inverted-index shape (slim
+    # (gram, doc) shuffles only — same scale valve as jaccard_topk_pairs)
+    postings = (
+        docs.select(F.explode("toks").alias("g"), F.col("doc_id").alias("doc"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds").between(2, 10_000))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.d1", "p.d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    exact = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+            "d2",
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("exact_jaccard") >= 0.9)
+    )
+    return (
+        exact.join(
+            lsh_pairs.withColumn("hit", F.lit(True)),
+            (exact.d1 == lsh_pairs.id_1) & (exact.d2 == lsh_pairs.id_2),
+            "left",
+        )
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            "exact_jaccard",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("found_by_lsh"),
         )
     )
 
