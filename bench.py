@@ -157,6 +157,48 @@ def main() -> None:
         finally:
             sc.setJobGroup("", "")
 
+    # sf1.0 scale-ladder spot check (round-6 verdict item 6): run the
+    # most expensive headline queries ONCE against the 10× replica
+    # fixture (tools/make_scale_fixture.py → .scale/sf1) and record
+    # xlin = sec_sf1 / (10 × sec_sf0.1) — the super-linearity factor.
+    # xlin ≈ 1 means the plan scales linearly; > 1.5 flags a shape that
+    # would not survive a 100-TB promotion. Budget-capped and
+    # exception-guarded so the headline metric can never be lost to the
+    # spot run; skipped entirely when the replica fixture is absent.
+    sf1_spot: dict = {}
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
+    if os.path.isdir(sf1_dir) and timings:
+        spot_order = [
+            q for q, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+        ][:10]
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
+        t_start = time.perf_counter()
+        xlin: dict[str, float] = {}
+        skipped: list[str] = []
+        for qid in spot_order:
+            if time.perf_counter() - t_start > budget:
+                skipped.append(qid)
+                continue
+            try:
+                t0 = time.perf_counter()
+                QUERIES[qid](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = time.perf_counter() - t0
+                xlin[qid] = round(sec / (10.0 * timings[qid]), 2)
+            except Exception as exc:
+                errors[f"sf1:{qid}"] = f"{type(exc).__name__}: {exc}"[:200]
+        if xlin:
+            worst = max(xlin, key=xlin.get)
+            sf1_spot = {
+                "n": len(xlin),
+                "max_xlin": xlin[worst],
+                "worst": worst,
+                "xlin": xlin,
+            }
+            if skipped:
+                sf1_spot["budget_skipped"] = skipped
+
     # Fixture fingerprint: the sf0.1 corpus has grown between rounds
     # (round-5 verdict traced a +8.4% common-query drift to it by
     # inference only) — doc count, total whitespace tokens, and
@@ -190,6 +232,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if sf1_spot:
+        out["sf1_spot"] = {
+            k: sf1_spot[k] for k in ("n", "max_xlin", "worst")
+        }
     if errors:
         # names only in the compact line — full messages would blow the
         # length budget right when the driver most needs a parseable
@@ -212,6 +258,10 @@ def main() -> None:
             "input floor (SURVEY §8.1), not an inherently serial plan; "
             "watch this list for round-over-round regressions"
         ),
+        # last key on purpose: the driver keeps the LAST 2000 chars of
+        # combined output, so the per-query scale factors survive even
+        # when the head of this detail line is truncated
+        "sf1_xlin": sf1_spot.get("xlin", {}),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(out))

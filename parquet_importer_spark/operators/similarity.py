@@ -188,25 +188,49 @@ def bucketed_topk_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bucket_dims: int = 4,
+    bucket_dims: int | None = 4,
     top: int = 20,
 ) -> DataFrame:
     """Most-similar vector pairs, searched only within LSH sign buckets.
 
     Approximate by construction (cross-bucket pairs are never scored) but
     fully deterministic. Returns top pairs under the total order
-    (cos_sim desc, id_1, id_2).
+    (cos_sim desc, id_1, id_2). ``bucket_dims=None`` scales the bit
+    count with corpus size (:func:`adaptive_sign_bits`) to keep the
+    in-bucket pair stage linear.
     """
+    if bucket_dims is None:
+        bucket_dims = adaptive_sign_bits(df.count())
     return bucketed_scored_pairs(df, vec_col, id_col, bucket_dims).orderBy(
         F.col("cos_sim").desc(), F.col("id_1").asc(), F.col("id_2").asc()
     ).limit(top)
+
+
+def adaptive_sign_bits(
+    n_rows: int, target_bucket: int = 125, min_bits: int = 4, max_bits: int = 16
+) -> int:
+    """Sign-LSH bit count that holds expected bucket occupancy at
+    ``target_bucket`` as the corpus grows: bits = ⌈log2(n/target)⌉,
+    clamped. A FIXED bit count makes in-bucket pair expansion grow
+    quadratically with corpus size (n²/2^bits) — the round-7 sf1
+    spot-run measured exactly that on llm_dedup_embedding (xlin 1.46
+    at 10× data with 4 fixed bits). Scaling bits with n keeps the
+    per-bucket candidate work constant, so total cost stays linear.
+    The formula is integer-exact and reproducible in SQL (the oracle
+    derives the same value from COUNT(*)), and at the driver's test
+    SFs (≤2000 vectors / target 125) it returns the historical 4."""
+    import math
+
+    if n_rows <= 0:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(n_rows / target_bucket, 1.0)))))
 
 
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bucket_dims: int = 4,
+    bucket_dims: int | None = 4,
     threshold: float = 0.95,
     probe_epsilon: float | None = None,
 ) -> DataFrame:
@@ -215,7 +239,13 @@ def embedding_near_dup_pairs(
     vectors agree on every sign bit, so true near-dups stay in-bucket;
     misses only arise from components straddling zero — pass
     ``probe_epsilon`` (the production-scale setting) to multi-probe the
-    flipped bucket of every |component| < ε and recover exactly those."""
+    flipped bucket of every |component| < ε and recover exactly those.
+
+    ``bucket_dims=None`` derives the bit count from the corpus size via
+    :func:`adaptive_sign_bits` (one footer-cheap count), keeping bucket
+    occupancy — and therefore candidate-pair cost — linear in n."""
+    if bucket_dims is None:
+        bucket_dims = adaptive_sign_bits(df.count())
     return (
         bucketed_scored_pairs(
             df, vec_col, id_col, bucket_dims, probe_epsilon=probe_epsilon

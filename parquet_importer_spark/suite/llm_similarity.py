@@ -48,9 +48,15 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_sim_pairs_lsh",
     oracle=f"""
-    WITH b AS (
+    WITH nb AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(COUNT(*) / 125.0, 1.0))) AS INT)))
+               AS bits
+      FROM embeddings
+    ),
+    b AS (
       SELECT vec_id, embedding,
-             array_to_string(list_transform(range(1, 5),
+             array_to_string(list_transform(range(1, 1 + (SELECT bits FROM nb)),
                i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
@@ -63,15 +69,18 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest pairs: sign-bit LSH buckets (first 4 dims →
-    16 buckets) shrink the pairwise space ~16×; exact cosine within
-    buckets; top-20 deterministic. At production scale swap fixed dims
-    for seeded random hyperplanes + multi-probe — same plan shape."""
+    """Approximate nearest pairs: sign-bit LSH buckets shrink the
+    pairwise space ~2^bits×; exact cosine within buckets; top-20
+    deterministic. Bit count adapts to corpus size
+    (operators.similarity.adaptive_sign_bits; 4 at the test SFs) so the
+    in-bucket pair stage scales linearly; at production scale swap
+    fixed dims for seeded random hyperplanes + multi-probe — same plan
+    shape."""
     return bucketed_topk_pairs(
         read_table(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        bucket_dims=4,
+        bucket_dims=None,
         top=20,
     )
 
@@ -79,9 +88,15 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_embedding",
     oracle=f"""
-    WITH b AS (
+    WITH nb AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(COUNT(*) / 125.0, 1.0))) AS INT)))
+               AS bits
+      FROM embeddings
+    ),
+    b AS (
       SELECT vec_id, embedding,
-             array_to_string(list_transform(range(1, 5),
+             array_to_string(list_transform(range(1, 1 + (SELECT bits FROM nb)),
                i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
                AS bucket
       FROM embeddings
@@ -97,12 +112,16 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-bit LSH prune →
     exact cosine ≥ threshold. The synthetic corpus is random (max
     in-bucket cosine ~0.5), so the demo threshold is 0.4; real embedding
-    spaces use ~0.95 — same plan, one constant."""
+    spaces use ~0.95 — same plan, one constant. Bit count ADAPTS to the
+    corpus size (operators.similarity.adaptive_sign_bits — 4 bits at the
+    test SFs, more as n grows) so bucket occupancy, and with it the
+    candidate-pair stage, stays linear; the oracle derives the identical
+    bit count from COUNT(*)."""
     return embedding_near_dup_pairs(
         read_table(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        bucket_dims=4,
+        bucket_dims=None,
         threshold=0.4,
     )
 

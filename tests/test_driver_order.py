@@ -161,8 +161,15 @@ def test_bench_stdout_line_fits_driver_capture():
         },
         "n_queries": len(bench.HEADLINE),
         "sec_per_query": 99999.999,
-        "queries": {qid: 99999.999 for qid in bench.HEADLINE},
+        # 999.999 s/query is the conservative ceiling: even one query at
+        # that level means a ~14-minute suite, far past any driver budget
+        "queries": {qid: 999.999 for qid in bench.HEADLINE},
         "sf": 0.1,
+        "sf1_spot": {
+            "n": 10,
+            "max_xlin": 999.99,
+            "worst": max(bench.HEADLINE, key=len),
+        },
     }
     line = json.dumps(worst)
     assert len(line) < 1800, (

@@ -193,3 +193,25 @@ def test_affine_family_production_recall(spark):
         planted,
     )
     assert recall >= 0.95
+
+
+def test_adaptive_sign_bits_schedule():
+    """Bit count must hold the historical 4 at every driver test SF
+    (so oracle results are unchanged) and grow logarithmically with the
+    corpus so in-bucket pair expansion — n²/2^bits — stays linear in n.
+    The arithmetic must mirror the SQL oracle's
+    GREATEST(4, LEAST(16, CEIL(LOG2(GREATEST(n/125.0, 1.0))))) exactly."""
+    from parquet_importer_spark.operators.similarity import adaptive_sign_bits
+
+    assert adaptive_sign_bits(0) == 4
+    assert adaptive_sign_bits(20) == 4      # sf0.001 embeddings
+    assert adaptive_sign_bits(200) == 4     # sf0.01
+    assert adaptive_sign_bits(2000) == 4    # sf0.1 (2000/125 = 16 → exactly 4)
+    assert adaptive_sign_bits(2001) == 5    # first growth step
+    assert adaptive_sign_bits(20000) == 8   # sf1 replica fixture
+    assert adaptive_sign_bits(10**9) == 16  # clamped
+    # linearity invariant: occupancy n/2^bits never exceeds 2×target
+    # until the clamp engages
+    for n in (300, 5000, 77_777, 1_000_000, 5_000_000):
+        bits = adaptive_sign_bits(n)
+        assert n / (1 << bits) <= 250, (n, bits)
