@@ -41,10 +41,12 @@ def scan_meta_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_select")  # rows-only: path-mode source resolution, no SQL analog
+@query("source_select", oracle="SELECT * FROM region")
 def source_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-based source resolution (reference app.py:32-49 chooses
-    upload vs local path; distributed engines only have paths)."""
+    upload vs local path; distributed engines only have paths).
+    Hash-checked (round 7): the mechanism (format().load(path)) has no
+    SQL analog but its RESULT is the table itself."""
     return spark.read.format("parquet").load(table_path(sf_dir, "region"))
 
 
@@ -187,7 +189,21 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_rowgroup_stats")  # rows-only: footer metadata surface (path-dependent)
+@query(
+    "scan_rowgroup_stats",
+    # the driver contract fixes oracle runs at sf0.01 (see
+    # __spark_entry__ docstring), so the independent-footer-reader
+    # check pins that path; the Spark side stays sf_dir-generic
+    oracle="""
+    SELECT CAST(row_group_id AS INT) AS row_group,
+           CAST(row_group_num_rows AS BIGINT) AS num_rows,
+           CAST(stats_min_value AS BIGINT) AS key_min,
+           CAST(stats_max_value AS BIGINT) AS key_max
+    FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+    WHERE path_in_schema = 'o_orderkey'
+    ORDER BY row_group
+    """,
+)
 def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group statistics table — the pruning observability surface:
     per row group, its row count and the min/max of the sort-ish key

@@ -28,20 +28,32 @@ from parquet_importer_spark.sources.spatial import (
 )
 
 
-@query("sink_parquet")  # rows-only: filesystem side effect
+@query("sink_parquet", oracle="SELECT * FROM nation")
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real parquet write + read-back (reference generate_data.py:21).
-    Single atomic distributed write — no chunk loop."""
+    Single atomic distributed write — no chunk loop. Hash-checked
+    round-trip (round 7): the returned read-back must equal the source
+    table byte-for-value, so a write- or read-side corruption
+    mismatches the oracle instead of passing a rows-only check."""
     out = os.path.join(tempfile.mkdtemp(prefix="pis_sink_"), "nation")
     write_parquet(read_table(spark, sf_dir, "nation"), out, mode="replace")
     return spark.read.parquet(out).orderBy("n_nationkey")
 
 
-@query("sink_append_chunked")  # rows-only: filesystem side effect
+@query(
+    "sink_append_chunked",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
 def sink_append_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First write applies the user mode, later writes append —
     the reference's first-chunk DDL dance (app.py:109/178/186), batch
-    form. Verified by reading back the union."""
+    form. Hash-checked (round 7): the read-back row/key counts of the
+    replace+append pair must reproduce the source exactly — a dropped
+    or doubled chunk mismatches."""
     out = os.path.join(tempfile.mkdtemp(prefix="pis_chunk_"), "orders")
     o = read_table(spark, sf_dir, "orders")
     first = o.filter(F.col("o_orderkey") % 2 == 0)
@@ -54,7 +66,20 @@ def sink_append_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_jdbc")  # rows-only: live embedded-Derby side effect
+@query(
+    "sink_jdbc",
+    oracle="""
+    SELECT * FROM (
+      SELECT '1_replace' AS step, CAST(COUNT(*) AS BIGINT) AS rows_in_db,
+             'overwritten' AS outcome FROM nation
+      UNION ALL
+      SELECT '2_append', CAST(2 * COUNT(*) AS BIGINT), 'appended' FROM nation
+      UNION ALL
+      SELECT '3_fail', CAST(2 * COUNT(*) AS BIGINT), 'errorifexists_raised'
+      FROM nation
+    ) ORDER BY step
+    """,
+)
 def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE JDBC round-trip — all three reference modes (app.py:178-183)
     executed end-to-end against embedded Derby (already on Spark's
@@ -416,7 +441,14 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_compact_small_files")  # rows-only: filesystem layout metrics
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT CAST(64 AS INT) AS n_files_before, CAST(4 AS INT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the table-maintenance pass every large
     parquet lake needs (streaming sinks and over-parallel writes leave
