@@ -28,7 +28,17 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(meta, "doc_id").orderBy("doc_id")
 
 
-@query("llm_multimodal_binaryfile")  # rows-only: filesystem source
+@query(
+    "llm_multimodal_binaryfile",
+    # the binaryFile rows are fully derivable from the documents that
+    # synthesized them: name, utf-8 byte length, content sha256
+    oracle="""
+    SELECT doc_id || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 50
+    """,
+)
 def llm_multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest a media directory as a table with the binaryFile source:
     (path, modificationTime, length, content) per file — the standard

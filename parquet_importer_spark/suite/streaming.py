@@ -157,11 +157,21 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_microbatch")  # rows-only: genuine streaming run
+@query(
+    "stream_microbatch",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
 def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real incremental import: readStream(parquet) → foreachBatch append
     → read back. The reference's whole app (app.py:94-193) in one call,
-    with checkpointed file tracking."""
+    with checkpointed file tracking. Hash-checked (round 7): whatever
+    the micro-batch slicing, the drained destination must contain
+    exactly the source rows — the per-type read-back counts are
+    batch-boundary-independent, so a dropped or replayed batch
+    mismatches the oracle."""
     from parquet_importer_spark.streaming.microbatch import (
         incremental_parquet_import,
     )
@@ -178,11 +188,32 @@ def stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_run")  # rows-only: watermark semantics not batch-SQL
+@query(
+    "stream_watermark_run",
+    # the append-mode emission contract, stated as SQL: after the
+    # stream drains, exactly the 1h windows whose END precedes the
+    # final watermark (max event ts − 10 min) have been emitted —
+    # independent of micro-batch slicing, because the final no-data
+    # batch flushes every window the terminal watermark finalizes.
+    # (event_id is unique in the fixture, so the stateful
+    # dropDuplicates is exercised but count-neutral.)
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    w AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws_epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT ws_epoch, n_events FROM w, mx
+    WHERE ws_epoch + 3600 <= epoch(date_trunc('second', m - INTERVAL 10 MINUTE))
+    """,
+)
 def stream_watermark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine watermarked streaming aggregation: 10-minute watermark,
     1h tumbling windows, stateful dropDuplicates on event_id, memory
-    sink in append mode (only watermark-finalized windows emit)."""
+    sink in append mode (only watermark-finalized windows emit). The
+    oracle above pins the emission semantics themselves — see its
+    comment."""
     from parquet_importer_spark.streaming.microbatch import as_stream_dir
 
     # events.ts may be TIMESTAMP(NANOS) (read as nano-epoch long, io.py
@@ -221,7 +252,16 @@ def stream_watermark_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_stateful_count")  # rows-only: custom stateful operator
+@query(
+    "stream_stateful_count",
+    # the final per-key state is batching-independent: whatever the
+    # micro-batch boundaries, the last update for a user equals their
+    # total event count
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event count kept in explicit GroupState across
@@ -274,7 +314,15 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest
 
 
-@query("stream_progress")  # rows-only: observability metrics
+@query(
+    "stream_progress",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_processed,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+             AS total_value
+    FROM events
+    """,
+)
 def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-run progress counters via df.observe() — the reference's
     progress bar (app.py:96/185-193) as engine-side metrics that cost
@@ -291,7 +339,7 @@ def stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.write.format("noop").mode("overwrite").save()
     metrics = obs.get
     return spark.createDataFrame(
-        [(int(metrics["rows_processed"]), float(metrics["total_value"]))],
+        [(int(metrics["rows_processed"]), round(float(metrics["total_value"]), 4))],
         "rows_processed bigint, total_value double",
     )
 
@@ -1295,7 +1343,21 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_transform_with_state")  # rows-only: custom stateful operator
+@query(
+    "stream_transform_with_state",
+    # final per-key state is batching-independent (integer cents,
+    # quantized per row). Rounding-mode note: the operator quantizes
+    # with pandas .round() (half-even) vs DuckDB round() (half-away);
+    # they can only differ on EXACT half-cent values, which the
+    # continuous-valued fixture contains zero of (checked at all three
+    # SFs) and which are measure-zero for real-valued streams.
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing via transformWithStateInPandas —
     Spark 4's successor to applyInPandasWithState (SPARK-46815): a
