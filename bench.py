@@ -110,6 +110,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     partitions: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    unstable: dict[str, float] = {}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     for qid in HEADLINE:
@@ -117,7 +118,7 @@ def main() -> None:
             errors[qid] = "not registered"
             continue
         try:
-            best = None
+            runs: list[float] = []
             sc.setJobGroup(f"bench:{qid}", qid)
             for _ in range(2):
                 # timer covers query construction too: iterative operators
@@ -126,9 +127,14 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = QUERIES[qid](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            timings[qid] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            timings[qid] = round(min(runs), 3)
+            # dispersion flag: when the two runs disagree by >30% the
+            # recorded min is not a settled steady-state number — the
+            # r5 llm_dedup_containment 0.856 s outlier (SURVEY §8.1)
+            # would have carried this flag. Lands in the stderr detail.
+            if max(runs) > 1.3 * min(runs):
+                unstable[qid] = round(max(runs) / min(runs), 2)
             # scale guardrail (free driver-side metadata): per-stage task
             # counts. AQE rightly coalesces a 5-row result to 1 final
             # task, so a small final stage is normal — the red flag is a
@@ -167,7 +173,9 @@ def main() -> None:
     # spot run; skipped entirely when the replica fixture is absent.
     sf1_spot: dict = {}
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1")
-    if os.path.isdir(sf1_dir) and timings:
+    # xlin's ×10 denominator assumes the headline ran at sf0.1 — skip
+    # the spot block entirely for other SPARK_GRAFT_SF_DIR values
+    if os.path.isdir(sf1_dir) and timings and sf == 0.1:
         spot_order = [
             q for q, _ in sorted(timings.items(), key=lambda kv: -kv[1])
         ][:10]
@@ -258,6 +266,7 @@ def main() -> None:
             "input floor (SURVEY §8.1), not an inherently serial plan; "
             "watch this list for round-over-round regressions"
         ),
+        "unstable_runs": unstable,
         # last key on purpose: the driver keeps the LAST 2000 chars of
         # combined output, so the per-query scale factors survive even
         # when the head of this detail line is truncated

