@@ -116,6 +116,9 @@ _DEFER_ORDER = (
     "llm_rouge_overlap",
     "ts_sax",
     "ts_theilsen_trend",
+    # round 7: the live COPY-protocol Postgres import (hash-checked
+    # end-to-end against a real scratch server)
+    "sink_postgres_copy",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -85,6 +85,13 @@ HEADLINE = (
     "llm_line_dedup",
     "graph_triangle_count",
     "ts_seasonal_decompose",
+    # round 7: the reference's own mission head-to-head — 600k-row
+    # parquet → live Postgres import over 8 parallel COPY streams
+    # (~2 s ≈ 300k rows/s; the reference's serial to_sql chunk loop is
+    # the single-connection version of this). First run also pays the
+    # one-time scratch-server initdb+start (~5 s), which min-of-N
+    # correctly excludes from the steady-state number.
+    "sink_postgres_copy",
 )
 
 
@@ -128,13 +135,28 @@ def main() -> None:
                 df = QUERIES[qid](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            timings[qid] = round(min(runs), 3)
-            # dispersion flag: when the two runs disagree by >30% the
-            # recorded min is not a settled steady-state number — the
-            # r5 llm_dedup_containment 0.856 s outlier (SURVEY §8.1)
-            # would have carried this flag. Lands in the stderr detail.
+            # adaptive third run: this box shows heavy-tailed ambient
+            # stalls (an identical back-to-back run can read 1.6 s then
+            # 9.3 s — SURVEY §8.1), so when the two runs disagree by
+            # >30% the min is not yet a settled steady-state number; one
+            # more sample costs seconds and de-noises the recorded
+            # series the round it happens instead of a round later.
             if max(runs) > 1.3 * min(runs):
-                unstable[qid] = round(max(runs) / min(runs), 2)
+                t0 = time.perf_counter()
+                QUERIES[qid](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            timings[qid] = round(min(runs), 3)
+            # dispersion flag: when even the two BEST runs disagree by
+            # >30% the recorded min is still unsettled (a single ambient
+            # stall among three runs is fine — two agreeing fast runs
+            # confirm the min). The r5 llm_dedup_containment 0.856 s
+            # outlier (SURVEY §8.1) would have carried this flag. Lands
+            # in the stderr detail.
+            best2 = sorted(runs)[:2]
+            if best2[1] > 1.3 * best2[0]:
+                unstable[qid] = round(best2[1] / best2[0], 2)
             # scale guardrail (free driver-side metadata): per-stage task
             # counts. AQE rightly coalesces a 5-row result to 1 final
             # task, so a small final stage is normal — the red flag is a
