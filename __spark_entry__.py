@@ -117,8 +117,14 @@ _DEFER_ORDER = (
     "ts_sax",
     "ts_theilsen_trend",
     # round 7: the live COPY-protocol Postgres import (hash-checked
-    # end-to-end against a real scratch server)
+    # end-to-end against a real scratch server), rolling robust
+    # quantiles, Brown's double-EWMA forecast, synchronous label
+    # propagation, and the fully hash-verified two-round Lloyd k-means
     "sink_postgres_copy",
+    "win_sliding_quantiles",
+    "ts_double_ewma_forecast",
+    "graph_lpa_communities",
+    "llm_cluster_kmeans_exact",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

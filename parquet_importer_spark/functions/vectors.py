@@ -58,3 +58,21 @@ def oracle_cosine(a: str, b: str) -> str:
         f" THEN {oracle_dot(a, b)} / (sqrt({oracle_sq_norm(a)}) * sqrt({oracle_sq_norm(b)}))"
         f" ELSE 0.0 END"
     )
+
+
+def dist2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² (squared L2 distance) — same ordered left fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_dbl(x) - _dbl(y)) * (_dbl(x) - _dbl(y))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def oracle_dist2(a: str, b: str) -> str:
+    """DuckDB SQL computing the same fold as :func:`dist2`."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )

@@ -1627,3 +1627,156 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy(F.col("a").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+@query(
+    "graph_lpa_communities",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
+      FROM co
+    ),
+    e AS (
+      SELECT s1, s2 FROM co, st
+      WHERE st.n * c > st.sc
+        AND (st.n * c - st.sc) * (st.n * c - st.sc)
+            > st.n * st.sc2 - st.sc * st.sc
+    ),
+    sym AS (
+      SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+    c1 AS (
+      SELECT s.u AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT s.u AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ),
+    c3 AS (
+      SELECT s.u AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c3
+      ) WHERE rn = 1
+    )
+    SELECT l1.node, l1.lab AS lab_r1, l2.lab AS lab_r2, l3.lab AS lab_r3
+    FROM l1 JOIN l2 USING (node) JOIN l3 USING (node)
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    supplier co-occurrence graph — the FREQUENCY-based community
+    detector, complementing the min-label connectivity family
+    (llm_dedup_clusters / cc_bigstar find components; LPA splits a
+    component into densely-knit groups, the shape used to collapse
+    template farms inside one giant weakly-connected crawl cluster).
+    Same μ+σ edge cut as graph_triangle_count (exact DECIMAL(38,0)
+    arithmetic, no stddev double), three SYNCHRONOUS rounds, each
+    node adopting its neighbors' modal label with the deterministic
+    (count DESC, label ASC) tie-break — fixed rounds + total
+    tie-order make the result exactly reproducible, which is what
+    lets the oracle unroll it (the pagerank/kcore playbook).
+
+    Plan shape per round: ONE shuffle — join the slim (node, lab)
+    frame to the symmetric edge list on the neighbor key, then a
+    composite-ordered min_by aggregation (no window, no sort: the
+    modal pick rides the same hash aggregate that counts votes).
+    Edges localCheckpoint once, reused by all three rounds; labels
+    stay 2-column rows end-to-end. At 100 TB: rounds are O(m) slim
+    shuffles — the standard LPA cost — and the synchronous variant
+    avoids the asynchronous version's update races on purpose."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
+    )
+    _D = "decimal(38,0)"
+    st = co.agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("c").cast(_D).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sc")
+    e = (
+        co.join(F.broadcast(st))
+        .filter(
+            (F.col("n") * F.col("c") > F.col("sc"))
+            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
+        )
+        .select("s1", "s2")
+    )
+    sym = (
+        e.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    rounds = []
+    for _ in range(3):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.min_by(
+                "lab",
+                F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l")),
+            ).alias("lab")
+        )
+        rounds.append(labels)
+    # every round's label per node lands in the output, so the oracle
+    # checks the full propagation TRAJECTORY — the converged state
+    # alone can be degenerate (one community) on a dense small graph
+    out = rounds[0].select("node", F.col("lab").alias("lab_r1"))
+    for i, r in enumerate(rounds[1:], start=2):
+        out = out.join(
+            r.select("node", F.col("lab").alias(f"lab_r{i}")), "node"
+        )
+    return out

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_importer_spark.functions.vectors import oracle_cosine
+from parquet_importer_spark.functions.vectors import (
+    oracle_cosine,
+    oracle_dist2,
+)
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.operators.similarity import (
     bucketed_topk_pairs,
@@ -987,4 +990,140 @@ def llm_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("q_whitened"),
+    )
+
+
+@query(
+    "llm_cluster_kmeans_exact",
+    oracle=f"""
+    WITH xv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            e -> round(CAST(e AS DOUBLE), 6)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cvec FROM xv WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, cid AS cluster_r1, v FROM (
+        SELECT x.vec_id, x.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY ROUND({oracle_dist2('x.v', 'c.cvec')}, 6) ASC,
+                          c.cid ASC) AS rn
+        FROM xv x CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT cluster_r1 AS cid, i.i AS pos, v[i.i] AS x
+      FROM a1, LATERAL (
+        SELECT unnest(range(1, len(v) + 1)) AS i
+      ) i
+    ),
+    m AS (
+      SELECT cid, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE), 6)
+               / COUNT(*) AS c
+      FROM ex GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM m GROUP BY cid),
+    a2 AS (
+      SELECT vec_id, cluster_r1, cid AS cluster, d AS dist2 FROM (
+        SELECT a.vec_id, a.cluster_r1, c.cid,
+               ROUND({oracle_dist2('a.v', 'c.cvec')}, 6) AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND({oracle_dist2('a.v', 'c.cvec')}, 6) ASC,
+                          c.cid ASC) AS rn
+        FROM a1 a CROSS JOIN c1 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cluster_r1, cluster, dist2 FROM a2
+    """,
+)
+def llm_cluster_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled Lloyd k-means over the embedding corpus — k = 8,
+    TWO full assign→update→assign rounds, every step deterministic: the
+    8 lowest vec_ids seed the centroids, assignment breaks distance
+    ties by centroid id, and centroid updates use the per-dimension
+    decimal-exact mean (the llm_embed_centroid_dist recipe). That
+    determinism is the point: where llm_sim_ivf_kmeans wraps MLlib's
+    seeded sampling fit (correctly rows-only checkable), THIS k-means
+    is reproducible expression-for-expression, so the DuckDB oracle
+    unrolls both rounds and the driver hash-checks per-vector cluster
+    assignments AND distances — the first fully hash-verified
+    clustering in the suite (the kcore/pagerank unrolled-oracle
+    playbook applied to geometry).
+
+    Float contract: inputs quantize to the 6-dp grid; each dist² is
+    the identical ordered zip-fold on both engines (functions.vectors
+    dist2 / oracle_dist2), argmin compares ROUND(d, 6) with id
+    tie-break; centroid means accumulate DECIMAL(30,8), snap back to
+    the grid, and divide once (registry exact_avg shape).
+
+    Scale shape: per round ONE broadcast of the k×dim centroid table
+    against the un-shuffled corpus (map-side assignment, the
+    llm_semdedup join shape) and ONE partial-aggregatable
+    (cluster, pos) mean — the canonical distributed Lloyd round; the
+    corpus localCheckpoints once for its three consumers. k and the
+    round count are the only cost knobs at 100 TB; nothing is
+    quadratic in n."""
+    from parquet_importer_spark.functions.vectors import dist2  # noqa: PLC0415
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    xv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda e: F.round(e.cast("double"), 6)
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    def assign(df: DataFrame, cent: DataFrame, label: str) -> DataFrame:
+        d = F.round(dist2(F.col("v"), F.col("cvec")), 6)
+        best = F.min(F.struct(d.alias("d"), F.col("cid").alias("cid")))
+        keep = [f for f in df.columns if f != "v"]
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                best.alias("best"),
+                *[F.any_value(c).alias(c) for c in keep if c != "vec_id"],
+                F.any_value("v").alias("v"),
+            )
+            .select(
+                *keep,
+                "v",
+                F.col("best.cid").alias(label),
+                F.col("best.d").alias(f"{label}_d"),
+            )
+        )
+
+    c0 = xv.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cvec")
+    )
+    a1 = assign(xv, c0, "cluster_r1")
+    m = (
+        a1.select(F.col("cluster_r1").alias("cid"), F.posexplode("v"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("col").cast("decimal(30,8)")).cast("double"),
+                    6,
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    c1 = m.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.c,
+        ).alias("cvec")
+    )
+    a2 = assign(a1, c1, "cluster")
+    return a2.select(
+        "vec_id",
+        "cluster_r1",
+        "cluster",
+        F.col("cluster_d").alias("dist2"),
     )

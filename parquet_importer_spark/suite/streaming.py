@@ -1878,3 +1878,114 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((lo + hi) / 2)
         .alias("theil_sen_slope"),
     )
+
+
+@query(
+    "ts_double_ewma_forecast",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p1 AS (
+      SELECT event_type, ts, event_id, rn,
+             list(cents) OVER w8 AS l1
+      FROM x
+      WINDOW w8 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ),
+    s1 AS (
+      SELECT event_type, ts, event_id, rn,
+             list_sum(list_transform(range(1, len(l1) + 1),
+               i -> l1[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS num1
+      FROM p1
+    ),
+    p2 AS (
+      SELECT event_type, event_id, rn, num1,
+             list(num1) OVER w8 AS l2
+      FROM s1
+      WINDOW w8 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+      SELECT event_type, event_id, rn, num1,
+             list_sum(list_transform(range(1, len(l2) + 1),
+               i -> l2[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS num2
+      FROM p2
+    )
+    SELECT event_type, event_id,
+           CAST(num1 AS DOUBLE) / 25500.0 AS s1,
+           CAST(num2 AS DOUBLE) / 6502500.0 AS s2,
+           CAST(2 * 255 * num1 - num2 AS DOUBLE) / 6502500.0 AS level,
+           CAST(255 * num1 - num2 AS DOUBLE) / 6502500.0 AS trend,
+           CAST((2 * 255 * num1 - num2) + 3 * (255 * num1 - num2)
+                AS DOUBLE) / 6502500.0 AS forecast3
+    FROM s2 WHERE rn >= 15
+    """,
+)
+def ts_double_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing per event series — the
+    level + trend forecaster one rung above ts_ewma: smooth the series
+    (s1), smooth the smoothed series (s2), and read off
+    level = 2·s1 − s2, trend ∝ s1 − s2, and the h-step forecast
+    level + h·trend (h = 3 here). This is the classic capacity-planning
+    / alert-projection primitive for locally-linear series, where a
+    single EWMA systematically lags the trend.
+
+    Float contract (the ts_ewma dyadic playbook, squared): both passes
+    use the truncated alpha = 1/2 dyadic-weight window over 8 rows, so
+    with integer-cents inputs num1 = Σ cents·2^i and num2 = Σ num1·2^i
+    are EXACT BIGINTs (|num2| ≲ |value|·100·255² ≈ 4e9 here, and still
+    < 2^53 for values up to 10^9); level/trend/forecast numerators are
+    integer combinations of them, and the ONLY floating op per output
+    column is one division by the common denominator 255²·100 — both
+    engines divide identical integers. Emitted from row 15 of each
+    series on, where both windows are full (the closed-form rational
+    algebra needs the uniform 255 / 255² denominators).
+
+    Scale shape: one shuffle on the series key; BOTH window passes and
+    the row_number ride the identical (partition, order) — a single
+    exchange + sort reused three times (the win_gaps_islands pattern);
+    8-element frames bound all state."""
+    ev = read_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w8 = wo.rowsBetween(-7, 0)
+    horner = lambda col: F.aggregate(  # noqa: E731
+        F.reverse(col), F.lit(0).cast("bigint"), lambda acc, v: acc * 2 + v
+    )
+    p1 = x.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(wo).alias("rn"),
+        horner(F.collect_list("cents").over(w8)).alias("num1"),
+    )
+    s2 = p1.select(
+        "event_type",
+        "event_id",
+        "rn",
+        "num1",
+        horner(F.collect_list("num1").over(w8)).alias("num2"),
+    ).filter(F.col("rn") >= 15)
+    num1, num2 = F.col("num1"), F.col("num2")
+    den = F.lit(6502500.0)  # 255^2 * 100
+    level_num = 2 * 255 * num1 - num2
+    trend_num = 255 * num1 - num2
+    return s2.select(
+        "event_type",
+        "event_id",
+        (num1.cast("double") / 25500.0).alias("s1"),
+        (num2.cast("double") / den).alias("s2"),
+        (level_num.cast("double") / den).alias("level"),
+        (trend_num.cast("double") / den).alias("trend"),
+        ((level_num + 3 * trend_num).cast("double") / den).alias("forecast3"),
+    )

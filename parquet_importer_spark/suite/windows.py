@@ -462,3 +462,67 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak").desc(), F.col("o_custkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "win_sliding_quantiles",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, event_id,
+           median(cents) OVER w / 100.0 AS med,
+           quantile_cont(cents, 0.25) OVER w / 100.0 AS p25,
+           quantile_cont(cents, 0.75) OVER w / 100.0 AS p75,
+           (quantile_cont(cents, 0.75) OVER w
+            - quantile_cont(cents, 0.25) OVER w) / 100.0 AS iqr
+    FROM x
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median / quartiles / IQR over a 15-row frame per event
+    series — the robust-statistics window under outlier gates (the
+    median is what ts_anomaly_mad thresholds against; the IQR is the
+    classic Tukey-fence width). Holistic window aggregates like these
+    are the expensive cousins of the running sums in win_frame_rows:
+    the engine keeps the frame's value multiset, not just an
+    accumulator.
+
+    Float contract (integer-exact, the ts_ewma playbook): inputs
+    quantize to integer cents, and every interpolated quantile of
+    integers at p ∈ {.25, .5, .75} is EXACT in doubles — the
+    interpolation `a + (b−a)·p` only shifts the binary exponent by
+    two, and |cents| < 2^40 leaves 13 spare mantissa bits — so both
+    engines produce identical IEEE values no matter how their
+    interpolation is associated, and the final /100.0 is one
+    identical division.
+
+    Scale shape: one shuffle on the series key; the 15-row frame
+    bounds the per-row multiset, so memory is O(frame), not
+    O(partition). At 100 TB this is the same single-exchange cost as
+    every other window in this section."""
+    ev = read_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    pct = lambda p: F.expr(f"percentile(cents, {p}D)").over(w)  # noqa: E731
+    return x.select(
+        "event_type",
+        "event_id",
+        (pct(0.5) / 100.0).alias("med"),
+        (pct(0.25) / 100.0).alias("p25"),
+        (pct(0.75) / 100.0).alias("p75"),
+        ((pct(0.75) - pct(0.25)) / 100.0).alias("iqr"),
+    )

@@ -81,6 +81,10 @@ SHOWCASE = (
     ("llm_url_blocklist", "pure-codegen host extraction; blocklist BroadcastHashJoin; partial-agg rollup — no corpus shuffle"),
     # round 6 additions
     ("agg_kmv_distinct", "two-stage min-k: (grp,bucket) windows first (5*64-way parallel), group rank over <=k*P survivors — no whole-group sort"),
+    # round 7 additions
+    ("llm_cluster_kmeans_exact", "per Lloyd round: k x dim centroid table broadcast against the un-shuffled corpus; (cluster,pos) partial-agg mean"),
+    ("graph_lpa_communities", "per LPA round: one slim (node,label) shuffle + composite-ordered min_by hash aggregate — no window, no sort"),
+    ("ts_double_ewma_forecast", "row_number + both 8-row window passes ride ONE (series, order) exchange+sort; integer Horner folds"),
 )
 
 
