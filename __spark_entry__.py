@@ -125,6 +125,8 @@ _DEFER_ORDER = (
     "ts_double_ewma_forecast",
     "graph_lpa_communities",
     "llm_cluster_kmeans_exact",
+    "llm_dedup_editdist",
+    "spatial_geohash_join",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -916,3 +916,82 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def minhash_editdist_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_edit: int = 60,
+    prefix: int = 120,
+    k: int = 2,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs verified by EDIT DISTANCE: the same LSH
+    candidate pipeline as :func:`minhash_lsh_pairs`, but the verify
+    metric is character-level Levenshtein over the documents' first
+    ``prefix`` characters — the signal that catches single-character
+    mutations, OCR noise, and template fills that shingle-set Jaccard
+    blurs (a one-char edit flips up to k shingles; Levenshtein counts
+    it as exactly one). The distance is an integer DP on both engines,
+    so the metric itself carries no float contract at all.
+
+    The prefix cap is the scale contract: pairwise Levenshtein is
+    O(L²) per pair, so production passes bound L (and candidates are
+    already LSH-bounded here). Returns (id_1, id_2, n_shared_bands,
+    edit_dist, edit_sim) with id_1 < id_2, keeping pairs with
+    edit_dist ≤ ``max_edit``; edit_sim = 1 − d/max(len) rounded 6.
+    """
+    base = parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    banded = _banded_keys(base, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    txt = parallelize(df).select(
+        F.col(id_col).alias("doc"),
+        F.substring(F.col(text_col), 1, prefix).alias("pfx"),
+    )
+    t1 = txt.select(F.col("doc").alias("d1"), F.col("pfx").alias("pfx1"))
+    t2 = txt.select(F.col("doc").alias("d2"), F.col("pfx").alias("pfx2"))
+    d = F.levenshtein("pfx1", "pfx2").cast("bigint")
+    max_len = F.greatest(
+        F.length("pfx1"), F.length("pfx2"), F.lit(1)
+    ).cast("bigint")
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            F.col("d1").alias("id_1"),
+            F.col("d2").alias("id_2"),
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            d.alias("edit_dist"),
+            F.round(
+                F.lit(1.0) - d.cast("double") / max_len.cast("double"), 6
+            ).alias("edit_sim"),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )

@@ -1780,3 +1780,83 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.select("node", F.col("lab").alias(f"lab_r{i}")), "node"
         )
     return out
+
+
+@query(
+    "llm_dedup_editdist",
+    oracle=f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
+    sig AS (
+      SELECT doc_id, grams,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             COUNT(*) AS n_shared_bands
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT d1 AS id_1, d2 AS id_2,
+             CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+             CAST(levenshtein(substr(da.text, 1, 120),
+                              substr(db.text, 1, 120)) AS BIGINT)
+               AS edit_dist,
+             CAST(GREATEST(len(substr(da.text, 1, 120)),
+                           len(substr(db.text, 1, 120)), 1) AS BIGINT)
+               AS max_len
+      FROM cand
+      JOIN documents da ON da.doc_id = cand.d1
+      JOIN documents db ON db.doc_id = cand.d2
+    )
+    SELECT id_1, id_2, n_shared_bands, edit_dist,
+           ROUND(1.0 - CAST(edit_dist AS DOUBLE)
+                       / CAST(max_len AS DOUBLE), 6) AS edit_sim
+    FROM v WHERE edit_dist <= 60
+    """,
+)
+def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the LSH candidate pipeline of
+    llm_dedup_near with a character-level Levenshtein verify over
+    120-char prefixes (operators.dedup.minhash_editdist_pairs): the
+    metric that counts an OCR flip or template fill as ONE edit where
+    shingle Jaccard blurs it across k shingles. Both engines run the
+    identical integer DP (builtin `levenshtein`), so the verify
+    carries no float contract; only the final similarity ratio
+    divides, once, identically.
+
+    Scale shape: candidate generation is the shared banded-LSH cost
+    (slim band-key shuffle, capped buckets); the O(L²)-per-pair DP is
+    bounded by the 120-char prefix and runs post-candidate only — the
+    production knobs (prefix length, max_edit) are explicit arguments,
+    never corpus-dependent."""
+    from parquet_importer_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_editdist_pairs,
+    )
+
+    return minhash_editdist_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=4,
+        max_edit=60,
+        prefix=120,
+        k=2,
+    )

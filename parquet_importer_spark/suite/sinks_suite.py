@@ -832,3 +832,150 @@ def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_epoch", "event_id")
     )
+
+
+@query(
+    "spatial_geohash_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             ("value" % 360) - 180 AS lon,
+             ("value" % 180) - 90 AS lat
+      FROM events
+    ),
+    p2 AS (
+      SELECT event_id, lon, lat,
+             CAST(floor((lat + 90) / 22.5) AS BIGINT) * 16
+               + CAST(floor((lon + 180) / 22.5) AS BIGINT) AS cell
+      FROM pts
+    ),
+    boxes AS (
+      SELECT * FROM (VALUES
+        ('a', -171.3, -84.2, -96.7, -22.9),
+        ('b', -10.0, -45.5, 33.3, 10.1),
+        ('c', 100.25, 20.5, 177.75, 88.0),
+        ('d', -60.0, 40.0, 60.0, 66.6),
+        ('e', 150.0, -89.9, 179.9, -60.0),
+        ('f', -22.5, -22.5, 22.5, 22.5)
+      ) AS t(box_id, lon_min, lat_min, lon_max, lat_max)
+    ),
+    cells AS (
+      SELECT box_id, lon_min, lat_min, lon_max, lat_max,
+             cy.cy * 16 + cx.cx AS cell
+      FROM boxes,
+      LATERAL (SELECT unnest(range(
+        CAST(floor((lon_min + 180) / 22.5) AS BIGINT),
+        CAST(floor((lon_max + 180) / 22.5) AS BIGINT) + 1)) AS cx) cx,
+      LATERAL (SELECT unnest(range(
+        CAST(floor((lat_min + 90) / 22.5) AS BIGINT),
+        CAST(floor((lat_max + 90) / 22.5) AS BIGINT) + 1)) AS cy) cy
+    ),
+    nc AS (
+      SELECT box_id, CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cells GROUP BY box_id
+    ),
+    hits AS (
+      SELECT c.box_id, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM cells c JOIN p2 p USING (cell)
+      WHERE p.lon >= c.lon_min AND p.lon < c.lon_max
+        AND p.lat >= c.lat_min AND p.lat < c.lat_max
+      GROUP BY c.box_id
+    )
+    SELECT nc.box_id, nc.n_cells, COALESCE(hits.n_points, 0) AS n_points
+    FROM nc LEFT JOIN hits USING (box_id)
+    """,
+)
+def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell (geohash-style) EQUI-JOIN spatial join — the
+    billions-of-points upgrade that spatial_join_bbox's docstring
+    promises, shipped: every point maps to one 22.5°×22.5° integer
+    cell; every query rectangle explodes to its covering cell set
+    (over-covering on aligned edges is fine — the exact bbox test is
+    the residual); the join is then a plain BroadcastHashJoin on the
+    cell id with the range predicate as a post-join filter, instead of
+    the BroadcastNestedLoopJoin over raw range predicates. Same
+    semantics, hash-join plan — THE swap that matters when the box set
+    grows past nested-loop viability (a real tile server carries
+    thousands of viewport boxes, not 4 quadrants).
+
+    The cell arithmetic is exact: 22.5 is binary-exact (45/2), fmod
+    and floor are IEEE-identical in both engines, and cell ids are
+    BIGINTs — so the covering sets and every join key match the oracle
+    bit-for-bit; rectangles deliberately include non-aligned edges
+    (residual must prune partial cells) and exactly-aligned edges
+    (box 'f' — over-covering must not double count).
+
+    Scale shape: the point side gains one codegen'd cell column and
+    NEVER shuffles; cells-of-boxes stay broadcast-sized (rects ×
+    covering cells). At finer grids swap 22.5° for the tile size and
+    the same plan holds; skewed cells (a hot city tile) split under
+    AQE like any hash-join key."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("lon"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+    )
+    p2 = pts.select(
+        "event_id",
+        "lon",
+        "lat",
+        (
+            F.floor((F.col("lat") + 90) / 22.5) * 16
+            + F.floor((F.col("lon") + 180) / 22.5)
+        ).alias("cell"),
+    )
+    boxes = spark.createDataFrame(
+        [
+            ("a", -171.3, -84.2, -96.7, -22.9),
+            ("b", -10.0, -45.5, 33.3, 10.1),
+            ("c", 100.25, 20.5, 177.75, 88.0),
+            ("d", -60.0, 40.0, 60.0, 66.6),
+            ("e", 150.0, -89.9, 179.9, -60.0),
+            ("f", -22.5, -22.5, 22.5, 22.5),
+        ],
+        "box_id string, lon_min double, lat_min double, "
+        "lon_max double, lat_max double",
+    )
+    cells = boxes.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("lat_min") + 90) / 22.5),
+                F.floor((F.col("lat_max") + 90) / 22.5),
+            )
+        ).alias("cy"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("lon_min") + 180) / 22.5),
+                F.floor((F.col("lon_max") + 180) / 22.5),
+            )
+        ).alias("cx"),
+    ).select(
+        "box_id",
+        "lon_min",
+        "lat_min",
+        "lon_max",
+        "lat_max",
+        (F.col("cy") * 16 + F.col("cx")).alias("cell"),
+    )
+    nc = cells.groupBy("box_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells")
+    )
+    hits = (
+        p2.join(F.broadcast(cells), "cell")
+        .filter(
+            (F.col("lon") >= F.col("lon_min"))
+            & (F.col("lon") < F.col("lon_max"))
+            & (F.col("lat") >= F.col("lat_min"))
+            & (F.col("lat") < F.col("lat_max"))
+        )
+        .groupBy("box_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    )
+    return nc.join(hits, "box_id", "left").select(
+        "box_id",
+        "n_cells",
+        F.coalesce("n_points", F.lit(0).cast("bigint")).alias("n_points"),
+    )

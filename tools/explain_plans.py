@@ -85,6 +85,7 @@ SHOWCASE = (
     ("llm_cluster_kmeans_exact", "per Lloyd round: k x dim centroid table broadcast against the un-shuffled corpus; (cluster,pos) partial-agg mean"),
     ("graph_lpa_communities", "per LPA round: one slim (node,label) shuffle + composite-ordered min_by hash aggregate — no window, no sort"),
     ("ts_double_ewma_forecast", "row_number + both 8-row window passes ride ONE (series, order) exchange+sort; integer Horner folds"),
+    ("spatial_geohash_join", "BroadcastHashJoin on the integer cell id — the equi-prefilter replacing nested-loop range predicates; residual bbox filter post-join"),
 )
 
 
