@@ -103,3 +103,57 @@ def test_sliding_quantiles_ordering(spark):
     for r in rows:
         assert r.p25 <= r.med <= r.p75
         assert abs(r.iqr - (r.p75 - r.p25)) < 1e-12
+
+
+def test_editdist_pairs_metric_properties(spark):
+    """Edit distance must be symmetric in the pair (id order is
+    canonical), bounded by the prefix cap, and 0 exactly when the two
+    prefixes are identical."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+    from pyspark.sql import functions as F
+
+    out = QUERIES["llm_dedup_editdist"](spark, SF)
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("pfx")
+    )
+    rows = (
+        out.join(docs.withColumnRenamed("doc_id", "id_1"), "id_1")
+        .withColumnRenamed("pfx", "p1")
+        .join(docs.withColumnRenamed("doc_id", "id_2"), "id_2")
+        .withColumnRenamed("pfx", "p2")
+        .collect()
+    )
+    for r in rows:
+        assert r.id_1 < r.id_2
+        assert 0 <= r.edit_dist <= 120
+        assert (r.edit_dist == 0) == (r.p1 == r.p2)
+        assert 0.0 <= r.edit_sim <= 1.0
+
+
+def test_geohash_join_equals_nested_loop_join(spark):
+    """The cell equi-join + residual must return exactly the counts of
+    the plain range join over the same boxes (semantics preserved by
+    the prefilter, including the cell-aligned box 'f')."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+    from pyspark.sql import functions as F
+
+    out = {r.box_id: r for r in QUERIES["spatial_geohash_join"](spark, SF).collect()}
+    pts = read_table(spark, SF, "events").select(
+        ((F.col("value") % 360) - 180).alias("lon"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+    ).collect()
+    boxes = {
+        "a": (-171.3, -84.2, -96.7, -22.9),
+        "b": (-10.0, -45.5, 33.3, 10.1),
+        "c": (100.25, 20.5, 177.75, 88.0),
+        "d": (-60.0, 40.0, 60.0, 66.6),
+        "e": (150.0, -89.9, 179.9, -60.0),
+        "f": (-22.5, -22.5, 22.5, 22.5),
+    }
+    assert set(out) == set(boxes)
+    for bid, (x0, y0, x1, y1) in boxes.items():
+        want = sum(1 for p in pts if x0 <= p.lon < x1 and y0 <= p.lat < y1)
+        assert out[bid].n_points == want, (bid, out[bid].n_points, want)
+        assert out[bid].n_cells >= 1
