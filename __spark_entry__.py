@@ -127,6 +127,8 @@ _DEFER_ORDER = (
     "llm_cluster_kmeans_exact",
     "llm_dedup_editdist",
     "spatial_geohash_join",
+    "llm_k_anonymity",
+    "ts_cross_correlation",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -195,3 +195,98 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(_PHONE)).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@query(
+    "llm_k_anonymity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(floor(n_chars / 100) AS BIGINT) AS chars_b
+      FROM documents
+    ),
+    g0 AS (
+      SELECT lang, source, chars_b, CAST(COUNT(*) AS BIGINT) AS n0
+      FROM d GROUP BY 1, 2, 3
+    ),
+    g1 AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n1
+      FROM d GROUP BY 1, 2
+    ),
+    g2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2 FROM d GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(CASE WHEN g0.n0 >= 5 THEN 0
+                     WHEN g1.n1 >= 5 THEN 1
+                     WHEN g2.n2 >= 5 THEN 2
+                     ELSE 3 END AS INT) AS level,
+           CASE WHEN g0.n0 >= 5 THEN g0.n0
+                WHEN g1.n1 >= 5 THEN g1.n1
+                WHEN g2.n2 >= 5 THEN g2.n2
+                ELSE CAST(0 AS BIGINT) END AS group_size,
+           (g0.n0 >= 5 OR g1.n1 >= 5 OR g2.n2 >= 5) AS k_anonymous
+    FROM d
+    JOIN g0 USING (lang, source, chars_b)
+    JOIN g1 USING (lang, source)
+    JOIN g2 USING (lang)
+    """,
+)
+def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k = 5) generalization ladder over the documents'
+    quasi-identifiers — the privacy-side curation gate next to
+    llm_pii_redact: a record is releasable only inside a group of ≥ k
+    records sharing its quasi-identifier tuple, and records failing at
+    a level GENERALIZE upward instead of being dropped outright.
+    Ladder: level 0 = (lang, source, ⌊n_chars/100⌋) → level 1 drops
+    the length bucket → level 2 keeps only lang → level 3 = suppress
+    (no group protects it). Output per document: the first level whose
+    group reaches k, that group's size, and the anonymity flag — the
+    exact per-record report a release-review pipeline consumes.
+
+    All-integer semantics (group counts + a floor bucket), so parity
+    needs no float contract at all.
+
+    Scale shape: three partial-aggregatable groupBys over
+    progressively coarser keys (each a strict prefix of the last — at
+    100 TB the level-0 aggregate is the only one near corpus grain;
+    the rollups could even reuse it) and three broadcast-or-hash
+    join-backs on slim key columns; raw text never moves."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("chars_b"),
+    )
+    g0 = d.groupBy("lang", "source", "chars_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0")
+    )
+    g1 = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    g2 = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    k = 5
+    level = (
+        F.when(F.col("n0") >= k, F.lit(0))
+        .when(F.col("n1") >= k, F.lit(1))
+        .when(F.col("n2") >= k, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+    size = (
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .when(F.col("n2") >= k, F.col("n2"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    return (
+        d.join(g0, ["lang", "source", "chars_b"])
+        .join(g1, ["lang", "source"])
+        .join(g2, ["lang"])
+        .select(
+            "doc_id",
+            level.alias("level"),
+            size.alias("group_size"),
+            ((F.col("n0") >= k) | (F.col("n1") >= k) | (F.col("n2") >= k)).alias(
+                "k_anonymous"
+            ),
+        )
+    )

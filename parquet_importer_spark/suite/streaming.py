@@ -1989,3 +1989,121 @@ def ts_double_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (trend_num.cast("double") / den).alias("trend"),
         ((level_num + 3 * trend_num).cast("double") / den).alias("forecast3"),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hb,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(0, 4)) AS lag),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.s AS x, b.s AS y
+      FROM h a
+      JOIN lags l ON TRUE
+      JOIN h b ON b.hb = a.hb + l.lag AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, lag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN 0.0
+                ELSE ROUND(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS xcorr
+    FROM m
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between every ordered pair of event
+    series (lags 0–3 hours): Pearson correlation of type A's hourly
+    total against type B's total ``lag`` hours later — the
+    lead/lag-discovery diagnostic behind causal dashboards ("signups
+    lead purchases by 2h") and transfer-function forecasting; the
+    two-series sibling of ts_autocorr.
+
+    Bit-portability (the ts_autocorr discipline, two series): hourly
+    totals are exact BIGINT sums of integer cents keyed by integer
+    epoch-hours (timezone pinned UTC, so bucket alignment is pure
+    integer arithmetic); all five moments accumulate in
+    DECIMAL(38,0); the textbook n·Σxy − ΣxΣy form evaluates as ONE
+    shared float expression, degenerate variance pinned to 0.0 before
+    any division.
+
+    Scale shape: the raw-events rollup to (type, hour) grain is the
+    only full-data pass (map-combinable); the lag join and moment
+    aggregation run on |types|×|hours| rows — at 100 TB the hourly
+    grain IS the compression, the same shape as ts_seasonal_decompose.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint")
+            / F.lit(3600)
+        ).cast("bigint").alias("hb"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s")
+    )
+    lags = spark.range(0, 4).select(F.col("id").alias("lag"))
+    a = h.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hb").alias("hb_a"),
+        F.col("s").alias("x"),
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hb").alias("hb_b"),
+        F.col("s").alias("y"),
+    )
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("hb_b") == F.col("hb_a") + F.col("lag"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+    )
+    _D = "decimal(38,0)"
+    m = p.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("x").cast(_D).alias("sx"),
+        F.sum("y").cast(_D).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(_D).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_D).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(_D).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    xcorr = F.when((vx <= 0) | (vy <= 0), F.lit(0.0)).otherwise(
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        )
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_pairs"),
+        xcorr.alias("xcorr"),
+    )

