@@ -290,3 +290,37 @@ def test_approx_quantiles_bracketed_and_monotone(spark, sf_dir):
     for r in rows:
         assert r.lo <= r.hi
         assert r.within_q25 and r.within_q50 and r.within_q75, r
+
+
+def test_editdist_pairs_find_planted_single_char_mutations(spark):
+    """Recall check the oracle hash cannot provide: pairs of documents
+    that differ by exactly ONE character (within the verify prefix)
+    must surface with edit_dist == 1 — they share almost all shingles,
+    so LSH banding recalls them, and the Levenshtein verify must score
+    the mutation as a single edit."""
+    from parquet_importer_spark.operators.dedup import minhash_editdist_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a stitch in time saves nine and a rolling stone gathers no moss",
+        "pack my box with five dozen liquor jugs for the county fair day",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t.replace("o", "0", 1)))  # one-char OCR flip
+    # plus unrelated noise docs that must NOT pair with anything
+    rows += [(100, "completely unrelated text about spark physical plans"),
+             (101, "different again entirely with no overlap whatsoever")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_1, r.id_2): r.edit_dist
+        for r in minhash_editdist_pairs(
+            df, "text", "doc_id", max_edit=60, prefix=120
+        ).collect()
+    }
+    for i in range(len(base)):
+        pair = (2 * i, 2 * i + 1)
+        assert pair in got, f"planted mutation pair {pair} not recalled"
+        assert got[pair] == 1, (pair, got[pair])
+    assert all(100 not in p and 101 not in p for p in got)
