@@ -129,6 +129,8 @@ _DEFER_ORDER = (
     "spatial_geohash_join",
     "llm_k_anonymity",
     "ts_cross_correlation",
+    "udtf_lateral",
+    "agg_ols_by_group",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

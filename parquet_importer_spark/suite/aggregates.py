@@ -8,7 +8,7 @@ results are bit-identical regardless of partition order (registry docs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import read_table
@@ -1086,3 +1086,122 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_d").alias("exact_distinct"),
     )
     return union_row.unionByName(inter_row)
+
+
+@query(
+    "agg_ols_by_group",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hb,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, y,
+             CAST(hb - MIN(hb) OVER (PARTITION BY event_type) AS BIGINT) AS x
+      FROM h
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx <= 0
+                THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                ELSE (CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN 0.0
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM m
+    """,
+)
+def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS: regress each event type's hourly
+    total on the hour index — slope (trend per hour), intercept, and
+    R² in one aggregation pass. The least-squares complement of
+    ts_theilsen_trend (which trades efficiency for outlier
+    robustness); this is the grouped-regression primitive BI layers
+    push down as REGR_SLOPE/REGR_R2.
+
+    Float contract (the ts_autocorr discipline): y is an exact BIGINT
+    cents total, x is the hour offset from each series' first bucket
+    (window MIN subtraction keeps magnitudes tiny, so every moment —
+    Σx, Σy, Σx², Σy², Σxy — is exact in DECIMAL(38,0)); slope,
+    intercept, and R² evaluate as single shared IEEE expression trees
+    over the exact moments (cov² squares in DOUBLE on both sides —
+    DuckDB promotes over-wide decimal products to double, so the
+    square must too), with zero-variance groups pinned before any
+    division.
+
+    Scale shape: one map-combinable rollup to (type, hour) grain (the
+    only full-data pass), one window MIN on the tiny hourly frame
+    riding the same partitioning, one moments aggregation. REGR_* at
+    100 TB is exactly this plan."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint")
+            / F.lit(3600)
+        ).cast("bigint").alias("hb"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    w = Window.partitionBy("event_type")
+    x = h.select(
+        "event_type",
+        "y",
+        (F.col("hb") - F.min("hb").over(w)).cast("bigint").alias("x"),
+    )
+    _D = "decimal(38,0)"
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("x").cast(_D).alias("sx"),
+        F.sum("y").cast(_D).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(_D).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(_D).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(_D).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(vx <= 0, F.lit(0.0)).otherwise(
+        cov.cast("double") / vx.cast("double")
+    )
+    intercept = F.when(
+        vx <= 0, sy.cast("double") / n.cast("double")
+    ).otherwise(
+        (
+            sy.cast("double")
+            - (cov.cast("double") / vx.cast("double")) * sx.cast("double")
+        )
+        / n.cast("double")
+    )
+    r2 = F.when((vx <= 0) | (vy <= 0), F.lit(0.0)).otherwise(
+        (cov.cast("double") * cov.cast("double"))
+        / (vx.cast("double") * vy.cast("double"))
+    )
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_buckets"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -204,3 +204,56 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "udtf_lateral",
+    oracle=r"""
+    SELECT CAST(len(tok) AS BIGINT) AS token_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Spark 4 Python UDTF surface (``@udtf`` class +
+    ``spark.udtf.register`` + SQL ``LATERAL``) — udtf_flatmap above
+    covers the 1→N *shape* via mapInPandas; this entry covers the
+    *API*: a registered table function callable from SQL, the form a
+    user migrating UDTF code actually writes. The class yields
+    (token, length) rows per document; the query rolls them up to a
+    token-length histogram with distinct counts — exact integers, so
+    the Python-boundary crossing is fully hash-checkable (the
+    udf_arrow principle applied to table functions).
+
+    Scale shape: UDTFs execute per-partition like any Python worker
+    stage (Arrow-batched rows in, generator rows out) — the corpus
+    never collects; the rollup partial-aggregates. The pure-SQL
+    equivalent (explode) beats a UDTF when expressible — this entry
+    exists because real tokenizers aren't expressible, and the API is
+    the contract being proven."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="token string, token_len int")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for tok in str(text).lower().split():
+                yield tok, len(tok)
+
+    spark.udtf.register("pis_split_words", SplitWords)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("pis_udtf_docs")
+    return spark.sql(
+        """
+        SELECT CAST(t.token_len AS BIGINT) AS token_len,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT t.token) AS BIGINT) AS n_distinct
+        FROM pis_udtf_docs d,
+             LATERAL pis_split_words(d.text) t
+        GROUP BY t.token_len
+        """
+    )

@@ -206,3 +206,64 @@ def test_cross_correlation_bounds_and_symmetry_of_lag0(spark):
         assert r.type_a < r.type_b
         assert 0 <= r.lag <= 3
         assert r.n_pairs > 0
+
+
+def test_ols_matches_numpy_least_squares(spark):
+    """Slope/intercept/R² must agree with an independent numpy fit of
+    the same (hour offset, hourly cents total) points."""
+    import numpy as np
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in QUERIES["agg_ols_by_group"](spark, SF).collect()}
+    h = (
+        read_table(spark, SF, "events")
+        .groupBy(
+            "event_type",
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast(
+                    "bigint"
+                )
+                / F.lit(3600)
+            ).cast("bigint").alias("hb"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in h:
+        series.setdefault(r.event_type, []).append((r.hb, r.y))
+    for et, pts in series.items():
+        hb0 = min(p[0] for p in pts)
+        x = np.array([p[0] - hb0 for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[et]
+        assert r.n_buckets == len(pts)
+        assert abs(r.slope - slope) < 1e-6 * max(abs(slope), 1)
+        assert abs(r.intercept - intercept) < 1e-6 * max(abs(intercept), 1)
+        cc = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - cc * cc) < 1e-9
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_udtf_lateral_conserves_token_mass(spark):
+    """Sum of the histogram's token counts must equal the corpus'
+    whitespace token total, and distinct <= total per length."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.suite import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["udtf_lateral"](spark, SF).collect()
+    total = sum(r.n_tokens for r in rows)
+    want = (
+        read_table(spark, SF, "documents")
+        .select(F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == want
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert r.token_len >= 1
