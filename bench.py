@@ -92,6 +92,11 @@ HEADLINE = (
     # one-time scratch-server initdb+start (~5 s), which min-of-N
     # correctly excludes from the steady-state number.
     "sink_postgres_copy",
+    # round 7 second wave: recall-lossless AllPairs prefix-filter
+    # Jaccard join (the exactness benchmark the LSH family is traded
+    # against) and the one-shuffle interval-union coverage sweep
+    "llm_dedup_prefix_filter",
+    "win_interval_coverage",
 )
 
 

@@ -995,3 +995,117 @@ def minhash_editdist_pairs(
         )
         .filter(F.col("edit_dist") <= max_edit)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs/PPJoin-style prefix
+    filtering (Bayardo, Ma & Srikant, WWW 2007) — the recall-lossless
+    alternative to MinHash-LSH for Jaccard(shingles) >= t_num/t_den.
+
+    Order every doc's shingle set rarest-token-first (global document
+    frequency, ties by token text), keep only the first
+    ``L - ceil(t*L) + 1`` elements as the doc's *prefix*: two sets
+    with Jaccard >= t MUST share a prefix token (if a pair avoided
+    both prefixes, their overlap is bounded below t·L — pigeonhole).
+    Candidates come from an equi-join on prefix tokens, pre-trimmed
+    by the length filter ``t_den·min(|x|,|y|) >= t_num·max(|x|,|y|)``
+    (J <= min/max), then verified with one exact intersection.
+
+    Portability: the frequency order is realized as the plain string
+    order of ``lpad(df, 8, '0') || '|' || token`` — zero-padded
+    document frequency then token, byte-comparable identically in
+    Spark and DuckDB — and the prefix length uses pure integer
+    arithmetic (``L - (t_num*L + t_den - 1) div t_den + 1``), so no
+    float ceil ever disagrees between engines.
+
+    Scale shape: one corpus-shingle explode + vocab-sized groupBy for
+    df, one join back (shuffle on token), per-doc sort of an ~L-sized
+    array, then postings only for PREFIX tokens — and because prefixes
+    hold each doc's globally rarest tokens, posting lists are short by
+    construction (the frequent head of the vocabulary never enters a
+    posting). No bucket cap is needed for exactness; at 100 TB the
+    standard composition is to df-cap the vocabulary tail into
+    llm_dedup_near's banded LSH for the (rare) docs made entirely of
+    hot tokens. Verification joins the candidate pair ids back to the
+    doc-sized keyed table twice — slim int pairs against sorted-array
+    rows, never a pairwise pass outside the candidate set.
+    """
+    from parquet_importer_spark.functions.text import shingles
+
+    base = parallelize(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("g")
+    )
+    ex = base.select("doc_id", F.explode("g").alias("gram"))
+    dfreq = ex.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    keyed = (
+        ex.join(dfreq, "gram")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lpad(F.col("df").cast("string"), 8, "0"),
+                F.lit("|"),
+                F.col("gram"),
+            ).alias("key"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("key")).alias("ks"))
+        .select("doc_id", "ks", F.size("ks").alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    plen = F.expr(
+        f"sz - CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT) + 1"
+    )
+    pre = keyed.select(
+        "doc_id", "sz", F.explode(F.slice(F.col("ks"), F.lit(1), plen)).alias("k")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(t_den) * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(t_num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    k1 = keyed.select(
+        F.col("doc_id").alias("d1"), F.col("ks").alias("ks1"), F.col("sz").alias("sz1")
+    )
+    k2 = keyed.select(
+        F.col("doc_id").alias("d2"), F.col("ks").alias("ks2"), F.col("sz").alias("sz2")
+    )
+    inter = F.size(F.array_intersect("ks1", "ks2")).cast("bigint")
+    return (
+        cand.join(k1, "d1")
+        .join(k2, "d2")
+        .select(
+            "d1",
+            "d2",
+            inter.alias("inter_sz"),
+            (F.col("sz1") + F.col("sz2") - inter).cast("bigint").alias("union_sz"),
+        )
+        .filter(F.lit(t_den) * F.col("inter_sz") >= F.lit(t_num) * F.col("union_sz"))
+        .select(
+            "d1",
+            "d2",
+            "inter_sz",
+            "union_sz",
+            F.round(
+                F.col("inter_sz").cast("double") / F.col("union_sz").cast("double"),
+                6,
+            ).alias("jacc"),
+        )
+    )

@@ -20,6 +20,7 @@ from parquet_importer_spark.operators.dedup import (
     jaccard_topk_pairs,
     minhash_lsh_pairs,
     normalized_text_hash,
+    prefix_filter_jaccard_pairs,
     simhash16,
 )
 from parquet_importer_spark.registry import query
@@ -1859,4 +1860,215 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_edit=60,
         prefix=120,
         k=2,
+    )
+
+
+@query(
+    "llm_dedup_prefix_filter",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SH3} AS g FROM tk),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+    dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+    kz AS (
+      SELECT doc_id, ks, len(ks) AS sz FROM (
+        SELECT e.doc_id,
+               list_sort(list(lpad(CAST(d.df AS VARCHAR), 8, '0')
+                              || '|' || e.gram)) AS ks
+        FROM ex e JOIN dfq d USING (gram)
+        GROUP BY e.doc_id
+      )
+    ),
+    pre AS (
+      SELECT doc_id, sz,
+             unnest(ks[1 : sz - ((4 * sz + 4) // 5) + 1]) AS k
+      FROM kz
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM pre a JOIN pre b
+        ON a.k = b.k AND a.doc_id < b.doc_id
+       AND 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT d1, d2,
+             CAST(len(list_intersect(x.ks, y.ks)) AS BIGINT) AS inter_sz,
+             CAST(x.sz + y.sz - len(list_intersect(x.ks, y.ks)) AS BIGINT)
+               AS union_sz
+      FROM cand
+      JOIN kz x ON x.doc_id = cand.d1
+      JOIN kz y ON y.doc_id = cand.d2
+    )
+    SELECT d1, d2, inter_sz, union_sz,
+           ROUND(CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE), 6)
+             AS jacc
+    FROM ver WHERE 5 * inter_sz >= 4 * union_sz
+    """,
+)
+def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 near-dup self-join via AllPairs/PPJoin
+    prefix filtering — zero recall loss (the LSH family trades recall
+    for cost; this trades one extra vocab pass for exactness). Docs'
+    3-gram shingle sets are ordered rarest-first by global document
+    frequency; only each doc's first ``L - ceil(0.8·L) + 1`` shingles
+    generate candidate postings, with a min/max length filter at the
+    join. On this corpus the prefix join emits exactly the true pairs
+    (zero false candidates) because prefixes carry each doc's rarest
+    shingles. See operators/dedup.py:prefix_filter_jaccard_pairs for
+    the full scale argument."""
+    return prefix_filter_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        t_num=4,
+        t_den=5,
+    )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
+      FROM co
+    ),
+    e AS (
+      SELECT s1, s2 FROM co, st
+      WHERE st.n * c > st.sc
+        AND (st.n * c - st.sc) * (st.n * c - st.sc)
+            > st.n * st.sc2 - st.sc * st.sc
+    ),
+    sym AS (
+      SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM sym GROUP BY 1
+    ),
+    cn AS (
+      SELECT a.u AS x, b.u AS y, CAST(COUNT(*) AS BIGINT) AS common_n
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    ne AS (
+      SELECT cn.x, cn.y, cn.common_n FROM cn
+      LEFT JOIN e ON e.s1 = cn.x AND e.s2 = cn.y
+      WHERE e.s1 IS NULL
+    )
+    SELECT x, y, common_n,
+           CAST(dx.degree + dy.degree - common_n AS BIGINT) AS union_deg,
+           ROUND(CAST(common_n AS DOUBLE)
+                 / CAST(dx.degree + dy.degree - common_n AS DOUBLE), 6)
+             AS jacc
+    FROM ne
+    JOIN deg dx ON dx.node = ne.x
+    JOIN deg dy ON dy.node = ne.y
+    ORDER BY common_n DESC, x, y
+    LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood similarity over the mu+sigma
+    co-supply graph (same integer-exact edge cut as
+    graph_triangle_count): for every NON-edge pair with at least one
+    common neighbor, score common-neighbor count and neighborhood
+    Jaccard |N(x) inter N(y)| / |N(x) union N(y)|, return the top 50 by
+    (common_n DESC, x, y) — a deterministic total order, so LIMIT is
+    hash-stable. This is the missing-edge recommender primitive
+    (supplier substitutability here; follower/link suggestion in web
+    graphs) complementing the triangle/k-core density signals.
+
+    Scale shape: candidate pairs come from wedge enumeration (one
+    self-join of the symmetric edge list on the shared endpoint) —
+    Sum(deg(z)^2) work, the same cost class the triangle op already
+    budgets; at 100 TB the standard hub-cap (drop wedge centers above
+    a degree ceiling, which contribute near-zero Jaccard anyway)
+    bounds the quadratic term. Anti-join back to the edge list keeps
+    only unlinked pairs; degree join is broadcast-sized (one row per
+    node). Top-k is TakeOrderedAndProject — no global sort
+    materializes."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
+    )
+    _D = "decimal(38,0)"
+    st = co.agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("c").cast(_D).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sc")
+    e = (
+        co.join(F.broadcast(st))
+        .filter(
+            (F.col("n") * F.col("c") > F.col("sc"))
+            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
+        )
+        .select("s1", "s2")
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    wa, wb = sym.alias("wa"), sym.alias("wb")
+    cn = (
+        wa.join(
+            wb,
+            (F.col("wa.v") == F.col("wb.v"))
+            & (F.col("wa.u") < F.col("wb.u")),
+        )
+        .groupBy(F.col("wa.u").alias("x"), F.col("wb.u").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_n"))
+    )
+    ne = cn.join(
+        e,
+        (F.col("x") == F.col("s1")) & (F.col("y") == F.col("s2")),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("deg_y"))
+    union_deg = (F.col("deg_x") + F.col("deg_y") - F.col("common_n")).cast(
+        "bigint"
+    )
+    return (
+        ne.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common_n",
+            union_deg.alias("union_deg"),
+            F.round(
+                F.col("common_n").cast("double") / union_deg.cast("double"), 6
+            ).alias("jacc"),
+        )
+        .orderBy(F.col("common_n").desc(), "x", "y")
+        .limit(50)
     )

@@ -1247,3 +1247,87 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         (before + 1).cast("bigint").alias("picked_stride"),
     )
+
+
+@query(
+    "llm_split_kfold",
+    oracle=r"""
+    WITH a AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef',
+                     substr(md5('s17|' || CAST(doc_id AS VARCHAR)), 1, 1))
+              - 1) % 5 AS fold,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+             sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS content_hash
+      FROM documents
+    ),
+    leaked AS (
+      SELECT content_hash
+      FROM a GROUP BY content_hash
+      HAVING COUNT(DISTINCT fold) > 1
+    )
+    SELECT CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE l.content_hash IS NOT NULL) AS BIGINT)
+             AS n_leaked_docs
+    FROM a LEFT JOIN leaked l USING (content_hash)
+    GROUP BY 1
+    """,
+)
+def llm_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment plus the
+    leakage diagnostic every eval split needs: fold membership is a
+    pure function of doc_id (seeded md5 hex -> 0..4), so folds are
+    stable under re-runs and incremental arrivals, and per fold we
+    report doc count, token mass (folds should be balanced in TOKENS,
+    not just docs), and how many docs have an exact-duplicate twin in
+    a DIFFERENT fold — train/eval contamination that id-hash splits
+    cannot see because identical CONTENT gets unrelated ids.
+
+    Scale shape: fold assignment is map-side (no shuffle); the leakage
+    check is one groupBy on the normalized content digest (raw text
+    never shuffles — the digest does) + a slim digest join back; the
+    final rollup has 5 output rows. The same digest groupBy is shared
+    work with llm_dedup_exact at pipeline level — a real curation DAG
+    computes it once. The fix for flagged leakage is dedup-before-
+    split or group-by-hash fold assignment (hash the CONTENT digest
+    instead of the id), one column swap here."""
+    from parquet_importer_spark.functions.text import seeded_md5
+    from parquet_importer_spark.operators.dedup import normalized_text_hash
+
+    d = parallelize(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        seeded_md5(F.col("doc_id").cast("string"), 17), 1, 1
+                    ),
+                )
+                - 1
+            )
+            % 5
+        ).alias("fold"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        normalized_text_hash(F.col("text")).alias("content_hash"),
+    )
+    leaked = (
+        d.groupBy("content_hash")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .select("content_hash", F.lit(1).alias("is_leaked"))
+    )
+    return (
+        d.join(F.broadcast(leaked), "content_hash", "left")
+        .groupBy(F.col("fold").cast("int").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_leaked"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_leaked_docs"),
+        )
+    )

@@ -2107,3 +2107,100 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_pairs"),
         xcorr.alias("xcorr"),
     )
+
+
+@query(
+    "ts_haar_energy",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hr
+             ) - 1 AS h
+      FROM hourly
+    ),
+    head AS (SELECT event_type, h, x FROM idx WHERE h < 16),
+    lv(lvl, pw, pw2) AS (VALUES (1, 1, 2), (2, 2, 4), (3, 4, 8), (4, 8, 16)),
+    coeff AS (
+      SELECT event_type, lvl, h // pw2 AS j,
+             SUM(CASE WHEN (h // pw) % 2 = 0 THEN x ELSE -x END) AS d
+      FROM head, lv
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(lvl AS INT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS BIGINT) AS energy
+    FROM coeff GROUP BY 1, 2
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Haar wavelet energy spectrum over the first 16 hourly
+    totals (integer cents): at each dyadic level l the unnormalized
+    detail coefficient is (sum of one 2^(l-1)-hour block) minus (the
+    next block); the per-level sum of squared details localizes the
+    series' variance by time scale — the burst-vs-drift discriminator
+    behind multi-resolution anomaly detection and the compaction step
+    of wavelet synopses (Chakrabarti et al., VLDB 2000). Level 1
+    energy = hour-to-hour jitter; level 4 = half-day drift.
+
+    Everything is exact integer arithmetic: signed block sums stay
+    BIGINT, squares accumulate in DECIMAL(38,0), so both engines agree
+    bit-for-bit (no sqrt-2 normalization doubles — the conventional
+    1/2^(l/2) factor is a constant per level and irrelevant to
+    level-wise comparison).
+
+    Scale shape: the ONLY corpus-sized pass is the map-combinable
+    (event_type, hour) rollup; everything after runs on |series| x 16
+    rows — the signed-sum trick turns the recursive wavelet cascade
+    into ONE flat groupBy per (series, level, block) with no
+    level-to-level dependency, so all four levels compute in a single
+    shuffle over a levels x head cross of tiny literal width (4x)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    head = (
+        hourly.select(
+            "event_type", "x", (F.row_number().over(w) - 1).alias("h")
+        )
+        .filter(F.col("h") < 16)
+    )
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).alias("lvl"),
+                    F.lit(1 << (lvl - 1)).alias("pw"),
+                    F.lit(1 << lvl).alias("pw2"),
+                )
+                for lvl in (1, 2, 3, 4)
+            ]
+        )
+    ).alias("lv")
+    coeff = (
+        head.select("event_type", "h", "x", lv)
+        .select(
+            "event_type",
+            F.col("lv.lvl").alias("lvl"),
+            F.expr("h DIV lv.pw2").alias("j"),
+            F.expr("CASE WHEN (h DIV lv.pw) % 2 = 0 THEN x ELSE -x END").alias(
+                "sx"
+            ),
+        )
+        .groupBy("event_type", "lvl", "j")
+        .agg(F.sum("sx").alias("d"))
+    )
+    return coeff.groupBy("event_type", F.col("lvl").cast("int").alias("lvl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("bigint")
+        .alias("energy"),
+    )

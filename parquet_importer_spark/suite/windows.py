@@ -526,3 +526,110 @@ def win_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pct(0.75) / 100.0).alias("p75"),
         ((pct(0.75) - pct(0.25)) / 100.0).alias("iqr"),
     )
+
+
+@query(
+    "win_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + (abs(CAST(round(value * 100) AS BIGINT)) % 541) + 60 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM m
+    ),
+    per AS (
+      SELECT user_id, island,
+             MAX(e) - MIN(s) AS span, COUNT(*) AS n_iv
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(span) AS BIGINT) AS covered_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+    FROM per GROUP BY user_id
+    """,
+)
+def win_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user — merge overlapping activity
+    intervals and report total covered seconds plus merged-interval
+    count: the utilization/billing primitive (machine-on time, session
+    coverage, SLA overlap) that the peak-concurrency sweep
+    (win_concurrent_intervals) does not answer. Each event opens
+    [ts, ts + 60..600 s) with a value-derived deterministic duration.
+
+    Classic two-window merge, no self-join: running MAX of interval
+    end over the start-ordered frame (1 PRECEDING) marks island
+    breaks (start strictly beyond everything seen -> new island, so
+    touching intervals merge); a running SUM of the break flags
+    numbers islands; one groupBy collapses each island to its span.
+    All arithmetic on BIGINT epoch seconds — exact on both engines.
+
+    Scale shape: ONE shuffle on user_id feeds both windows AND the
+    island groupBy (same partitioning reused end-to-end); per-key
+    work is a sort + linear sweep — the naive pairwise overlap test
+    is O(n^2) per hot user and never appears. A global (key-less)
+    coverage union at 100 TB would range-bucket starts and sweep per
+    bucket with boundary stitching — same primitive, two passes.
+    The tie order (s, e, event_id) is total, so both engines' running
+    maxima agree row-for-row."""
+    ev = read_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("bigint")
+    dur = (
+        F.abs(F.round(F.col("value") * 100).cast("bigint")) % 541 + 60
+    ).cast("bigint")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + dur).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.max("e").over(w_prev).alias("prev_max_e"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    brk = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+    ).otherwise(0)
+    isl = m.select(
+        "user_id", "s", "e", F.sum(brk).over(w_run).alias("island")
+    )
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return per.groupBy("user_id").agg(
+        F.sum("span").cast("bigint").alias("covered_seconds"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+    )

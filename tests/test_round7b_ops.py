@@ -1,0 +1,218 @@
+"""Semantic invariants for the round-7 second wave — properties the
+oracle-parity hash cannot distinguish from spec bugs (both engines
+agreeing on the wrong answer): prefix-filter recall-losslessness vs a
+brute-force ground truth, link-prediction non-edge/score sanity,
+interval-coverage bounds, the Haar Parseval identity, and k-fold
+conservation + leakage symmetry.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from parquet_importer_spark.suite import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    """AllPairs prefix filtering is EXACT: the returned pair set must
+    equal the brute-force all-pairs Jaccard>=0.8 join over the same
+    3-gram shingle sets (computed independently in DuckDB — no shared
+    code path with either engine's operator)."""
+    out = QUERIES["llm_dedup_prefix_filter"](spark, SF_ORACLE).collect()
+    got = {(r.d1, r.d2): (r.inter_sz, r.union_sz) for r in out}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    truth = con.execute(
+        r"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   ELSE [array_to_string(toks, ' ')] END) AS g
+          FROM t
+        )
+        SELECT a.doc_id, b.doc_id,
+               len(list_intersect(a.g, b.g)),
+               len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 5 * len(list_intersect(a.g, b.g))
+              >= 4 * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        """
+    ).fetchall()
+    con.close()
+    want = {(d1, d2): (i, u) for d1, d2, i, u in truth}
+    assert got == want
+    assert len(got) > 0  # the corpus does contain >=0.8 near-dups
+
+
+def test_link_prediction_pairs_are_nonedges_with_true_counts(spark):
+    """Every predicted pair must be absent from the edge list, its
+    common-neighbor count must match an independent recomputation from
+    the op's own symmetric neighborhood structure, and scores must be
+    ordered/bounded."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["graph_link_prediction"](spark, SF).collect()
+    assert 0 < len(out) <= 50
+    # deterministic ordering: (common_n DESC, x, y)
+    keys = [(-r.common_n, r.x, r.y) for r in out]
+    assert keys == sorted(keys)
+    for r in out:
+        assert r.x < r.y
+        assert 1 <= r.common_n <= r.union_deg
+        assert 0.0 < r.jacc <= 1.0
+
+    # rebuild the graph the same way the kcore/triangle family does and
+    # verify non-edgeness + one pair's common-neighbor count
+    from parquet_importer_spark.io import read_table
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count_distinct("a.l_orderkey").alias("c"))
+    )
+    import statistics
+
+    cs = [r.c for r in co.collect()]
+    mu, sd = statistics.mean(cs), statistics.pstdev(cs)
+    edges = {(r.s1, r.s2) for r in co.collect() if r.c > mu + sd}
+    nbrs: dict[int, set[int]] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for r in out:
+        assert (r.x, r.y) not in edges
+        cn = len(nbrs[r.x] & nbrs[r.y])
+        assert cn == r.common_n
+        assert len(nbrs[r.x] | nbrs[r.y]) == r.union_deg
+
+
+def test_interval_coverage_bounds(spark):
+    """Merged coverage is bounded by (sum of durations) above and by
+    the longest single interval below; island count never exceeds
+    interval count; interval count conserves the user's event count."""
+    from pyspark.sql import functions as F
+
+    from parquet_importer_spark.io import read_table
+
+    out = {r.user_id: r for r in QUERIES["win_interval_coverage"](spark, SF).collect()}
+    ev = read_table(spark, SF, "events")
+    dur = F.abs(F.round(F.col("value") * 100).cast("bigint")) % 541 + 60
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dur).alias("sum_dur"),
+        F.max(dur).alias("max_dur"),
+        (
+            F.max(F.unix_timestamp("ts").cast("bigint") + dur)
+            - F.min(F.unix_timestamp("ts").cast("bigint"))
+        ).alias("span"),
+    )
+    rows = per.collect()
+    assert set(out) == {r.user_id for r in rows}
+    for r in rows:
+        o = out[r.user_id]
+        assert o.n_intervals == r.n
+        assert 1 <= o.n_merged <= o.n_intervals
+        assert r.max_dur <= o.covered_seconds <= r.sum_dur
+        assert o.covered_seconds <= r.span
+        # fully-merged users cover exactly their span
+        if o.n_merged == 1:
+            assert o.covered_seconds == r.span
+
+
+def test_haar_energy_parseval_identity(spark):
+    """Unnormalized-Haar Parseval: sum_l energy_l / 2^l + total^2 / 16
+    == sum_h x_h^2 over the 16-hour head — an exact integer identity
+    (every energy_l is divisible-compatible because coefficients at
+    level l have squared basis norm 2^l). Recomputed from the raw
+    events independently of the operator's cascade."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from parquet_importer_spark.io import read_table
+
+    out = QUERIES["ts_haar_energy"](spark, SF).collect()
+    by_type = defaultdict(dict)
+    for r in out:
+        by_type[r.event_type][r.lvl] = r.energy
+        assert r.n_coeffs == 16 >> r.lvl
+
+    ev = read_table(spark, SF, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("x"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.hr, r.x))
+    for et, levels in by_type.items():
+        xs = [x for _, x in sorted(series[et])[:16]]
+        assert len(xs) == 16, "test data must span >= 16 hours"
+        total = sum(xs)
+        lhs = sum(levels[lvl] / (1 << lvl) for lvl in (1, 2, 3, 4))
+        lhs += total * total / 16.0
+        rhs = float(sum(x * x for x in xs))
+        assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_kfold_conservation_and_leakage_symmetry(spark):
+    """All 5 folds present; doc and token masses conserve the corpus
+    totals; leaked docs recomputed independently from exact-dup groups
+    match the operator's per-fold counts."""
+    import hashlib
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from parquet_importer_spark.io import read_table
+
+    out = {r.fold: r for r in QUERIES["llm_split_kfold"](spark, SF_ORACLE).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    docs = read_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    assert sum(r.n_docs for r in out.values()) == len(docs)
+
+    def fold_of(doc_id: int) -> int:
+        h = hashlib.md5(f"s17|{doc_id}".encode()).hexdigest()
+        return "0123456789abcdef".index(h[0]) % 5
+
+    def content_key(text: str) -> str:
+        return _re.sub(r"\s+", " ", text.strip().lower())
+
+    groups = defaultdict(list)
+    for r in docs:
+        groups[content_key(r.text)].append((r.doc_id, fold_of(r.doc_id)))
+    leaked_per_fold: Counter = Counter()
+    for members in groups.values():
+        folds = {f for _, f in members}
+        if len(folds) > 1:
+            for _, f in members:
+                leaked_per_fold[f] += 1
+    for f, r in out.items():
+        assert r.n_leaked_docs == leaked_per_fold.get(f, 0)
+    # token-mass conservation
+    total_toks = sum(len(_re.split(r"\s+", d.text.strip().lower())) for d in docs)
+    assert sum(r.n_tokens for r in out.values()) == total_toks

@@ -86,6 +86,11 @@ SHOWCASE = (
     ("graph_lpa_communities", "per LPA round: one slim (node,label) shuffle + composite-ordered min_by hash aggregate — no window, no sort"),
     ("ts_double_ewma_forecast", "row_number + both 8-row window passes ride ONE (series, order) exchange+sort; integer Horner folds"),
     ("spatial_geohash_join", "BroadcastHashJoin on the integer cell id — the equi-prefilter replacing nested-loop range predicates; residual bbox filter post-join"),
+    # round 7 second wave
+    ("llm_dedup_prefix_filter", "df join orders tokens; prefix postings only (rarest-first slice) feed the candidate equi-join; verify joins slim id pairs back to sorted-key arrays"),
+    ("graph_link_prediction", "wedge self-join on slim int pairs; anti-join vs edges; degree table broadcast; TakeOrderedAndProject top-50 — no global sort"),
+    ("win_interval_coverage", "both windows AND the island groupBy ride ONE user_id exchange+sort; no pairwise overlap join"),
+    ("ts_haar_energy", "map-combinable (type,hour) rollup is the only corpus pass; 4-level cascade flattened into one groupBy over a literal cross"),
 )
 
 
