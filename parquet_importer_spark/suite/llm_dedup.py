@@ -2072,3 +2072,130 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_n").desc(), "x", "y")
         .limit(50)
     )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
+      FROM co
+    ),
+    e AS (
+      SELECT s1, s2 FROM co, st
+      WHERE st.n * c > st.sc
+        AND (st.n * c - st.sc) * (st.n * c - st.sc)
+            > st.n * st.sc2 - st.sc * st.sc
+    ),
+    sym AS (
+      SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e
+    ),
+    seeds AS (
+      SELECT DISTINCT u AS node FROM sym ORDER BY node LIMIT 5
+    ),
+    l0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+    l1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM l0
+        UNION ALL
+        SELECT s.v AS node, l.dist + 1 FROM l0 l JOIN sym s ON s.u = l.node
+      ) GROUP BY node
+    ),
+    l2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM l1
+        UNION ALL
+        SELECT s.v AS node, l.dist + 1 FROM l1 l JOIN sym s ON s.u = l.node
+      ) GROUP BY node
+    ),
+    l3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM l2
+        UNION ALL
+        SELECT s.v AS node, l.dist + 1 FROM l2 l JOIN sym s ON s.u = l.node
+      ) GROUP BY node
+    )
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM l3
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (3 synchronous rounds) over the mu+sigma
+    co-supply graph: hop distance from the 5 smallest node ids — the
+    reachability/radius primitive behind influence propagation,
+    contamination blast-radius, and seed-set expansion analyses, and
+    the DISTANCE member of the iterative family (pagerank = mass, cc =
+    identity, lpa = frequency, k-core = degree).
+
+    Each round is one slim (node,dist) x edges shuffle + a
+    min-aggregate — the textbook frontier relaxation, except
+    SYNCHRONOUS and fully unrolled so the DuckDB oracle can replay the
+    identical three rounds (graph_pagerank/kcore pattern). At 100 TB
+    the same loop runs to convergence with localCheckpoint truncating
+    lineage per round (operators/graph.pagerank discipline) and the
+    frontier optimization (propagate only nodes whose dist improved)
+    cutting late-round traffic; 3 fixed rounds keep the oracle exact
+    here."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
+    )
+    _D = "decimal(38,0)"
+    st = co.agg(
+        F.count(F.lit(1)).cast(_D).alias("n"),
+        F.sum("c").cast(_D).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("sc")
+    e = (
+        co.join(F.broadcast(st))
+        .filter(
+            (F.col("n") * F.col("c") > F.col("sc"))
+            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
+        )
+        .select("s1", "s2")
+    )
+    sym = (
+        e.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    frontier = (
+        sym.select("u")
+        .distinct()
+        .orderBy("u")
+        .limit(5)
+        .select(F.col("u").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(3):
+        relaxed = frontier.join(
+            sym, frontier["node"] == sym["u"], "inner"
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        frontier = (
+            frontier.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return frontier

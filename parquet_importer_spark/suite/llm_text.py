@@ -1139,3 +1139,237 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rouge2_recall"
         ),
     ).filter(F.col("rouge1_recall") >= 0.2)
+
+
+@query(
+    "llm_collocations_pmi",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT t1 AS x, t2 AS y FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS t1,
+               unnest(toks[2:len(toks)]) AS t2
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    un AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST((SELECT SUM(c) FROM un) AS BIGINT) AS n_uni,
+             CAST((SELECT COUNT(*) FROM bg) AS BIGINT) AS n_bi
+    ),
+    cb AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    )
+    SELECT x, y, cxy, ux.c AS cx, uy.c AS cy,
+           ROUND(LN(CAST(cxy AS DOUBLE)) + LN(CAST(n_uni AS DOUBLE))
+                 + LN(CAST(n_uni AS DOUBLE)) - LN(CAST(n_bi AS DOUBLE))
+                 - LN(CAST(ux.c AS DOUBLE)) - LN(CAST(uy.c AS DOUBLE)),
+                 6) AS pmi
+    FROM cb
+    JOIN un ux ON ux.tok = cb.x
+    JOIN un uy ON uy.tok = cb.y
+    CROSS JOIN tot
+    """,
+)
+def llm_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information over
+    adjacent token bigrams — the co-occurrence statistic behind
+    word2vec/GloVe-era embedding prep, tokenizer-merge curation, and
+    boilerplate-phrase discovery: PMI = ln(P(x,y) / (P(x)·P(y))) with
+    P(x,y) from the bigram table and P(x) from unigrams, reported for
+    every bigram seen >= 10 times alongside its exact counts.
+
+    Float portability: the score is a FIXED left-associated sum of six
+    ln() terms over exact integers, identical expression tree on both
+    engines, rounded once at the end (the rounded-ln discipline
+    llm_ngram_perplexity established); the exact integers cxy/cx/cy
+    ride along so the float is auxiliary, never load-bearing.
+
+    Scale shape: bigrams come from one zip-shifted array pass (no
+    self-join); two map-combinable groupBys (bigram, unigram) are the
+    only corpus-sized shuffles; the scalar totals broadcast; the
+    unigram joins key on the vocabulary, which is corpus-sublinear.
+    The >= 10 count floor prunes the heavy tail BEFORE the joins."""
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bg = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    un = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cb = (
+        bg.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .filter(F.col("cxy") >= 10)
+    )
+    tot = un.agg(F.sum("c").cast("bigint").alias("n_uni")).crossJoin(
+        bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    )
+    ux = un.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = un.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    return (
+        cb.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            "cx",
+            "cy",
+            F.round(
+                ln(F.col("cxy"))
+                + ln(F.col("n_uni"))
+                + ln(F.col("n_uni"))
+                - ln(F.col("n_bi"))
+                - ln(F.col("cx"))
+                - ln(F.col("cy")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "llm_keyword_rake",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+             unnest(toks) AS tok
+      FROM t
+    ),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS island
+      FROM pos
+      WHERE tok NOT IN ('the','and','of','to','in','is','a','for','on','with')
+        AND tok <> ''
+    ),
+    ph AS (
+      SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS plen,
+             array_to_string(list(tok ORDER BY pos), ' ') AS phrase
+      FROM ns GROUP BY 1, 2
+    ),
+    wo AS (
+      SELECT n.tok, p.plen
+      FROM ns n JOIN ph p
+        ON p.doc_id = n.doc_id AND p.island = n.island
+    ),
+    ws AS (
+      SELECT tok,
+             CAST(ROUND(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(12,6)) AS wscore
+      FROM wo GROUP BY tok
+    ),
+    psc AS (
+      SELECT n.doc_id, n.island,
+             CAST(SUM(w.wscore) AS DECIMAL(18,6)) AS score
+      FROM ns n JOIN ws w ON w.tok = n.tok
+      GROUP BY 1, 2
+    )
+    SELECT phrase, CAST(plen AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(MAX(score) AS DOUBLE) AS rake_score
+    FROM ph JOIN psc USING (doc_id, island)
+    WHERE plen BETWEEN 2 AND 8
+    GROUP BY phrase, plen
+    ORDER BY MAX(score) DESC, phrase
+    LIMIT 100
+    """,
+)
+def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each
+    word's score is degree/frequency where degree sums the lengths of
+    every phrase the occurrence appears in (long-phrase words score
+    higher — they co-occur more); a phrase scores the sum of its
+    words' scores. Top-100 multi-word phrases (2-8 tokens) by score —
+    the unsupervised keyphrase/boilerplate surfacing primitive for
+    corpus exploration and template discovery.
+
+    Phrase boundaries come from the gaps-islands trick (pos minus
+    non-stop row_number), NOT a regex split on stopwords — regex
+    engines differ across Spark (Java) and DuckDB (RE2); relational
+    island detection is engine-portable by construction. Word scores
+    quantize to DECIMAL(12,6) after ONE exact-integer division, so
+    phrase scores are exact decimal sums — associativity-proof — and
+    the final (score DESC, phrase) order is total, making LIMIT 100
+    hash-stable.
+
+    Scale shape: two corpus passes (posexplode -> islands window on
+    the doc_id shuffle; phrase rollup on the same key), then all
+    scoring on vocab-/phrase-sized tables; the word-score join keys
+    on the vocabulary. Top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = parallelize(read_table(spark, sf_dir, "documents"))
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    stop = ("the", "and", "of", "to", "in", "is", "a", "for", "on", "with")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    ns = (
+        pos.filter(~F.col("tok").isin(*stop) & (F.col("tok") != ""))
+        .withColumn("island", F.col("pos") - F.row_number().over(wdoc))
+    )
+    ph = ns.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wo = ns.join(ph.select("doc_id", "island", "plen"), ["doc_id", "island"])
+    ws = wo.groupBy("tok").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("wscore")
+    )
+    psc = (
+        ns.join(ws, "tok")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("wscore").cast("decimal(18,6)").alias("score"))
+    )
+    return (
+        ph.join(psc, ["doc_id", "island"])
+        .filter(F.col("plen").between(2, 8))
+        .groupBy("phrase", F.col("plen").cast("bigint").alias("n_words"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.max("score").cast("double").alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(100)
+    )

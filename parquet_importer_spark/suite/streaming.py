@@ -2204,3 +2204,182 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("energy"),
     )
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hr
+             ) - 1 AS h
+      FROM hourly
+    ),
+    bk AS (SELECT event_type, h, y, h // 24 AS b FROM pts),
+    agg AS (
+      SELECT event_type, b,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS nb,
+             CAST(SUM(h) AS DECIMAL(38,0)) AS sh,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             MIN(h) AS hmin, MAX(h) AS hmax,
+             arg_min(y, h) AS y_first, arg_max(y, h) AS y_last
+      FROM bk GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT event_type, MIN(b) AS bmin, MAX(b) AS bmax
+      FROM agg GROUP BY 1
+    ),
+    scored AS (
+      SELECT k.event_type, k.b, k.h, k.y,
+             abs(
+               (p.sh * nx.nb - nx.sh * p.nb)
+                 * (CAST(k.y AS DECIMAL(38,0)) * p.nb - p.sy)
+               - (p.sh - CAST(k.h AS DECIMAL(38,0)) * p.nb)
+                 * (nx.sy * p.nb - p.sy * nx.nb)
+             ) AS score
+      FROM bk k
+      JOIN agg p  ON p.event_type = k.event_type AND p.b = k.b - 1
+      JOIN agg nx ON nx.event_type = k.event_type AND nx.b = k.b + 1
+    ),
+    pick_mid AS (
+      SELECT event_type, b, h, y FROM (
+        SELECT event_type, b, h, y,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type, b ORDER BY score DESC, h
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ends AS (
+      SELECT a.event_type, a.b, a.hmin AS h, a.y_first AS y
+      FROM agg a JOIN ext x
+        ON x.event_type = a.event_type AND a.b = x.bmin
+      UNION ALL
+      SELECT a.event_type, a.b, a.hmax AS h, a.y_last AS y
+      FROM agg a JOIN ext x
+        ON x.event_type = a.event_type AND a.b = x.bmax
+    )
+    SELECT event_type, CAST(b AS BIGINT) AS bucket,
+           CAST(h AS BIGINT) AS sel_h, CAST(y AS BIGINT) AS sel_y
+    FROM (SELECT * FROM pick_mid UNION ALL SELECT * FROM ends)
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual time-series downsampling, LTTB-style (Steinarsson's
+    Largest-Triangle-Three-Buckets, parallelized): split each series'
+    hourly cent totals into 24-hour buckets and keep, per interior
+    bucket, the point forming the largest triangle with its NEIGHBOR
+    BUCKET MEAN points; first/last buckets pin their first/last point,
+    as the sequential algorithm does. The visual-fidelity downsampler
+    dashboards use (720 points -> 30) — peaks and cliffs survive where
+    naive bucket means would flatten them.
+
+    The sequential LTTB anchors on the PREVIOUSLY SELECTED point —
+    an inherently serial dependency; anchoring on the neighbor bucket
+    means instead (the standard parallel relaxation) makes every
+    bucket independent: one bucket-stats aggregate, two slim
+    self-joins to fetch neighbor stats, one argmax window per bucket.
+    Triangle areas are computed with denominators CLEARED (multiply
+    through by n_prev^2 * n_next) so the argmax compares exact
+    DECIMAL(38,0) integers — no float area ever breaks cross-engine
+    ties; ties broken by earliest hour.
+
+    Scale shape: the corpus pass is the map-combinable (type,hour)
+    rollup; bucket stats, neighbor joins, and the per-bucket argmax
+    all run on |series| x |buckets| rows. The bucket width is the
+    compression knob (24 h -> 30 pts here; at 100 TB pick width =
+    points/target)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    bk = hourly.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("h")
+    ).withColumn("b", F.expr("h DIV 24"))
+    _D = "decimal(38,0)"
+    agg = bk.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).cast(_D).alias("nb"),
+        F.sum("h").cast(_D).alias("sh"),
+        F.sum("y").cast(_D).alias("sy"),
+        F.min("h").alias("hmin"),
+        F.max("h").alias("hmax"),
+        F.min_by("y", "h").alias("y_first"),
+        F.max_by("y", "h").alias("y_last"),
+    )
+    ext = agg.groupBy("event_type").agg(
+        F.min("b").alias("bmin"), F.max("b").alias("bmax")
+    )
+    p = agg.select(
+        F.col("event_type").alias("et"),
+        (F.col("b") + 1).alias("bp"),
+        F.col("nb").alias("np"),
+        F.col("sh").alias("shp"),
+        F.col("sy").alias("syp"),
+    )
+    nx = agg.select(
+        F.col("event_type").alias("et"),
+        (F.col("b") - 1).alias("bn"),
+        F.col("nb").alias("nn"),
+        F.col("sh").alias("shn"),
+        F.col("sy").alias("syn"),
+    )
+    scored = (
+        bk.join(
+            p,
+            (F.col("event_type") == F.col("et")) & (F.col("b") == F.col("bp")),
+        )
+        .drop("et", "bp")
+        .join(
+            nx,
+            (F.col("event_type") == F.col("et")) & (F.col("b") == F.col("bn")),
+        )
+        .drop("et", "bn")
+        .withColumn(
+            "score",
+            F.abs(
+                (F.col("shp") * F.col("nn") - F.col("shn") * F.col("np"))
+                * (F.col("y").cast(_D) * F.col("np") - F.col("syp"))
+                - (F.col("shp") - F.col("h").cast(_D) * F.col("np"))
+                * (F.col("syn") * F.col("np") - F.col("syp") * F.col("nn"))
+            ),
+        )
+    )
+    wpick = Window.partitionBy("event_type", "b").orderBy(
+        F.col("score").desc(), "h"
+    )
+    pick_mid = (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "b", "h", "y")
+    )
+    first = (
+        agg.join(ext, "event_type")
+        .filter(F.col("b") == F.col("bmin"))
+        .select(
+            "event_type", "b", F.col("hmin").alias("h"), F.col("y_first").alias("y")
+        )
+    )
+    last = (
+        agg.join(ext, "event_type")
+        .filter(F.col("b") == F.col("bmax"))
+        .select(
+            "event_type", "b", F.col("hmax").alias("h"), F.col("y_last").alias("y")
+        )
+    )
+    return (
+        pick_mid.unionAll(first)
+        .unionAll(last)
+        .select(
+            "event_type",
+            F.col("b").cast("bigint").alias("bucket"),
+            F.col("h").cast("bigint").alias("sel_h"),
+            F.col("y").cast("bigint").alias("sel_y"),
+        )
+    )

@@ -216,3 +216,188 @@ def test_kfold_conservation_and_leakage_symmetry(spark):
     # token-mass conservation
     total_toks = sum(len(_re.split(r"\s+", d.text.strip().lower())) for d in docs)
     assert sum(r.n_tokens for r in out.values()) == total_toks
+
+
+def test_bfs_distances_match_python_bfs(spark):
+    """The 3-round synchronous relaxation must equal a reference BFS
+    truncated at depth 3, from the same 5 smallest seeds, on the same
+    mu+sigma edge set (rebuilt independently in Python)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from parquet_importer_spark.io import read_table
+
+    out = {r.node: r.dist for r in QUERIES["graph_bfs_distance"](spark, SF).collect()}
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count_distinct("a.l_orderkey").alias("c"))
+        .collect()
+    )
+    cs = [r.c for r in co]
+    mu, sd = statistics.mean(cs), statistics.pstdev(cs)
+    nbrs: dict[int, set[int]] = {}
+    for r in co:
+        if r.c > mu + sd:
+            nbrs.setdefault(r.s1, set()).add(r.s2)
+            nbrs.setdefault(r.s2, set()).add(r.s1)
+    seeds = sorted(nbrs)[:5]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in (1, 2, 3):
+        nxt = set()
+        for u in frontier:
+            for v in nbrs[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    assert out == dist
+
+
+def test_lttb_selection_matches_fraction_brute_force(spark):
+    """Per interior bucket the op must pick the point whose triangle
+    area vs the exact neighbor-bucket-mean anchors is maximal (ties ->
+    earliest hour) — recomputed with Fraction arithmetic so the check
+    is exact, not float-approximate. Boundary buckets pin first/last
+    points, and every bucket contributes exactly one row."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from parquet_importer_spark.io import read_table
+
+    out = QUERIES["ts_downsample_lttb"](spark, SF).collect()
+
+    ev = read_table(spark, SF, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in hourly:
+        series[r.event_type].append((r.hr, r.y))
+    expect = {}
+    for et, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        buckets = defaultdict(list)
+        for h, y in enumerate(ys):
+            buckets[h // 24].append((h, y))
+        bs = sorted(buckets)
+        for b in bs:
+            if b == bs[0]:
+                expect[(et, b)] = buckets[b][0]
+            elif b == bs[-1]:
+                expect[(et, b)] = buckets[b][-1]
+            else:
+                p, nx = buckets[b - 1], buckets[b + 1]
+                ax = Fraction(sum(h for h, _ in p), len(p))
+                ay = Fraction(sum(y for _, y in p), len(p))
+                cx = Fraction(sum(h for h, _ in nx), len(nx))
+                cy = Fraction(sum(y for _, y in nx), len(nx))
+                best = max(
+                    buckets[b],
+                    key=lambda hy: (
+                        abs((ax - cx) * (hy[1] - ay) - (ax - hy[0]) * (cy - ay)),
+                        -hy[0],
+                    ),
+                )
+                expect[(et, b)] = best
+    got = {(r.event_type, r.bucket): (r.sel_h, r.sel_y) for r in out}
+    assert got == expect
+
+
+def test_pmi_counts_and_formula(spark):
+    """Bigram/unigram counts must equal a Counter recomputation and the
+    PMI must equal the ln-sum formula on those exact counts."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from parquet_importer_spark.io import read_table
+
+    out = QUERIES["llm_collocations_pmi"](spark, SF_ORACLE).collect()
+    docs = read_table(spark, SF_ORACLE, "documents").select("text").collect()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for d in docs:
+        toks = _re.split(r"\s+", d.text.strip().lower())
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    expected = {k: v for k, v in bi.items() if v >= 10}
+    assert {(r.x, r.y): r.cxy for r in out} == expected
+    for r in out:
+        assert r.cx == uni[r.x] and r.cy == uni[r.y]
+        pmi = (
+            math.log(r.cxy)
+            + math.log(n_uni)
+            + math.log(n_uni)
+            - math.log(n_bi)
+            - math.log(r.cx)
+            - math.log(r.cy)
+        )
+        assert r.pmi == pytest.approx(round(pmi, 6), abs=2e-6)
+
+
+def test_rake_matches_python_reference(spark):
+    """Full Python reimplementation of the RAKE spec (islands, word
+    deg/freq quantized at 6 dp, phrase sums) must reproduce the top-100
+    counts, and scores to 1e-9."""
+    import re as _re
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from parquet_importer_spark.io import read_table
+
+    stop = {"the", "and", "of", "to", "in", "is", "a", "for", "on", "with"}
+    out = QUERIES["llm_keyword_rake"](spark, SF_ORACLE).collect()
+    docs = read_table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    phrases = []  # (phrase_tuple,)
+    for d in docs:
+        toks = [t for t in _re.split(r"\s+", d.text.strip().lower())]
+        run = []
+        for t in toks:
+            if t in stop or t == "":
+                if run:
+                    phrases.append(tuple(run))
+                    run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    deg: Counter = Counter()
+    freq: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+            freq[w] += 1
+    wscore = {w: Decimal(str(round(deg[w] / freq[w], 6))) for w in deg}
+    agg = defaultdict(lambda: [0, None])  # phrase -> [n_occ, score]
+    for p in phrases:
+        if 2 <= len(p) <= 8:
+            key = " ".join(p)
+            agg[key][0] += 1
+            agg[key][1] = sum(wscore[w] for w in p)
+    ranked = sorted(
+        ((k, len(k.split(" ")), n, float(s)) for k, (n, s) in agg.items()),
+        key=lambda t: (-t[3], t[0]),
+    )[:100]
+    got = [(r.phrase, r.n_words, r.n_occ, r.rake_score) for r in out]
+    assert [(p, w, n) for p, w, n, _ in ranked] == [
+        (p, w, n) for p, w, n, _ in got
+    ]
+    for (_, _, _, se), (_, _, _, sg) in zip(ranked, got):
+        assert sg == pytest.approx(se, abs=1e-9)

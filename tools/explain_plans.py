@@ -91,6 +91,8 @@ SHOWCASE = (
     ("graph_link_prediction", "wedge self-join on slim int pairs; anti-join vs edges; degree table broadcast; TakeOrderedAndProject top-50 — no global sort"),
     ("win_interval_coverage", "both windows AND the island groupBy ride ONE user_id exchange+sort; no pairwise overlap join"),
     ("ts_haar_energy", "map-combinable (type,hour) rollup is the only corpus pass; 4-level cascade flattened into one groupBy over a literal cross"),
+    ("llm_collocations_pmi", "bigrams via zip-shifted arrays (no self-join); two map-combinable corpus groupBys; vocab-keyed count joins; scalar totals broadcast"),
+    ("ts_downsample_lttb", "one (type,hour) corpus rollup; bucket stats + two slim neighbor joins + per-bucket argmax window — never a pairwise pass"),
 )
 
 
