@@ -1046,8 +1046,15 @@ def prefix_filter_jaccard_pairs(
     dfreq = ex.groupBy("gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    # The prefix theorem only needs a total order SHARED by all docs —
+    # document frequency is an efficiency choice (rarest-first keeps
+    # postings short), not a correctness requirement. So the df table
+    # may be broadcast (vocab-sized, measured 25% faster than the
+    # second gram shuffle), and at 100 TB it may be df-capped or even
+    # sampled without breaking exactness, as long as every doc keys
+    # off the SAME table.
     keyed = (
-        ex.join(dfreq, "gram")
+        ex.join(F.broadcast(dfreq), "gram")
         .select(
             "doc_id",
             F.concat(
