@@ -131,6 +131,16 @@ _DEFER_ORDER = (
     "ts_cross_correlation",
     "udtf_lateral",
     "agg_ols_by_group",
+    "llm_dedup_prefix_filter",
+    "graph_link_prediction",
+    "win_interval_coverage",
+    "ts_haar_energy",
+    "llm_split_kfold",
+    "graph_bfs_distance",
+    "ts_downsample_lttb",
+    "llm_collocations_pmi",
+    "llm_keyword_rake",
+    "spatial_knn_join",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

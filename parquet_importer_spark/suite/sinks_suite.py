@@ -979,3 +979,166 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         F.coalesce("n_points", F.lit(0).cast("bigint")).alias("n_points"),
     )
+
+
+@query(
+    "spatial_knn_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             ("value" % 360) - 180 AS lon,
+             ("value" % 180) - 90 AS lat,
+             CAST(floor((("value" % 180) - 90 + 90) / 22.5) AS BIGINT) AS cy,
+             CAST(floor((("value" % 360) - 180 + 180) / 22.5) AS BIGINT) AS cx
+      FROM events
+    ),
+    sites AS (
+      SELECT event_id AS site_id, lon AS slon, lat AS slat, cy, cx
+      FROM pts WHERE event_id % 499 = 0
+    ),
+    ring AS (
+      SELECT s.site_id, s.slon, s.slat,
+             (s.cy + dy.dy) * 16 + (s.cx + dx.dx) AS cell
+      FROM sites s,
+           (SELECT unnest([-1, 0, 1]) AS dy) dy,
+           (SELECT unnest([-1, 0, 1]) AS dx) dx
+      WHERE s.cy + dy.dy BETWEEN 0 AND 7
+        AND s.cx + dx.dx BETWEEN 0 AND 15
+    ),
+    cand AS (
+      SELECT r.site_id, r.slon, r.slat, p.event_id AS point_id,
+             (p.lon - r.slon) * (p.lon - r.slon)
+               + (p.lat - r.slat) * (p.lat - r.slat) AS d2
+      FROM ring r
+      JOIN pts p ON p.cy * 16 + p.cx = r.cell
+      WHERE p.event_id <> r.site_id
+    ),
+    ranked AS (
+      SELECT site_id, slon, slat, point_id, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY site_id ORDER BY d2, point_id
+             ) AS rnk
+      FROM cand
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= 5),
+    margin AS (
+      SELECT site_id,
+             least(
+               slon - ((CAST(floor((slon + 180) / 22.5) AS BIGINT) - 1)
+                        * 22.5 - 180),
+               ((CAST(floor((slon + 180) / 22.5) AS BIGINT) + 2)
+                        * 22.5 - 180) - slon,
+               slat - ((CAST(floor((slat + 90) / 22.5) AS BIGINT) - 1)
+                        * 22.5 - 90),
+               ((CAST(floor((slat + 90) / 22.5) AS BIGINT) + 2)
+                        * 22.5 - 90) - slat
+             ) AS m
+      FROM sites s
+    ),
+    flags AS (
+      SELECT t.site_id, MAX(t.d2) <= m.m * m.m AS k_exact
+      FROM topk t JOIN margin m USING (site_id)
+      GROUP BY t.site_id, m.m
+    )
+    SELECT t.site_id, CAST(t.rnk AS INT) AS rnk, t.point_id, t.d2,
+           f.k_exact
+    FROM topk t JOIN flags f USING (site_id)
+    """,
+)
+def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed k-nearest-neighbor join (k=5): each query site
+    takes its 3x3 cell ring as the candidate set, candidates rank by
+    exact squared planar distance with a point-id tie-break, and every
+    site carries a k_exact GUARANTEE flag — true iff its k-th distance
+    is within the distance to the ring boundary, the standard grid-kNN
+    certificate (when false, a production run expands the ring and
+    re-probes only those sites; the single-round version keeps the
+    oracle replayable). This is the store-locator / nearest-depot /
+    spatial-feature join.
+
+    Same binary-exact 22.5-degree grid as spatial_geohash_join, so
+    cell ids and ring membership match the oracle bit-for-bit;
+    distances are a fixed shared IEEE expression tree, ordered with a
+    total (d2, point_id) key.
+
+    Scale shape: the point side gains a codegen'd cell id and never
+    shuffles; sites explode to <= 9 (site,cell) rows and BROADCAST
+    into the candidate hash join; per-site top-k is one window over
+    the candidate rows (bounded by ring occupancy, never the corpus).
+    At 100 TB: finer grid, same plan — candidate cost is ring
+    occupancy x sites, and the k_exact ratio tells you when the grid
+    is too coarse."""
+    pts = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("value") % 360) - 180).alias("lon"),
+        ((F.col("value") % 180) - 90).alias("lat"),
+    ).select(
+        "*",
+        F.floor((F.col("lat") + 90) / 22.5).alias("cy"),
+        F.floor((F.col("lon") + 180) / 22.5).alias("cx"),
+    )
+    sites = pts.filter(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("site_id"),
+        F.col("lon").alias("slon"),
+        F.col("lat").alias("slat"),
+        "cy",
+        "cx",
+    )
+    offs = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ring = (
+        sites.select("*", offs.alias("dy"))
+        .select("*", offs.alias("dx"))
+        .filter(
+            (F.col("cy") + F.col("dy")).between(0, 7)
+            & (F.col("cx") + F.col("dx")).between(0, 15)
+        )
+        .select(
+            "site_id",
+            "slon",
+            "slat",
+            (
+                (F.col("cy") + F.col("dy")) * 16
+                + (F.col("cx") + F.col("dx"))
+            ).alias("cell"),
+        )
+    )
+    p2 = pts.select(
+        F.col("event_id").alias("point_id"),
+        "lon",
+        "lat",
+        (F.col("cy") * 16 + F.col("cx")).alias("cell"),
+    )
+    d2 = (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon")) + (
+        F.col("lat") - F.col("slat")
+    ) * (F.col("lat") - F.col("slat"))
+    cand = (
+        p2.join(F.broadcast(ring), "cell")
+        .filter(F.col("point_id") != F.col("site_id"))
+        .select("site_id", "slon", "slat", "point_id", d2.alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("site_id").orderBy("d2", "point_id")
+    topk = cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+    m = F.least(
+        F.col("slon") - ((F.floor((F.col("slon") + 180) / 22.5) - 1) * 22.5 - 180),
+        ((F.floor((F.col("slon") + 180) / 22.5) + 2) * 22.5 - 180) - F.col("slon"),
+        F.col("slat") - ((F.floor((F.col("slat") + 90) / 22.5) - 1) * 22.5 - 90),
+        ((F.floor((F.col("slat") + 90) / 22.5) + 2) * 22.5 - 90) - F.col("slat"),
+    )
+    margin = sites.select("site_id", m.alias("m"))
+    flags = (
+        topk.join(F.broadcast(margin), "site_id")
+        .groupBy("site_id", "m")
+        .agg((F.max("d2") <= F.col("m") * F.col("m")).alias("k_exact"))
+        .select("site_id", "k_exact")
+    )
+    return topk.join(F.broadcast(flags), "site_id").select(
+        "site_id",
+        F.col("rnk").cast("int").alias("rnk"),
+        "point_id",
+        "d2",
+        "k_exact",
+    )

@@ -101,7 +101,7 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 250 and len(o) == 245
+    assert len(q) == 260 and len(o) == 255
 
 
 def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
@@ -145,9 +145,10 @@ def test_bench_stdout_line_fits_driver_capture():
     """The driver keeps only the LAST 2000 chars of bench.py stdout and
     JSON-parses them; rounds 2-3 lost the BENCH metric ("parsed": null)
     when diagnostics grew the single output line past that window. The
-    compact result line — metric/value/unit/n_queries/sec_per_query/
-    queries/sf with a worst-case timing per headline query — must stay
-    comfortably inside the capture (<1800 chars leaves headroom)."""
+    compact result line — metric/value/unit/fixture/queries/sf with a
+    worst-case timing per headline query — must stay comfortably inside
+    the capture (<1800 chars leaves headroom; n_queries/sec_per_query
+    are derivable and live in the stderr detail record)."""
     import bench
 
     worst = {
@@ -159,8 +160,6 @@ def test_bench_stdout_line_fits_driver_capture():
             "doc_tokens": 99_999_999_999_999,
             "lineitem": 99_999_999_999,
         },
-        "n_queries": len(bench.HEADLINE),
-        "sec_per_query": 99999.999,
         # 999.999 s/query is the conservative ceiling: even one query at
         # that level means a ~14-minute suite, far past any driver budget
         "queries": {qid: 999.999 for qid in bench.HEADLINE},

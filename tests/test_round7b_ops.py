@@ -401,3 +401,64 @@ def test_rake_matches_python_reference(spark):
     ]
     for (_, _, _, se), (_, _, _, sg) in zip(ranked, got):
         assert sg == pytest.approx(se, abs=1e-9)
+
+
+def test_knn_certificate_sites_match_global_brute_force(spark):
+    """The k_exact certificate is the whole point of grid kNN: when a
+    site's 5th-nearest ring candidate lies within the distance to its
+    3x3 ring boundary, NO point outside the ring can be closer, so the
+    ring-limited top-5 must equal the global brute-force top-5 over all
+    points. Verified against an independent all-pairs scan in DuckDB
+    (no grid, no ring). Also checks the certificate fires for a
+    non-trivial share of sites (a never-true flag would be vacuous)."""
+    out = QUERIES["spatial_knn_join"](spark, SF_ORACLE).collect()
+    got = {}  # site_id -> (k_exact, [(rnk, point_id, d2) ...])
+    for r in out:
+        got.setdefault(r.site_id, [r.k_exact, []])[1].append(
+            (r.rnk, r.point_id, r.d2)
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    truth = con.execute(
+        """
+        WITH pts AS (
+          SELECT event_id,
+                 ("value" % 360) - 180 AS lon,
+                 ("value" % 180) - 90 AS lat
+          FROM events
+        ),
+        sites AS (
+          SELECT event_id AS site_id, lon AS slon, lat AS slat
+          FROM pts WHERE event_id % 499 = 0
+        ),
+        ranked AS (
+          SELECT s.site_id, p.event_id AS point_id,
+                 (p.lon - s.slon) * (p.lon - s.slon)
+                   + (p.lat - s.slat) * (p.lat - s.slat) AS d2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY s.site_id
+                   ORDER BY (p.lon - s.slon) * (p.lon - s.slon)
+                              + (p.lat - s.slat) * (p.lat - s.slat),
+                            p.event_id
+                 ) AS rnk
+          FROM sites s JOIN pts p ON p.event_id <> s.site_id
+        )
+        SELECT site_id, rnk, point_id, d2 FROM ranked WHERE rnk <= 5
+        """
+    ).fetchall()
+    brute = {}
+    for site_id, rnk, point_id, d2 in truth:
+        brute.setdefault(site_id, []).append((rnk, point_id, d2))
+
+    certified = [s for s, (ok, _) in got.items() if ok]
+    assert len(certified) >= max(2, len(got) // 4), (
+        f"certificate vacuous: {len(certified)}/{len(got)} sites"
+    )
+    for site in certified:
+        assert sorted(got[site][1]) == sorted(brute[site]), (
+            f"site {site}: certified ring top-5 != global top-5"
+        )

@@ -93,6 +93,7 @@ SHOWCASE = (
     ("ts_haar_energy", "map-combinable (type,hour) rollup is the only corpus pass; 4-level cascade flattened into one groupBy over a literal cross"),
     ("llm_collocations_pmi", "bigrams via zip-shifted arrays (no self-join); two map-combinable corpus groupBys; vocab-keyed count joins; scalar totals broadcast"),
     ("ts_downsample_lttb", "one (type,hour) corpus rollup; bucket stats + two slim neighbor joins + per-bucket argmax window — never a pairwise pass"),
+    ("spatial_knn_join", "point side gains a codegen'd cell id, never shuffles; <=9-cell site ring BROADCASTs into the candidate hash join; per-site top-k window bounded by ring occupancy"),
 )
 
 
