@@ -141,6 +141,10 @@ _DEFER_ORDER = (
     "llm_collocations_pmi",
     "llm_keyword_rake",
     "spatial_knn_join",
+    "sort_pareto_skyline",
+    "ts_burst_detect",
+    "win_running_distinct",
+    "agg_welch_ttest",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

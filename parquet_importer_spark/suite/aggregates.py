@@ -1205,3 +1205,132 @@ def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH y AS (
+      SELECT event_type,
+             user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, arm,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS ss
+      FROM y GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+             MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+             MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM m GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type,
+             CAST(n0 AS BIGINT) AS n_ctl, CAST(n1 AS BIGINT) AS n_trt,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_ctl,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_trt,
+             CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+               / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE) AS se0,
+             CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+               / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) AS se1
+      FROM p
+    )
+    SELECT event_type, n_ctl, n_trt, mean_ctl, mean_trt,
+           CASE WHEN se0 + se1 <= 0 THEN 0.0
+                ELSE (mean_trt - mean_ctl) / sqrt(se0 + se1) END AS t_stat,
+           CASE WHEN se0 + se1 <= 0 THEN 0.0
+                ELSE ((se0 + se1) * (se0 + se1))
+                     / (se0 * se0 / CAST(n_ctl - 1 AS DOUBLE)
+                        + se1 * se1 / CAST(n_trt - 1 AS DOUBLE)) END AS dof,
+           CASE WHEN se0 + se1 <= 0 THEN FALSE
+                ELSE abs((mean_trt - mean_ctl) / sqrt(se0 + se1)) >= 1.96
+                END AS significant
+    FROM v
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Welch two-sample t-test — the A/B-experiment readout
+    (unequal variances, Welch–Satterthwaite dof): users split into
+    control/treatment by user_id parity, metric = event value in
+    cents, one row per event type with means, t statistic, dof, and a
+    |t| ≥ 1.96 significance flag. The experimentation-platform
+    primitive next to agg_ols_by_group's REGR_* family.
+
+    Float contract (the OLS discipline): cents are exact BIGINTs, so
+    every moment (n, Σy, Σy²) is exact in DECIMAL(38,0); each
+    standard-error term evaluates as one shared IEEE expression tree
+    over the exact moments — (n·ss − s²)/(n·(n−1))/n with the
+    variance numerator formed IN DECIMAL (exact) before the two
+    double divisions — and t/dof/significance reuse those terms
+    identically on both engines. Zero-variance arms pin t = dof = 0
+    before any division.
+
+    Scale shape: ONE map-combinable corpus rollup to (type, arm)
+    grain — 2|types| rows — then a |types|-row pivot and pure
+    projection. This is the minimum possible plan for any moment
+    statistic; at 100 TB the t-test costs exactly one scan. CUPED or
+    stratified variants add covariate moments to the same rollup, not
+    new passes."""
+    ev = read_table(spark, sf_dir, "events")
+    _D38 = "decimal(38,0)"
+    m = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("cents").cast(_D38).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast(_D38).alias("ss"),
+    )
+
+    def arm(col: str, a: int):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    p = m.groupBy("event_type").agg(
+        arm("n", 0).alias("n0"), arm("s", 0).alias("s0"),
+        arm("ss", 0).alias("ss0"),
+        arm("n", 1).alias("n1"), arm("s", 1).alias("s1"),
+        arm("ss", 1).alias("ss1"),
+    )
+    n0, s0, ss0 = F.col("n0"), F.col("s0"), F.col("ss0")
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    v = p.select(
+        "event_type",
+        n0.cast("bigint").alias("n_ctl"),
+        n1.cast("bigint").alias("n_trt"),
+        (s0.cast("double") / n0.cast("double")).alias("mean_ctl"),
+        (s1.cast("double") / n1.cast("double")).alias("mean_trt"),
+        (
+            (n0 * ss0 - s0 * s0).cast("double")
+            / (n0 * (n0 - 1)).cast("double") / n0.cast("double")
+        ).alias("se0"),
+        (
+            (n1 * ss1 - s1 * s1).cast("double")
+            / (n1 * (n1 - 1)).cast("double") / n1.cast("double")
+        ).alias("se1"),
+    )
+    se0, se1 = F.col("se0"), F.col("se1")
+    mc, mt = F.col("mean_ctl"), F.col("mean_trt")
+    tstat = (mt - mc) / F.sqrt(se0 + se1)
+    dof = ((se0 + se1) * (se0 + se1)) / (
+        se0 * se0 / (F.col("n_ctl") - 1).cast("double")
+        + se1 * se1 / (F.col("n_trt") - 1).cast("double")
+    )
+    degenerate = (se0 + se1) <= 0
+    return v.select(
+        "event_type", "n_ctl", "n_trt", "mean_ctl", "mean_trt",
+        F.when(degenerate, F.lit(0.0)).otherwise(tstat).alias("t_stat"),
+        F.when(degenerate, F.lit(0.0)).otherwise(dof).alias("dof"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(tstat) >= 1.96)
+        .alias("significant"),
+    )

@@ -478,3 +478,70 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+@query(
+    "sort_pareto_skyline",
+    oracle="""
+    WITH pp AS (
+      SELECT p_size, p_retailprice AS price, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    sky AS (
+      SELECT p.* FROM pp p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pp q
+        WHERE q.p_size >= p.p_size AND q.price <= p.price
+          AND (q.p_size > p.p_size OR q.price < p.price)
+      )
+    )
+    SELECT p_size, price, n_parts FROM sky
+    """,
+)
+def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F — 2-D Pareto skyline (maximize p_size, minimize
+    p_retailprice): the parts no other part beats on both axes — the
+    "biggest cheapest" frontier every catalog/recommendation layer
+    computes. Dominance: q kills p when q is ≥ on size, ≤ on price,
+    and strictly better on at least one.
+
+    One sort beats the quadratic NOT-EXISTS the oracle runs: after
+    reducing to the cheapest price per size (ties at the same (size,
+    price) collapse to a count, and within a size only the min price
+    can survive), walk sizes in descending order — a size is on the
+    frontier iff its price is strictly below the running min of every
+    larger size. The oracle is the independent quadratic dominance
+    formulation, so a hash match certifies the sweep, not the SQL
+    transliteration.
+
+    Scale shape: the corpus pass is ONE map-combinable groupBy to
+    (size, price) grain, then per-size min via a (size)-partitioned
+    window; the descending sweep is a partition-less running-min
+    window over ≤|distinct sizes| rows — dimension-sized by
+    construction, the documented single-task exception (cf.
+    sort_multikey). For a CONTINUOUS first axis, band it to quantile
+    buckets, run this plan per bucket, and merge bucket frontiers —
+    the sweep's input stays bounded by the band count."""
+    pp = (
+        read_table(spark, sf_dir, "part")
+        .groupBy("p_size", F.col("p_retailprice").alias("price"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    per_size = Window.partitionBy("p_size").orderBy("price")
+    best = (
+        pp.withColumn("rn", F.row_number().over(per_size))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sweep = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        best.withColumn("prev_min", F.min("price").over(sweep))
+        .filter(
+            F.col("prev_min").isNull()
+            | (F.col("price") < F.col("prev_min"))
+        )
+        .select("p_size", "price", "n_parts")
+    )

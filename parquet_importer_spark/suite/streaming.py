@@ -2383,3 +2383,83 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("bigint").alias("sel_y"),
         )
     )
+
+
+@query(
+    "ts_burst_detect",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hb,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, SUM(c) AS tot, COUNT(*) AS nh
+      FROM h GROUP BY 1
+    ),
+    b AS (
+      SELECT h.event_type, h.hb, h.c
+      FROM h JOIN t USING (event_type)
+      WHERE 3 * h.c * t.nh >= 4 * t.tot
+    ),
+    g AS (
+      SELECT event_type, hb, c,
+             hb - ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY hb
+             ) AS isl
+      FROM b
+    )
+    SELECT event_type,
+           MIN(hb) AS start_hb,
+           MAX(hb) AS end_hb,
+           COUNT(*) AS n_hours,
+           MAX(c) AS peak_cnt,
+           CAST(SUM(c) AS BIGINT) AS burst_events
+    FROM g GROUP BY event_type, isl
+    """,
+)
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over event streams: hours whose count is ≥ 4/3×
+    the series' mean hourly rate, merged into maximal runs of
+    consecutive burst hours (gaps-and-islands), one row per burst with
+    span / peak / volume — the alerting primitive behind "traffic
+    spike" and trending-topic detectors (a thresholded, batch-shaped
+    cousin of Kleinberg's burst automaton).
+
+    Everything is integer: the threshold comparison is cross-
+    multiplied (3·c·nh ≥ 4·tot) so no mean is ever materialized as a
+    float, and islands key on hb − row_number(). Zero float drift by
+    construction.
+
+    Scale shape: ONE map-combinable corpus rollup to (type, hour)
+    grain; the per-type totals join is |types| rows (broadcast); the
+    island window + final groupBy ride one slim (type)-keyed exchange
+    over burst hours only. At 100 TB the hourly grain table is ~5
+    orders smaller than the corpus — every stage after the first
+    scan is dimension-sized. A trailing-baseline variant (count vs
+    preceding-24h mean) swaps the totals join for a range-frame window
+    on the SAME exchange."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint")
+            / F.lit(3600)
+        ).cast("bigint").alias("hb"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = h.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("nh")
+    )
+    b = h.join(F.broadcast(t), "event_type").filter(
+        3 * F.col("c") * F.col("nh") >= 4 * F.col("tot")
+    )
+    w = Window.partitionBy("event_type").orderBy("hb")
+    g = b.withColumn("isl", F.col("hb") - F.row_number().over(w))
+    return g.groupBy("event_type", "isl").agg(
+        F.min("hb").alias("start_hb"),
+        F.max("hb").alias("end_hb"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("c").alias("peak_cnt"),
+        F.sum("c").cast("bigint").alias("burst_events"),
+    ).drop("isl")

@@ -633,3 +633,61 @@ def win_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_merged"),
         F.sum("n_iv").cast("bigint").alias("n_intervals"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT event_type, user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT event_type, day, COUNT(*) AS new_users
+      FROM fs GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+           ) AS BIGINT) AS cum_users
+    FROM per
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over a window — the audience-growth
+    curve (per event type: new users each day + total distinct users
+    ever seen through that day). SQL has no COUNT(DISTINCT) OVER and
+    Spark only offers approx_count_distinct there; the exact answer
+    falls out of the first-occurrence decomposition: a user counts
+    toward the running distinct total exactly once, on their first
+    day, so cumulative-distinct = running SUM of per-day first-seen
+    counts. Days appear when they add at least one new user.
+
+    All integer (counts + DATE grain), zero float surface.
+
+    Scale shape: the corpus pass is ONE map-combinable groupBy to
+    (type, user) grain — the min-day reduction — after which the
+    frame is |distinct users|-sized; the per-day rollup and the
+    running-sum window ride one slim (type)-keyed exchange over
+    |types|×|days| rows. The approx variant (HLL partials merged by a
+    range-frame window) only wins when even the (type, user) grain
+    cannot shuffle; see agg_hll_partial_union."""
+    ev = read_table(spark, sf_dir, "events")
+    fs = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("day")
+    )
+    per = fs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

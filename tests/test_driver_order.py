@@ -101,7 +101,7 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 260 and len(o) == 255
+    assert len(q) == 264 and len(o) == 259
 
 
 def test_new_round_keys_defer_to_backlog(entry, monkeypatch):

@@ -94,6 +94,11 @@ SHOWCASE = (
     ("llm_collocations_pmi", "bigrams via zip-shifted arrays (no self-join); two map-combinable corpus groupBys; vocab-keyed count joins; scalar totals broadcast"),
     ("ts_downsample_lttb", "one (type,hour) corpus rollup; bucket stats + two slim neighbor joins + per-bucket argmax window — never a pairwise pass"),
     ("spatial_knn_join", "point side gains a codegen'd cell id, never shuffles; <=9-cell site ring BROADCASTs into the candidate hash join; per-site top-k window bounded by ring occupancy"),
+    # round 7 third wave
+    ("sort_pareto_skyline", "one map-combinable (size,price) groupBy; per-size min window; partition-less running-min sweep over <=|distinct sizes| rows (dimension-sized single-task exception)"),
+    ("ts_burst_detect", "one map-combinable (type,hour) corpus rollup; |types|-row totals BROADCAST; island window + groupBy on one slim (type) exchange over burst hours only"),
+    ("win_running_distinct", "corpus pass = one map-combinable (type,user) min-day groupBy; per-day rollup + running-sum window share one slim (type) exchange"),
+    ("agg_welch_ttest", "single corpus scan -> map-combinable (type,arm) moment rollup; |types|-row pivot + pure projection — the minimum plan for any moment statistic"),
 )
 
 
