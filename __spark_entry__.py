@@ -145,6 +145,10 @@ _DEFER_ORDER = (
     "ts_burst_detect",
     "win_running_distinct",
     "agg_welch_ttest",
+    "agg_benford",
+    "agg_chi2_independence",
+    "agg_market_concentration",
+    "spatial_dbscan_core",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -1334,3 +1334,297 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(tstat) >= 1.96)
         .alias("significant"),
     )
+
+
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@query(
+    "agg_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    t AS (
+      SELECT digit, n_obs,
+             CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
+             {_BENFORD_CASE_SQL} AS p_benford
+      FROM c
+    )
+    SELECT digit, n_obs, n_total,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS freq_obs,
+           p_benford,
+           (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford)
+             / (CAST(n_total AS DOUBLE) * p_benford) AS chi2_term
+    FROM t
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over l_extendedprice — the
+    fraud/synthetic-data screen: per digit 1-9, observed count and
+    frequency beside the Benford expectation log10(1+1/d) and that
+    digit's chi-square contribution (o - n*p)^2/(n*p). Per-digit rows
+    (not one chi2 scalar) so the analyst sees WHICH digits deviate;
+    summing chi2_term against a chi-square(8) table is a driver-side
+    afterthought on 9 rows.
+
+    Float contract: the nine Benford probabilities are shared literal
+    doubles (repr round-trip exact in both engines — no log10 call,
+    whose libm rounding is not portable); digit extraction goes through
+    integer-cents-to-string (integer formatting is unambiguous, unlike
+    float formatting); counts are exact BIGINTs; each float output is
+    one shared IEEE expression tree over exact ints and the literal.
+    No float summation anywhere — the 9 chi2 terms are emitted, not
+    totaled.
+
+    Scale shape: ONE map-combinable corpus rollup to the 9-digit grain
+    (partial counts merge; 9 rows cross the network per partition);
+    the total + probability decoration is a partition-less window over
+    9 rows — dimension-sized by construction. At 100 TB this costs
+    exactly one scan, and the same plan serves any first-k-digit or
+    per-segment variant by widening the group key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    p_benford = F.col("digit")
+    expr = None
+    for d, p in _BENFORD_P.items():
+        expr = (
+            F.when(p_benford == d, F.lit(p))
+            if expr is None
+            else expr.when(p_benford == d, F.lit(p))
+        )
+    t = c.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+        expr.alias("p_benford"),
+    )
+    o, n, p = (
+        F.col("n_obs").cast("double"),
+        F.col("n_total").cast("double"),
+        F.col("p_benford"),
+    )
+    return t.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        (o / n).alias("freq_obs"),
+        "p_benford",
+        ((o - n * p) * (o - n * p) / (n * p)).alias("chi2_term"),
+    )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, user_id % 4 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, cohort, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY event_type)
+                  AS DECIMAL(38,0)) AS r,
+             CAST(SUM(n_obs) OVER (PARTITION BY cohort)
+                  AS DECIMAL(38,0)) AS c,
+             CAST(SUM(n_obs) OVER () AS DECIMAL(38,0)) AS nt
+      FROM o
+    )
+    SELECT event_type, cohort, n_obs,
+           CAST(r AS BIGINT) AS row_total,
+           CAST(c AS BIGINT) AS col_total,
+           CAST(r * c AS DOUBLE) / CAST(nt AS DOUBLE) AS expected,
+           CAST((n_obs * nt - r * c) * (n_obs * nt - r * c) AS DOUBLE)
+             / CAST(nt * r * c AS DOUBLE) AS chi2_term
+    FROM w
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type x cohort
+    (user_id % 4) contingency table — the categorical A/B readout
+    beside agg_welch_ttest's continuous one: per cell, observed count,
+    marginal totals, expected count r*c/N, and the cell's chi-square
+    contribution. Per-cell rows double as the residual analysis
+    (which cells drive the dependence); the scalar statistic is a
+    driver-side sum over |types|*|cohorts| rows.
+
+    Float contract: every moment is an exact BIGINT; the contribution
+    is cleared to the exact integer rational (o*N - r*c)^2 / (N*r*c)
+    formed in DECIMAL(38,0) on both engines, then ONE double division.
+    No float summation — terms are emitted per cell. (DECIMAL(38,0)
+    head-room bounds o*N at 1e19; past that, divide through by N in
+    double first — the docstring contract a 100-TB caller checks.)
+
+    Scale shape: ONE map-combinable corpus rollup to the cell grain;
+    the three marginal windows run over |types|*|cohorts| rows —
+    dimension-sized, single-task by construction (cf.
+    sort_pareto_skyline's documented exception). At 100 TB: one scan,
+    then arithmetic on 20 rows."""
+    ev = read_table(spark, sf_dir, "events")
+    o = (
+        ev.select("event_type", (F.col("user_id") % 4).alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    _D38 = "decimal(38,0)"
+    w = o.select(
+        "event_type",
+        "cohort",
+        "n_obs",
+        F.sum("n_obs")
+        .over(Window.partitionBy("event_type"))
+        .cast(_D38)
+        .alias("r"),
+        F.sum("n_obs")
+        .over(Window.partitionBy("cohort"))
+        .cast(_D38)
+        .alias("c"),
+        F.sum("n_obs").over(Window.partitionBy()).cast(_D38).alias("nt"),
+    )
+    r, c, nt = F.col("r"), F.col("c"), F.col("nt")
+    num = F.col("n_obs") * nt - r * c
+    return w.select(
+        "event_type",
+        "cohort",
+        "n_obs",
+        r.cast("bigint").alias("row_total"),
+        c.cast("bigint").alias("col_total"),
+        ((r * c).cast("double") / nt.cast("double")).alias("expected"),
+        ((num * num).cast("double") / (nt * r * c).cast("double")).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "agg_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    geo AS (
+      SELECT rev.l_suppkey, rev.c, r.r_name
+      FROM rev
+      JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    rk AS (
+      SELECT r_name, c,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY r_name ORDER BY c, l_suppkey
+             ) AS DECIMAL(38,0)) AS i
+      FROM geo
+    )
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(c) AS BIGINT) AS revenue_cents,
+           CAST(SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi,
+           CAST(2 * SUM(i * c)
+                - (CAST(COUNT(*) AS DECIMAL(38,0)) + 1) * SUM(c)
+                AS DOUBLE)
+             / CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(c) AS DOUBLE)
+             AS gini
+    FROM rk GROUP BY r_name
+    """,
+)
+def agg_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics per region over supplier revenue:
+    Herfindahl-Hirschman index (sum of squared revenue shares) and the
+    Gini coefficient (rank formula G = (2*SUM(i*c_i) - (n+1)*S) /
+    (n*S) over ascending-sorted revenues) — the antitrust /
+    supply-risk rollup every marketplace dashboard carries, and a
+    robust-statistics sibling of agg_stats.
+
+    Float contract: revenues are exact cents; every moment (S, sum of
+    c^2, sum of i*c) accumulates in DECIMAL(38,0); HHI and Gini are
+    each ONE double division of two exactly-formed decimals. Rank ties
+    cannot perturb the result: equal revenues contribute i*c + j*c
+    regardless of which gets which rank, and the (c, suppkey) order is
+    total anyway. (Head-room: S^2 caps decimal at S < 1e19 cents —
+    past that, switch the HHI numerator to per-share double ratios.)
+
+    Scale shape: ONE map-combinable corpus rollup to supplier grain;
+    the three dim joins broadcast (supplier/nation/region); the rank
+    window and the final rollup ride one slim (region) exchange over
+    |suppliers| rows. At 100 TB: one scan plus dimension-sized
+    arithmetic — the same plan any per-seller-share metric rides."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("c")
+    )
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    geo = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("l_suppkey", "c", "r_name")
+    )
+    w = Window.partitionBy("r_name").orderBy("c", "l_suppkey")
+    rk = geo.select(
+        "r_name",
+        "c",
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    cnt = F.count(F.lit(1)).cast("decimal(38,0)")
+    agg = rk.groupBy("r_name").agg(
+        cnt.alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("i") * F.col("c")).alias("ic"),
+    )
+    n, s, s2, ic = F.col("n"), F.col("s"), F.col("s2"), F.col("ic")
+    return agg.select(
+        "r_name",
+        n.cast("bigint").alias("n_suppliers"),
+        s.cast("bigint").alias("revenue_cents"),
+        (s2.cast("double") / (s * s).cast("double")).alias("hhi"),
+        (
+            (2 * ic - (n + 1) * s).cast("double")
+            / (n * s).cast("double")
+        ).alias("gini"),
+    )

@@ -1142,3 +1142,112 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         "k_exact",
     )
+
+
+@query(
+    "spatial_dbscan_core",
+    oracle="""
+    WITH p AS (
+      SELECT event_id,
+             (event_id * 61 + CAST(round(value * 100) AS BIGINT))
+               % 1000 AS x,
+             (user_id * 97 + CAST(round(value * 100) AS BIGINT) * 7)
+               % 1000 AS y
+      FROM events WHERE user_id % 5 = 0
+    )
+    SELECT a.event_id, a.x, a.y,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_neighbors,
+           (COUNT(*) - 1) >= 12 AS is_core
+    FROM p a JOIN p b
+      ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1600
+    GROUP BY a.event_id, a.x, a.y
+    """,
+)
+def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point labeling, grid-bucketed: per point, the count
+    of neighbors within eps=40 (squared distance <= 1600, self
+    excluded) and the core flag n >= minPts=12 — the density stage
+    that DBSCAN / HDBSCAN / OPTICS all start from, and the spatial
+    cousin of llm_dedup_near's candidate generation. Points derive
+    integer coordinates from event columns (exact BIGINT arithmetic,
+    no float fmod), filtered to user_id % 5 = 0 to keep the oracle's
+    quadratic formulation honest at driver scale.
+
+    The grid swap: each point maps to one eps-sized cell; a point's
+    eps-ball can only intersect the 3x3 cell neighborhood, so the
+    all-pairs predicate join becomes explode(9 offsets) -> plain
+    equi-join on cell id -> exact distance residual — the same
+    over-cover-then-filter move as spatial_geohash_join. The oracle is
+    the independent O(n^2) dominance formulation, so a hash match
+    certifies the neighborhood enumeration, not a transliteration.
+
+    Scale shape: the corpus never self-crosses — candidate pairs are
+    bounded by 9 * (cell occupancy)^2 summed over cells, linear for
+    any bounded-density point set; the join is a hash equi-join on
+    BIGINT cell ids (AQE splits a hot cell like any skewed key; a
+    genuinely dense cell is exactly the case where DBSCAN's answer is
+    'everything is core' and a coarser eps grid is the fix). One
+    groupBy on the left point id finishes it. All integer — zero
+    float surface."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    p = ev.select(
+        "event_id",
+        ((F.col("event_id") * 61 + cents) % 1000).alias("x"),
+        ((F.col("user_id") * 97 + cents * 7) % 1000).alias("y"),
+    )
+    cell = p.select(
+        "event_id",
+        "x",
+        "y",
+        F.expr("x div 40").alias("cx"),
+        F.expr("y div 40").alias("cy"),
+    )
+    probe = cell.select(
+        F.col("event_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        (F.col("cx") + F.col("dx")).alias("qx"),
+        "cy",
+    ).select(
+        "a_id", "ax", "ay", "qx", (F.col("cy") + F.col("dy")).alias("qy")
+    )
+    build = cell.select(
+        F.col("event_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    dx, dy = F.col("ax") - F.col("bx"), F.col("ay") - F.col("by")
+    joined = probe.join(
+        build,
+        (F.col("qx") == F.col("cx")) & (F.col("qy") == F.col("cy")),
+    ).filter(dx * dx + dy * dy <= 1600)
+    return (
+        joined.groupBy(
+            F.col("a_id").alias("event_id"),
+            F.col("ax").alias("x"),
+            F.col("ay").alias("y"),
+        )
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_neighbors"))
+        .select(
+            "event_id",
+            "x",
+            "y",
+            "n_neighbors",
+            (F.col("n_neighbors") >= 12).alias("is_core"),
+        )
+    )

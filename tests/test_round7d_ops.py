@@ -1,0 +1,156 @@
+"""Semantic invariants for the round-7 fourth wave — properties the
+oracle-parity hash cannot distinguish from spec bugs (both engines
+agreeing on the wrong answer): Benford terms vs a straight numpy
+recompute, chi-square cell algebra vs a Counter-built contingency
+table, HHI/Gini vs their textbook definitions on sorted shares, and
+DBSCAN neighbor counts vs an O(n^2) brute force.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.suite import QUERIES
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_benford_terms_match_numpy(spark):
+    """Digit counts recomputed from raw cents strings; freq/chi2 terms
+    recomputed in numpy; probabilities must be the true log10(1+1/d)
+    (repr round-trip) and cover all nine digits exactly once."""
+    out = QUERIES["agg_benford"](spark, SF_ORACLE).collect()
+    assert sorted(r.digit for r in out) == list(range(1, 10))
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_extendedprice"
+    ).collect()
+    counts = Counter(
+        int(str(int(round(r.l_extendedprice * 100)))[0]) for r in li
+    )
+    n = sum(counts.values())
+    for r in out:
+        assert r.n_total == n
+        assert r.n_obs == counts[r.digit]
+        assert r.p_benford == math.log10(1 + 1 / r.digit)
+        assert math.isclose(r.freq_obs, counts[r.digit] / n, rel_tol=1e-12)
+        exp = n * r.p_benford
+        assert math.isclose(
+            r.chi2_term, (counts[r.digit] - exp) ** 2 / exp, rel_tol=1e-12
+        )
+    # the nine Benford probabilities are a distribution
+    assert math.isclose(sum(r.p_benford for r in out), 1.0, rel_tol=1e-12)
+
+
+def test_chi2_cells_match_contingency_table(spark):
+    """Rebuild the contingency table with a Counter: marginals must be
+    consistent (each cell's row_total = sum over its type, col_total =
+    sum over its cohort), expected counts must sum to N per row/column
+    band, and every contribution must match (o-e)^2/e in float."""
+    out = QUERIES["agg_chi2_independence"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    cells = Counter((r.event_type, r.user_id % 4) for r in ev)
+    n_total = sum(cells.values())
+    row = Counter()
+    col = Counter()
+    for (t, c), v in cells.items():
+        row[t] += v
+        col[c] += v
+    assert len(out) == len(cells)
+    for r in out:
+        o = cells[(r.event_type, r.cohort)]
+        assert r.n_obs == o
+        assert r.row_total == row[r.event_type]
+        assert r.col_total == col[r.cohort]
+        e = row[r.event_type] * col[r.cohort] / n_total
+        assert math.isclose(r.expected, e, rel_tol=1e-12)
+        assert math.isclose(r.chi2_term, (o - e) ** 2 / e, rel_tol=1e-12)
+    # expected counts reproduce the observed grand total
+    assert math.isclose(
+        sum(r.expected for r in out), n_total, rel_tol=1e-9
+    )
+
+
+def test_concentration_matches_textbook_formulas(spark):
+    """HHI and Gini recomputed from first principles per region: HHI as
+    the sum of squared shares, Gini by the mean-absolute-difference
+    definition G = sum_ij |c_i - c_j| / (2 n^2 mean) — an INDEPENDENT
+    formula from the rank identity the operator uses."""
+    out = {r.r_name: r for r in QUERIES["agg_market_concentration"](
+        spark, SF_ORACLE
+    ).collect()}
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    ).collect()
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in read_table(spark, SF_ORACLE, "supplier").collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_regionkey
+        for r in read_table(spark, SF_ORACLE, "nation").collect()
+    }
+    reg = {
+        r.r_regionkey: r.r_name
+        for r in read_table(spark, SF_ORACLE, "region").collect()
+    }
+    rev = Counter()
+    for r in li:
+        rev[r.l_suppkey] += int(round(r.l_extendedprice * 100))
+    by_region: dict[str, list[int]] = {}
+    for sk, cents in rev.items():
+        by_region.setdefault(reg[nat[sup[sk]]], []).append(cents)
+
+    assert sorted(out) == sorted(by_region)
+    for name, cs in by_region.items():
+        c = np.array(sorted(cs), dtype=float)
+        r = out[name]
+        assert r.n_suppliers == len(c)
+        assert r.revenue_cents == int(c.sum())
+        shares = c / c.sum()
+        assert math.isclose(r.hhi, float((shares**2).sum()), rel_tol=1e-12)
+        mad = np.abs(c[:, None] - c[None, :]).sum()
+        gini = mad / (2 * len(c) ** 2 * c.mean())
+        assert math.isclose(r.gini, float(gini), rel_tol=1e-12)
+        assert 0.0 <= r.gini < 1.0
+        assert 1.0 / len(c) <= r.hhi <= 1.0
+
+
+def test_dbscan_neighbors_match_brute_force(spark):
+    """Neighbor counts recomputed O(n^2) in numpy over the SAME derived
+    coordinates: exact count equality for every point (the grid must
+    neither miss a cross-cell neighbor nor double-count), core flags
+    at the n >= 12 threshold, and symmetry (a in N(b) <=> b in N(a))."""
+    out = QUERIES["spatial_dbscan_core"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "value"
+    ).collect()
+    pts = {}
+    for r in ev:
+        if r.user_id % 5 != 0:
+            continue
+        cents = int(round(r.value * 100))
+        pts[r.event_id] = (
+            (r.event_id * 61 + cents) % 1000,
+            (r.user_id * 97 + cents * 7) % 1000,
+        )
+    assert len(out) == len(pts)
+    ids = sorted(pts)
+    xy = np.array([pts[i] for i in ids], dtype=np.int64)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    within = d2 <= 1600
+    counts = dict(zip(ids, within.sum(axis=1) - 1))  # minus self
+    assert (within == within.T).all()  # symmetry of the ball predicate
+    for r in out:
+        assert (r.x, r.y) == pts[r.event_id]
+        assert r.n_neighbors == counts[r.event_id]
+        assert r.is_core == (r.n_neighbors >= 12)
+    assert any(r.is_core for r in out)
+    assert any(not r.is_core for r in out)

@@ -99,6 +99,10 @@ SHOWCASE = (
     ("ts_burst_detect", "one map-combinable (type,hour) corpus rollup; |types|-row totals BROADCAST; island window + groupBy on one slim (type) exchange over burst hours only"),
     ("win_running_distinct", "corpus pass = one map-combinable (type,user) min-day groupBy; per-day rollup + running-sum window share one slim (type) exchange"),
     ("agg_welch_ttest", "single corpus scan -> map-combinable (type,arm) moment rollup; |types|-row pivot + pure projection — the minimum plan for any moment statistic"),
+    ("agg_benford", "one map-combinable rollup to the 9-digit grain; partition-less decoration window over 9 rows; shared literal Benford probabilities — no libm log10"),
+    ("agg_chi2_independence", "one map-combinable rollup to the cell grain; three marginal windows over |types|x|cohorts| rows; exact-rational chi2 contributions, one division each"),
+    ("agg_market_concentration", "one corpus rollup to supplier grain; supplier/nation/region BROADCAST; rank window + HHI/Gini rollup on one slim (region) exchange"),
+    ("spatial_dbscan_core", "eps-grid cells: explode(9 offsets) -> hash equi-join on cell id -> exact distance residual; no all-pairs predicate join; one point-id groupBy"),
 )
 
 
