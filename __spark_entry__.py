@@ -149,6 +149,9 @@ _DEFER_ORDER = (
     "agg_chi2_independence",
     "agg_market_concentration",
     "spatial_dbscan_core",
+    "ts_max_drawdown",
+    "ts_spc_control_limits",
+    "agg_bootstrap_ci",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

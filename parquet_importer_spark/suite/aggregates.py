@@ -1628,3 +1628,160 @@ def agg_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * s).cast("double")
         ).alias("gini"),
     )
+
+
+#: Poisson(1) CDF cut-points as 8-hex-char cutoffs of the md5 uniform:
+#: P(W<=k) scaled by 16^8 — weight k is assigned when the hash prefix
+#: falls in [cut_{k-1}, cut_k); mass beyond w=6 (6e-4) truncates to 6.
+_POISSON_CUTS = (
+    "5e2d58d8",  # w=0
+    "bc5ab1b1",  # w=1
+    "eb715e1d",  # w=2
+    "fb239797",  # w=3
+    "ff1025f5",  # w=4
+    "ffd90f3b",  # w=5
+)
+
+_POISSON_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN hx < '{c}' THEN {k}" for k, c in enumerate(_POISSON_CUTS)
+    )
+    + " ELSE 6 END"
+)
+
+_BOOT_B = 100
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH f AS (
+      SELECT e.event_type, t.b,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             substr(md5('boot|' || CAST(t.b AS VARCHAR) || '|'
+                        || CAST(e.event_id AS VARCHAR)), 1, 8) AS hx
+      FROM events e CROSS JOIN range({_BOOT_B}) t(b)
+    ),
+    w AS (
+      SELECT event_type, b, cents, {_POISSON_CASE_SQL} AS w FROM f
+    ),
+    rep AS (
+      SELECT event_type, b,
+             CAST(SUM(w) AS DECIMAL(38,0)) AS sw,
+             CAST(SUM(w * cents) AS DECIMAL(38,0)) AS swc
+      FROM w GROUP BY 1, 2
+    ),
+    mean_b AS (
+      SELECT event_type, b,
+             CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+      FROM rep WHERE sw > 0
+    ),
+    rk AS (
+      SELECT event_type, m,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY m, b
+             ) AS rn
+      FROM mean_b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           MAX(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = 50 THEN m END) AS boot_median,
+           MAX(CASE WHEN rn = 98 THEN m END) AS ci_hi
+    FROM rk GROUP BY event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean
+    (Chamandy et al.'s streaming bootstrap): each of B=100 replicates
+    weights every row by a deterministic Poisson(1) draw, replicate
+    means are ranked, and the 2.5%/50%/97.5% order statistics become
+    the CI — the uncertainty readout beside agg_welch_ttest's tests,
+    computable in one pass where classical resampling cannot run at
+    all.
+
+    Determinism contract: the Poisson weight is a pure function of
+    (replicate, event_id) — an md5-prefix uniform cut against literal
+    hex CDF cut-points (llm_split_train_test's portable-hash pattern),
+    so weights are exact INTEGERS and both engines derive identical
+    replicate compositions; truncation at w=6 drops 6e-4 of mass (a
+    documented bias far below CI width). Replicate moments accumulate
+    in DECIMAL(38,0); each replicate mean is ONE double division;
+    the CI bounds are order-statistic SELECTIONS (rank 3/50/98 of
+    100, ties broken by replicate id) — no float summation anywhere.
+
+    Scale shape: the Bx fan-out exists only map-side — the explode
+    fuses with the scan and partial aggregation combines (type, b)
+    cells before the shuffle, so ~|partitions|x|types|xB slim moment
+    rows cross the network, never B copies of the corpus; the ranking
+    window runs over |types|xB rows — dimension-sized. At 100 TB the
+    bootstrap costs one scan plus B-scaled map CPU; CIs for sums,
+    ratios, or quantile estimators swap the replicate statistic, not
+    the plan."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    f = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "b",
+        "cents",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot|"),
+                    F.col("b").cast("string"),
+                    F.lit("|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ).alias("hx"),
+    )
+    w_expr = None
+    for k, cut in enumerate(_POISSON_CUTS):
+        cond = F.col("hx") < cut
+        w_expr = (
+            F.when(cond, F.lit(k))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(k))
+        )
+    w_expr = w_expr.otherwise(F.lit(6))
+    _D38 = "decimal(38,0)"
+    rep = (
+        f.select("event_type", "b", "cents", w_expr.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").cast(_D38).alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).cast(_D38).alias("swc"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swc").cast("double") / F.col("sw").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    rk = rep.select(
+        "event_type",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("m", "b"))
+        .alias("rn"),
+    )
+    return rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.max(F.when(F.col("rn") == 3, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == 50, F.col("m"))).alias("boot_median"),
+        F.max(F.when(F.col("rn") == 98, F.col("m"))).alias("ci_hi"),
+    )

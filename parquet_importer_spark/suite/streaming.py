@@ -2463,3 +2463,203 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("peak_cnt"),
         F.sum("c").cast("bigint").alias("burst_events"),
     ).drop("isl")
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hb,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, hb, c,
+             MAX(c) OVER (
+               PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS runmax,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+      FROM h
+    ),
+    d AS (
+      SELECT event_type, hb, c, runmax, n_hours, runmax - c AS dd,
+             MAX(runmax - c) OVER (PARTITION BY event_type) AS mdd
+      FROM r
+    )
+    SELECT event_type,
+           CAST(MIN(n_hours) AS BIGINT) AS n_hours,
+           CAST(MIN(mdd) AS BIGINT) AS max_dd_cents,
+           CAST(MIN(hb) AS BIGINT) AS trough_hb,
+           CAST(arg_min(runmax, hb) AS BIGINT) AS peak_cents,
+           CAST(arg_min(c, hb) AS BIGINT) AS trough_cents
+    FROM d WHERE dd = mdd
+    GROUP BY event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the peak-to-trough risk metric
+    every portfolio/SLA dashboard carries: over each event type's
+    hourly cent totals, the largest drop from a running peak to a
+    subsequent hour, with the trough hour and the peak/trough levels
+    (earliest trough on ties). A batch sibling of ts_ewma's smoothing
+    family on the same hourly grain.
+
+    All integer: levels are summed cents, the running peak and every
+    drawdown are BIGINT subtractions, and the argmax selection
+    tie-breaks on the unique hour bucket — zero float surface, so the
+    oracle hash certifies the windowed recurrence bit-for-bit.
+
+    Scale shape: ONE map-combinable corpus rollup to (type, hour)
+    grain, then running-max window, full-partition max window, and the
+    final argmin rollup ALL ride one slim (type)-keyed exchange over
+    |types|x|hours| rows. At 100 TB: one scan plus dimension-sized
+    window arithmetic — and a per-day or per-asset variant only
+    widens the partition key on the same plan."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint")
+            / F.lit(3600)
+        ).cast("bigint").alias("hb"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    run = Window.partitionBy("event_type").orderBy("hb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("event_type")
+    d = (
+        h.withColumn("runmax", F.max("c").over(run))
+        .withColumn("n_hours", F.count(F.lit(1)).over(full))
+        .withColumn("dd", F.col("runmax") - F.col("c"))
+        .withColumn("mdd", F.max(F.col("runmax") - F.col("c")).over(full))
+        .filter(F.col("dd") == F.col("mdd"))
+    )
+    return d.groupBy("event_type").agg(
+        F.min("n_hours").cast("bigint").alias("n_hours"),
+        F.min("mdd").cast("bigint").alias("max_dd_cents"),
+        F.min("hb").cast("bigint").alias("trough_hb"),
+        F.min_by("runmax", "hb").cast("bigint").alias("peak_cents"),
+        F.min_by("c", "hb").cast("bigint").alias("trough_cents"),
+    )
+
+
+@query(
+    "ts_spc_control_limits",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hb,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, hb, c,
+             abs(c - lag(c) OVER (
+               PARTITION BY event_type ORDER BY hb
+             )) AS mr
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, c,
+             CAST(COUNT(*) OVER (PARTITION BY event_type)
+                  AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) OVER (PARTITION BY event_type)
+                  AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(mr) OVER (PARTITION BY event_type)
+                  AS DECIMAL(38,0)) AS smr
+      FROM m
+    ),
+    lim AS (
+      SELECT event_type, c, n, sc, smr,
+             CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS cl,
+             CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS mrbar
+      FROM s
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n_hours,
+           MIN(cl) AS cl,
+           MIN(mrbar) AS mrbar,
+           MIN(cl + 2.66 * mrbar) AS ucl,
+           MIN(cl - 2.66 * mrbar) AS lcl,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(c AS DOUBLE) > cl + 2.66 * mrbar
+                OR CAST(c AS DOUBLE) < cl - 2.66 * mrbar
+           ) AS BIGINT) AS n_ooc
+    FROM lim GROUP BY event_type
+    """,
+)
+def ts_spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals control chart (I-MR) per series: center
+    line, average moving range, UCL/LCL at CL +/- 2.66*MRbar (the
+    textbook 3/d2(n=2) constant as a shared literal), and the count of
+    out-of-control hours — the SPC / anomaly-band primitive behind
+    "is this metric drifting" alerting, the frequentist cousin of
+    ts_anomaly_mad's robust bands.
+
+    Float contract: hourly levels and moving ranges are exact integer
+    cents; n, sum(c), sum(|MR|) accumulate in DECIMAL(38,0); CL and
+    MRbar are each ONE double division, the limits one shared
+    literal-multiply-add tree, and each out-of-control comparison
+    evaluates that same tree — bit-identical on both engines. MIN()
+    over per-row copies of a constant is exact (selection, not
+    summation).
+
+    Scale shape: ONE map-combinable corpus rollup to (type, hour)
+    grain; the lag window, the three full-partition moment windows,
+    the per-row flag, and the final rollup all ride one slim
+    (type)-keyed exchange. At 100 TB: one scan plus dimension-sized
+    window arithmetic; Western-Electric run rules add lag windows to
+    the SAME exchange, not new passes."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("bigint")
+            / F.lit(3600)
+        ).cast("bigint").alias("hb"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    _D38 = "decimal(38,0)"
+    lagw = Window.partitionBy("event_type").orderBy("hb")
+    full = Window.partitionBy("event_type")
+    m = h.withColumn(
+        "mr", F.abs(F.col("c") - F.lag("c").over(lagw))
+    )
+    s = m.select(
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(full).cast(_D38).alias("n"),
+        F.sum("c").over(full).cast(_D38).alias("sc"),
+        F.sum("mr").over(full).cast(_D38).alias("smr"),
+    )
+    cl = F.col("sc").cast("double") / F.col("n").cast("double")
+    mrbar = F.col("smr").cast("double") / (F.col("n") - 1).cast("double")
+    lim = s.select(
+        "event_type",
+        "c",
+        "n",
+        cl.alias("cl"),
+        mrbar.alias("mrbar"),
+    )
+    ucl = F.col("cl") + 2.66 * F.col("mrbar")
+    lcl = F.col("cl") - 2.66 * F.col("mrbar")
+    cd = F.col("c").cast("double")
+    return lim.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_hours"),
+        F.min("cl").alias("cl"),
+        F.min("mrbar").alias("mrbar"),
+        F.min(ucl).alias("ucl"),
+        F.min(lcl).alias("lcl"),
+        F.count(F.when((cd > ucl) | (cd < lcl), 1))
+        .cast("bigint")
+        .alias("n_ooc"),
+    )

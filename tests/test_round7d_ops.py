@@ -154,3 +154,137 @@ def test_dbscan_neighbors_match_brute_force(spark):
         assert r.is_core == (r.n_neighbors >= 12)
     assert any(r.is_core for r in out)
     assert any(not r.is_core for r in out)
+
+
+def test_max_drawdown_matches_running_peak_recompute(spark):
+    """Rebuild the hourly series in Python, run the running-peak
+    recurrence, and demand EXACT equality on drawdown, trough hour
+    (earliest on ties), and peak/trough levels — all integers."""
+    out = {r.event_type: r for r in QUERIES["ts_max_drawdown"](
+        spark, SF_ORACLE
+    ).collect()}
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    # naive-UTC epoch arithmetic (datetime.timestamp() would apply the
+    # process timezone; the session runs UTC and so does the oracle)
+    from datetime import datetime  # noqa: PLC0415
+
+    epoch = datetime(1970, 1, 1)
+    series: dict[str, Counter] = {}
+    for r in ev:
+        trunc = r.ts.replace(minute=0, second=0, microsecond=0)
+        hb = int((trunc - epoch).total_seconds()) // 3600
+        series.setdefault(r.event_type, Counter())[hb] += int(
+            round(r.value * 100)
+        )
+    assert sorted(out) == sorted(series)
+    for t, hours in series.items():
+        peak = None
+        best = (-1, None, None, None)  # dd, hb, peak, level
+        n = 0
+        for hb in sorted(hours):
+            c = hours[hb]
+            n += 1
+            peak = c if peak is None else max(peak, c)
+            dd = peak - c
+            if dd > best[0]:
+                best = (dd, hb, peak, c)
+        r = out[t]
+        assert r.n_hours == n
+        assert r.max_dd_cents == best[0]
+        assert r.trough_hb == best[1]
+        assert r.peak_cents == best[2]
+        assert r.trough_cents == best[3]
+
+
+def test_spc_limits_match_imr_recompute(spark):
+    """I-MR chart recomputed in Python: CL, MRbar, the 2.66 limits and
+    the out-of-control count must match; limits must bracket CL; MRbar
+    must be nonnegative."""
+    out = {r.event_type: r for r in QUERIES["ts_spc_control_limits"](
+        spark, SF_ORACLE
+    ).collect()}
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    from datetime import datetime  # noqa: PLC0415
+
+    epoch = datetime(1970, 1, 1)
+    series: dict[str, Counter] = {}
+    for r in ev:
+        trunc = r.ts.replace(minute=0, second=0, microsecond=0)
+        hb = int((trunc - epoch).total_seconds()) // 3600
+        series.setdefault(r.event_type, Counter())[hb] += int(
+            round(r.value * 100)
+        )
+    for t, hours in series.items():
+        cs = [hours[hb] for hb in sorted(hours)]
+        cl = sum(cs) / len(cs)
+        mrbar = sum(
+            abs(a - b) for a, b in zip(cs[1:], cs)
+        ) / (len(cs) - 1)
+        ucl, lcl = cl + 2.66 * mrbar, cl - 2.66 * mrbar
+        n_ooc = sum(1 for c in cs if c > ucl or c < lcl)
+        r = out[t]
+        assert r.n_hours == len(cs)
+        assert math.isclose(r.cl, cl, rel_tol=1e-12)
+        assert math.isclose(r.mrbar, mrbar, rel_tol=1e-12)
+        assert math.isclose(r.ucl, ucl, rel_tol=1e-12)
+        assert math.isclose(r.lcl, lcl, rel_tol=1e-12)
+        assert r.n_ooc == n_ooc
+        assert r.lcl < r.cl < r.ucl
+        assert r.mrbar >= 0
+
+
+def test_bootstrap_ci_matches_hash_replicate_recompute(spark):
+    """Full independent recompute: derive every Poisson weight from
+    hashlib.md5 against the literal CDF cut-points, rebuild all 100
+    replicate means per type, rank them, and check the selected order
+    statistics exactly; the interval must be ordered and bracket the
+    sample mean for this well-conditioned metric."""
+    import hashlib
+
+    from parquet_importer_spark.suite.aggregates import (
+        _BOOT_B,
+        _POISSON_CUTS,
+    )
+
+    out = {r.event_type: r for r in QUERIES["agg_bootstrap_ci"](
+        spark, SF_ORACLE
+    ).collect()}
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+
+    def weight(b: int, eid: int) -> int:
+        hx = hashlib.md5(f"boot|{b}|{eid}".encode()).hexdigest()[:8]
+        for k, cut in enumerate(_POISSON_CUTS):
+            if hx < cut:
+                return k
+        return 6
+
+    sums: dict[tuple, list] = {}
+    for r in ev:
+        cents = int(round(r.value * 100))
+        for b in range(_BOOT_B):
+            w = weight(b, r.event_id)
+            if w:
+                cell = sums.setdefault((r.event_type, b), [0, 0])
+                cell[0] += w
+                cell[1] += w * cents
+    means: dict[str, list] = {}
+    for (t, b), (sw, swc) in sums.items():
+        means.setdefault(t, []).append((swc / sw, b))
+    for t, ms in means.items():
+        ms.sort()
+        ranked = [m for m, _ in ms]
+        r = out[t]
+        assert r.n_replicates == len(ranked) == _BOOT_B
+        assert r.ci_lo == ranked[2]
+        assert r.boot_median == ranked[49]
+        assert r.ci_hi == ranked[97]
+        assert r.ci_lo <= r.boot_median <= r.ci_hi
+        full = [int(round(x.value * 100)) for x in ev
+                if x.event_type == t]
+        assert r.ci_lo <= sum(full) / len(full) <= r.ci_hi

@@ -103,6 +103,9 @@ SHOWCASE = (
     ("agg_chi2_independence", "one map-combinable rollup to the cell grain; three marginal windows over |types|x|cohorts| rows; exact-rational chi2 contributions, one division each"),
     ("agg_market_concentration", "one corpus rollup to supplier grain; supplier/nation/region BROADCAST; rank window + HHI/Gini rollup on one slim (region) exchange"),
     ("spatial_dbscan_core", "eps-grid cells: explode(9 offsets) -> hash equi-join on cell id -> exact distance residual; no all-pairs predicate join; one point-id groupBy"),
+    ("ts_max_drawdown", "one (type,hour) rollup; running-max + full-partition windows + argmin rollup all on ONE slim (type) exchange; all-BIGINT"),
+    ("ts_spc_control_limits", "one (type,hour) rollup; lag + moment windows + OOC flags + rollup on one (type) exchange; DECIMAL moments, one division each for CL/MRbar"),
+    ("agg_bootstrap_ci", "B=100 fan-out map-side only: explode fused with scan, partial agg combines (type,b) before the shuffle; rank window over |types|xB rows"),
 )
 
 
