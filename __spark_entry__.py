@@ -152,6 +152,8 @@ _DEFER_ORDER = (
     "ts_max_drawdown",
     "ts_spc_control_limits",
     "agg_bootstrap_ci",
+    "graph_assortativity",
+    "ts_seasonality_profile",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

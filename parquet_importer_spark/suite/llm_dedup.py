@@ -2199,3 +2199,150 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return frontier
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
+      FROM co
+    ),
+    e AS (
+      SELECT s1, s2 FROM co, st
+      WHERE st.n * c > st.sc
+        AND (st.n * c - st.sc) * (st.n * c - st.sc)
+            > st.n * st.sc2 - st.sc * st.sc
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS DECIMAL(38,0)) AS d
+      FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+      GROUP BY node
+    ),
+    dir AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM (SELECT s1 AS u, s2 AS v FROM e
+            UNION ALL SELECT s2, s1 FROM e) ed
+      JOIN deg du ON du.node = ed.u
+      JOIN deg dv ON dv.node = ed.v
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m2,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sx2,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM dir
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(m2 / 2 AS BIGINT) AS n_edges,
+           CASE WHEN m2 * sx2 - sx * sx = 0 THEN 0.0
+                ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+                     / CAST(m2 * sx2 - sx * sx AS DOUBLE)
+           END AS assortativity
+    FROM mo
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-occurrence graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    all directed edge orientations — positive means hubs attach to
+    hubs (social-network-like), negative means hub-spoke
+    (infrastructure-like); the one-number structure summary beside
+    graph_triangle_count / graph_kcore on the SAME mu+sigma edge set
+    (exact-integer threshold, see graph_triangle_count).
+
+    The float trick: summing over BOTH orientations makes the x and y
+    marginals identical (sum x = sum y, sum x^2 = sum y^2), so
+    Newman's formula collapses to (m*Sxy - Sx^2) / (m*Sx2 - Sx^2) —
+    the sqrt of a perfect square cancels and the coefficient becomes
+    ONE double division of two DECIMAL(38,0)-exact integers. A
+    regular graph (zero variance) pins 0 before the division.
+
+    Scale shape: the co-occurrence rollup is the only corpus pass
+    (shared shape with the triangle/kcore family — at 100 TB the edge
+    list is the persisted artifact all four graph ops read); degrees
+    are a node-grain rollup that joins back onto slim (u,v) pairs;
+    the moment rollup is a 1-row reduce. Nothing quadratic, nothing
+    collected."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    _D38 = "decimal(38,0)"
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").cast("bigint").alias("c"))
+    )
+    st = co.agg(
+        F.count(F.lit(1)).cast(_D38).alias("n"),
+        F.sum("c").cast(_D38).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast(_D38).alias("sc2"),
+    )
+    n_, sc, sc2, c = F.col("n"), F.col("sc"), F.col("sc2"), F.col("c")
+    e = (
+        co.crossJoin(F.broadcast(st))
+        .filter(
+            (n_ * c > sc)
+            & ((n_ * c - sc) * (n_ * c - sc) > n_ * sc2 - sc * sc)
+        )
+        .select("s1", "s2")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast(_D38).alias("d"))
+    )
+    ed = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    dirx = (
+        ed.join(F.broadcast(du), F.col("u") == F.col("du.node"))
+        .join(F.broadcast(dv), F.col("v") == F.col("dv.node"))
+        .select(F.col("du.d").alias("x"), F.col("dv.d").alias("y"))
+    )
+    mo = dirx.agg(
+        F.count(F.lit(1)).cast(_D38).alias("m2"),
+        F.sum("x").cast(_D38).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(_D38).alias("sx2"),
+        F.sum(F.col("x") * F.col("y")).cast(_D38).alias("sxy"),
+    )
+    n_nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    m2, sx, sx2, sxy = (
+        F.col("m2"),
+        F.col("sx"),
+        F.col("sx2"),
+        F.col("sxy"),
+    )
+    den = m2 * sx2 - sx * sx
+    return mo.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (m2 / 2).cast("bigint").alias("n_edges"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(
+            (m2 * sxy - sx * sx).cast("double") / den.cast("double")
+        )
+        .alias("assortativity"),
+    )

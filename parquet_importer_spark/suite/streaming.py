@@ -2663,3 +2663,60 @@ def ts_spc_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_ooc"),
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    oracle="""
+    SELECT event_type,
+           (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 3)
+             % 7 AS dow,
+           (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600)
+             % 24 AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the day-of-week x hour-of-day
+    activity matrix per series (count, volume, mean) — the heatmap
+    behind capacity planning and the seasonal prior that
+    ts_seasonal_decompose estimates the hard way; also the baseline
+    table an anomaly layer (ts_anomaly_mad, ts_spc_control_limits)
+    conditions on.
+
+    Portability: day-of-week comes from pure epoch arithmetic —
+    (epoch_days + 3) % 7 with 0 = Monday (1970-01-01 was a Thursday)
+    — NOT from dayofweek()/dow(), whose week-start conventions differ
+    across engines; hour-of-day likewise. Counts and cents are exact
+    integers; the mean is ONE double division.
+
+    Scale shape: ONE map-combinable corpus rollup straight to the
+    (type, dow, hour) grain — |types| x 168 output rows, partials
+    merge map-side, nothing else moves. The minimum possible plan; at
+    100 TB this is a single scan, and a per-week-of-year or holiday
+    dimension widens the key, not the pass count."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day_e = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("bigint")
+    hour_e = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast(
+        "bigint"
+    )
+    out = ev.groupBy(
+        "event_type",
+        (((day_e / F.lit(86400)).cast("bigint") + 3) % 7).alias("dow"),
+        ((hour_e / F.lit(3600)).cast("bigint") % 24).alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+        (
+            F.sum(cents).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents"),
+    )
+    return out

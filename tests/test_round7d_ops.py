@@ -288,3 +288,76 @@ def test_bootstrap_ci_matches_hash_replicate_recompute(spark):
         full = [int(round(x.value * 100)) for x in ev
                 if x.event_type == t]
         assert r.ci_lo <= sum(full) / len(full) <= r.ci_hi
+
+
+def test_assortativity_matches_newman_recompute(spark):
+    """Rebuild the mu+sigma co-supply graph in Python and compute
+    Newman's assortativity with numpy.corrcoef over both edge
+    orientations — an INDEPENDENT formulation of the same
+    coefficient; also pin the node/edge counts and the [-1, 1]
+    range."""
+    out = QUERIES["graph_assortativity"](spark, SF_ORACLE).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    orders: dict[int, set] = {}
+    for x in li:
+        orders.setdefault(x.l_orderkey, set()).add(x.l_suppkey)
+    co = Counter()
+    for supps in orders.values():
+        ss = sorted(supps)
+        for i, u in enumerate(ss):
+            for v in ss[i + 1:]:
+                co[(u, v)] += 1
+    cs = np.array(list(co.values()), dtype=float)
+    mu, sd = cs.mean(), cs.std()  # population std, matching n*sc2-sc^2
+    edges = [p for p, c in co.items() if c > mu + sd]
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    assert r.n_nodes == len(deg)
+    assert r.n_edges == len(edges)
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    assert math.isclose(r.assortativity, expected, rel_tol=1e-9)
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_seasonality_profile_matches_epoch_recompute(spark):
+    """Recompute the (type, dow, hod) matrix with naive-UTC epoch
+    arithmetic: exact count/total equality per cell, 1970-01-01
+    anchored to Thursday (dow 3 under 0=Monday), means consistent,
+    and the matrix marginals reproduce the corpus row count."""
+    from datetime import datetime
+
+    out = QUERIES["ts_seasonality_profile"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    epoch = datetime(1970, 1, 1)
+    cells: dict[tuple, list] = {}
+    for r in ev:
+        d = int((r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+                 - epoch).total_seconds()) // 86400
+        h = int((r.ts.replace(minute=0, second=0, microsecond=0)
+                 - epoch).total_seconds()) // 3600
+        key = (r.event_type, (d + 3) % 7, h % 24)
+        cell = cells.setdefault(key, [0, 0])
+        cell[0] += 1
+        cell[1] += int(round(r.value * 100))
+    assert epoch.weekday() == 3  # Thursday anchors the dow formula
+    assert len(out) == len(cells)
+    for r in out:
+        n, tot = cells[(r.event_type, r.dow, r.hod)]
+        assert r.n_events == n
+        assert r.total_cents == tot
+        assert math.isclose(r.mean_cents, tot / n, rel_tol=1e-12)
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+    assert sum(r.n_events for r in out) == len(ev)

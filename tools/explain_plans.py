@@ -106,6 +106,8 @@ SHOWCASE = (
     ("ts_max_drawdown", "one (type,hour) rollup; running-max + full-partition windows + argmin rollup all on ONE slim (type) exchange; all-BIGINT"),
     ("ts_spc_control_limits", "one (type,hour) rollup; lag + moment windows + OOC flags + rollup on one (type) exchange; DECIMAL moments, one division each for CL/MRbar"),
     ("agg_bootstrap_ci", "B=100 fan-out map-side only: explode fused with scan, partial agg combines (type,b) before the shuffle; rank window over |types|xB rows"),
+    ("graph_assortativity", "shared co-occurrence rollup; degree table joins back onto slim (u,v) pairs; 1-row moment reduce; one division, no sqrt"),
+    ("ts_seasonality_profile", "ONE map-combinable rollup straight to (type,dow,hod) grain — single scan, |types|x168 output rows, nothing else moves"),
 )
 
 
