@@ -154,6 +154,8 @@ _DEFER_ORDER = (
     "agg_bootstrap_ci",
     "graph_assortativity",
     "ts_seasonality_profile",
+    "agg_rfm_segmentation",
+    "ts_cohort_ltv",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

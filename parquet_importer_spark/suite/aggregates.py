@@ -1785,3 +1785,100 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 50, F.col("m"))).alias("boot_median"),
         F.max(F.when(F.col("rn") == 98, F.col("m"))).alias("ci_hi"),
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT)
+                 // 86400) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, m,
+             NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY f, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY m, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score = 1 THEN 'lost'
+                ELSE 'other' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(m AS DECIMAL(38,0))) AS BIGINT)
+             AS total_monetary_cents,
+           CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_monetary_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics workhorse: per customer, quintile scores
+    on last-order day, order count, and lifetime cents (NTILE(5) with
+    a custkey tie-break; 5 = best on every axis), rolled up to the
+    125-cell score cube with a champion/at-risk/lost label rule.
+
+    Determinism: all three metrics are exact integers; NTILE over a
+    TOTAL order (metric, custkey) assigns identical buckets in both
+    engines (equal buckets, remainder to the first — the SQL-standard
+    rule both implement); monetary sums re-accumulate in
+    DECIMAL(38,0); the only float is the final per-segment average,
+    ONE double division.
+
+    Scale shape: ONE map-combinable corpus rollup to customer grain,
+    then three partition-less NTILE windows over |customers| rows and
+    a 125-cell rollup. The global windows are the honest cost: at
+    1e9+ customers swap exact NTILE for broadcast quintile BOUNDARIES
+    (percentile_approx over the same rollup, or the exact rank-based
+    cut agg_percentile_disc demonstrates) joined back map-side — the
+    cube rollup and label rule are unchanged. At driver SFs the
+    window is dimension-sized and exactness is the point."""
+    od = read_table(spark, sf_dir, "orders")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("o_orderdate"))).cast(
+            "bigint"
+        )
+        / F.lit(86400)
+    ).cast("bigint")
+    cust = od.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "m",
+        F.ntile(5)
+        .over(Window.orderBy("last_day", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("m_score"),
+    )
+    r_s, f_s, m_s = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    seg = (
+        F.when((r_s >= 4) & (f_s >= 4) & (m_s >= 4), F.lit("champion"))
+        .when((r_s <= 2) & (f_s >= 4), F.lit("at_risk"))
+        .when(r_s == 1, F.lit("lost"))
+        .otherwise(F.lit("other"))
+    )
+    mdec = F.sum(F.col("m").cast("decimal(38,0)"))
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.min(seg).alias("segment"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        mdec.cast("bigint").alias("total_monetary_cents"),
+        (
+            mdec.cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_monetary_cents"),
+    )

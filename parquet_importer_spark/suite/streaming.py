@@ -2720,3 +2720,79 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cents"),
     )
     return out
+
+
+@query(
+    "ts_cohort_ltv",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT user_id, day, cents,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud
+    ),
+    g AS (
+      SELECT cohort_day, day - cohort_day AS age_days,
+             CAST(COUNT(*) AS BIGINT) AS n_active_users,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM c GROUP BY 1, 2
+    )
+    SELECT cohort_day, age_days, n_active_users, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+             PARTITION BY cohort_day ORDER BY age_days
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-active day,
+    revenue accumulated by cohort age — the LTV triangle behind
+    payback-period and retention-economics dashboards, the
+    revenue-weighted sibling of ts_retention's count matrix. One row
+    per (cohort, age) with active users, that day's revenue, and the
+    running cumulative (the LTV curve itself).
+
+    All integer: epoch-day cohorts, cent revenues, running sums —
+    zero float surface.
+
+    Scale shape: the corpus pass is ONE map-combinable rollup to
+    (user, day) grain — the only stage whose shuffle is
+    corpus-proportional (and it ships partials, not rows). Every
+    later exchange moves REDUCED-grain data: the cohort-assignment
+    MIN window re-keys the |user x day| rollup on user_id, and the
+    (cohort, age) rollup + running window move |cohorts|x|ages| rows.
+    No join back to a separate first-seen table, nothing collected;
+    revenue / margin / any additive metric swaps into the same
+    plan."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("bigint")
+            / F.lit(86400)
+        ).cast("bigint").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = ud.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    g = c.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    cum = Window.partitionBy("cohort_day").orderBy("age_days")
+    return g.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents").over(cum).cast("bigint"),
+    )

@@ -361,3 +361,108 @@ def test_seasonality_profile_matches_epoch_recompute(spark):
         assert math.isclose(r.mean_cents, tot / n, rel_tol=1e-12)
         assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
     assert sum(r.n_events for r in out) == len(ev)
+
+
+def test_rfm_cube_matches_quintile_recompute(spark):
+    """Recompute R/F/M quintiles in Python with the SQL NTILE rule
+    (equal buckets, remainder to the first) over the same total
+    orders, rebuild the cube, and check counts/sums/labels exactly;
+    customers must partition across cells."""
+    from datetime import datetime
+
+    out = QUERIES["agg_rfm_segmentation"](spark, SF_ORACLE).collect()
+    od = read_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    epoch = datetime(1970, 1, 1)
+    last: dict[int, int] = {}
+    freq: Counter = Counter()
+    mon: Counter = Counter()
+    for r in od:
+        d = int((r.o_orderdate.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        ) - epoch).total_seconds()) // 86400
+        last[r.o_custkey] = max(last.get(r.o_custkey, d), d)
+        freq[r.o_custkey] += 1
+        mon[r.o_custkey] += int(round(r.o_totalprice * 100))
+
+    def ntile5(keyed: list) -> dict[int, int]:
+        n = len(keyed)
+        base, rem = divmod(n, 5)
+        scores = {}
+        i = 0
+        for b in range(1, 6):
+            size = base + (1 if b <= rem else 0)
+            for _, ck in keyed[i:i + size]:
+                scores[ck] = b
+            i += size
+        return scores
+
+    customers = sorted(last)
+    r_sc = ntile5(sorted((last[c], c) for c in customers))
+    f_sc = ntile5(sorted((freq[c], c) for c in customers))
+    m_sc = ntile5(sorted((mon[c], c) for c in customers))
+    cube: dict[tuple, list] = {}
+    for c in customers:
+        key = (r_sc[c], f_sc[c], m_sc[c])
+        cell = cube.setdefault(key, [0, 0])
+        cell[0] += 1
+        cell[1] += mon[c]
+    assert len(out) == len(cube)
+    for r in out:
+        n, tot = cube[(r.r_score, r.f_score, r.m_score)]
+        assert r.n_customers == n
+        assert r.total_monetary_cents == tot
+        assert math.isclose(r.avg_monetary_cents, tot / n, rel_tol=1e-12)
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            want = "champion"
+        elif r.r_score <= 2 and r.f_score >= 4:
+            want = "at_risk"
+        elif r.r_score == 1:
+            want = "lost"
+        else:
+            want = "other"
+        assert r.segment == want
+    assert sum(r.n_customers for r in out) == len(customers)
+
+
+def test_cohort_ltv_matches_first_day_recompute(spark):
+    """Rebuild the LTV triangle in Python (first-active cohorts, per-age
+    revenue, running cumulative): exact equality per cell; cumulative
+    must be nondecreasing along each cohort and end at the cohort's
+    total revenue."""
+    from datetime import datetime
+
+    out = QUERIES["ts_cohort_ltv"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    epoch = datetime(1970, 1, 1)
+    user_days: dict[int, Counter] = {}
+    for r in ev:
+        d = int((r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+                 - epoch).total_seconds()) // 86400
+        user_days.setdefault(r.user_id, Counter())[d] += int(
+            round(r.value * 100)
+        )
+    cells: dict[tuple, list] = {}
+    for u, days in user_days.items():
+        cohort = min(days)
+        for d, cents in days.items():
+            cell = cells.setdefault((cohort, d - cohort), [0, 0])
+            cell[0] += 1
+            cell[1] += cents
+    assert len(out) == len(cells)
+    by_cohort: dict[int, list] = {}
+    for r in out:
+        n, cents = cells[(r.cohort_day, r.age_days)]
+        assert r.n_active_users == n
+        assert r.revenue_cents == cents
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r.age_days)
+        run = 0
+        for r in rows:
+            run += r.revenue_cents
+            assert r.cum_revenue_cents == run
+        assert rows[0].age_days == 0  # a cohort is active on day 0

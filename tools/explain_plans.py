@@ -108,6 +108,8 @@ SHOWCASE = (
     ("agg_bootstrap_ci", "B=100 fan-out map-side only: explode fused with scan, partial agg combines (type,b) before the shuffle; rank window over |types|xB rows"),
     ("graph_assortativity", "shared co-occurrence rollup; degree table joins back onto slim (u,v) pairs; 1-row moment reduce; one division, no sqrt"),
     ("ts_seasonality_profile", "ONE map-combinable rollup straight to (type,dow,hod) grain — single scan, |types|x168 output rows, nothing else moves"),
+    ("agg_rfm_segmentation", "one customer-grain rollup; three global NTILE windows (dimension-sized; boundary-broadcast swap documented for 1e9+ customers); 125-cell cube rollup"),
+    ("ts_cohort_ltv", "one (user,day) corpus rollup (ships partials); all later exchanges reduced-grain: user re-key for the cohort MIN window, then |cohorts|x|ages| rows"),
 )
 
 
