@@ -156,6 +156,8 @@ _DEFER_ORDER = (
     "ts_seasonality_profile",
     "agg_rfm_segmentation",
     "ts_cohort_ltv",
+    "llm_fingerprint_winnow",
+    "ts_path_transitions",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -2346,3 +2346,149 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+@query(
+    "llm_fingerprint_winnow",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 4 THEN
+               list_transform(range(1, len(toks) - 4 + 2),
+                 i -> substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 8))
+             ELSE [substr(md5(array_to_string(toks, ' ')), 1, 8)] END AS h
+      FROM tk
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(h) >= 5 THEN
+                 list_transform(range(1, len(h) - 5 + 2),
+                                p -> list_min(h[p:p+4]))
+               ELSE [list_min(h)] END
+             ) AS fps
+      FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+    keep AS (
+      SELECT f FROM ex GROUP BY f
+      HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ex a
+      JOIN keep k ON k.f = a.f
+      JOIN ex b ON b.f = a.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(fps) AS n FROM fp)
+    SELECT id_1, id_2, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(s1.n + s2.n - n_shared AS DOUBLE) AS fp_jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = id_1
+    JOIN sizes s2 ON s2.doc_id = id_2
+    ORDER BY n_shared DESC, id_1, id_2
+    LIMIT 20
+    """,
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 4-token k-gram, keep
+    the minimum hash of each sliding window of 5, and report the
+    top-20 document pairs by shared fingerprints with the
+    fingerprint-set Jaccard — the guaranteed-local-match dedup scheme
+    beside the MinHash family (winnowing PROVES any shared run of
+    w+k-1 tokens yields a shared fingerprint; MinHash only samples).
+
+    This is value-set winnowing: the fingerprint set keeps the
+    selected hash VALUES (distinct per doc), so the tie rule for
+    repeated grams inside one window cannot perturb the set — the min
+    VALUE is unique even when its position is not, which is what makes
+    the operator hash-certifiable without a rightmost-tie contract.
+    Hashes are md5-prefix strings compared lexicographically —
+    identical in both engines; the pair score is exact integers with
+    ONE double division.
+
+    Scale shape: fingerprinting is a pure per-doc map (array exprs
+    fused with the scan — no explode until fingerprints, which are
+    ~2/(w+1) of the grams); the inverted index shuffles slim (doc, 8
+    hex) rows; a document-frequency cap [2, 50] bounds any hot
+    fingerprint's pair fan-out exactly like the LSH bucket caps
+    (operators/dedup.py) — boilerplate headers are precisely what the
+    cap drops, by design. TakeOrderedAndProject finishes the top-20.
+    At 100 TB the fingerprint index is the persisted artifact, ~15x
+    smaller than a shingle index."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = docs.select("doc_id", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    grams = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, 4))), 1, 8
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.substring(F.md5(F.concat_ws(" ", F.col("toks"))), 1, 8)
+        )
+    )
+    g = t.select("doc_id", grams.alias("h"))
+    nh = F.size(F.col("h"))
+    fps = F.array_distinct(
+        F.when(
+            nh >= 5,
+            F.transform(
+                F.sequence(F.lit(1), nh - 4),
+                lambda p: F.array_min(F.slice(F.col("h"), p, 5)),
+            ),
+        ).otherwise(F.array(F.array_min(F.col("h"))))
+    )
+    fp = g.select("doc_id", fps.alias("fps")).localCheckpoint(eager=False)
+    ex = fp.select("doc_id", F.explode("fps").alias("f"))
+    keep = (
+        ex.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("f")
+    )
+    exk = ex.join(keep, "f")
+    a = exk.select(F.col("f"), F.col("doc_id").alias("id_1"))
+    b = exk.select(F.col("f").alias("f2"), F.col("doc_id").alias("id_2"))
+    pairs = (
+        a.join(b, (F.col("f") == F.col("f2")) & (F.col("id_1") < F.col("id_2")))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sizes = fp.select("doc_id", F.size("fps").alias("n"))
+    s1 = sizes.select(
+        F.col("doc_id").alias("id_1"), F.col("n").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("id_2"), F.col("n").alias("n2")
+    )
+    return (
+        pairs.join(F.broadcast(s1), "id_1")
+        .join(F.broadcast(s2), "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+        .orderBy(F.col("n_shared").desc(), "id_1", "id_2")
+        .limit(20)
+    )

@@ -2796,3 +2796,87 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_revenue_cents",
         F.sum("revenue_cents").over(cum).cast("bigint"),
     )
+
+
+@query(
+    "ts_path_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    lagd AS (
+      SELECT user_id, event_type AS to_type, sec,
+             LAG(event_type) OVER w AS from_type,
+             LAG(sec) OVER w AS prev_sec
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    tr AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM lagd
+      WHERE from_type IS NOT NULL AND sec - prev_sec <= 1800
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS p_transition
+    FROM tr
+    """,
+)
+def ts_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    consecutive event pair inside a session (same user, gap <= 30 min),
+    the (from_type -> to_type) count and the row-conditional
+    probability — the user-flow / next-action model behind journey
+    sankeys and churn-path analysis, the free-order complement of
+    ts_funnel's fixed sequence.
+
+    Portability: timestamps truncate to whole epoch seconds on BOTH
+    engines before differencing (events.ts is ns-precision in parquet;
+    Spark keeps us, DuckDB ns — the documented gotcha), the lag
+    window orders by the total (sec, event_id) key, and the
+    probability is ONE double division of exact counts.
+
+    Scale shape: the lag window rides one user-keyed exchange (the
+    same partitioning every sessionization op here uses — at 100 TB
+    this exchange is shared with ts_sessionize in a multi-output
+    pipeline); the transition rollup is map-combinable down to
+    |types|^2 rows and the row-marginal window is dimension-sized.
+    Higher-order transitions add lag columns to the SAME window, not
+    new shuffles."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        .cast("bigint")
+        .alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lagd = ev.select(
+        F.col("event_type").alias("to_type"),
+        "sec",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.lag("sec").over(w).alias("prev_sec"),
+    )
+    tr = (
+        lagd.filter(
+            F.col("from_type").isNotNull()
+            & (F.col("sec") - F.col("prev_sec") <= 1800)
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    row_tot = Window.partitionBy("from_type")
+    return tr.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_tot).cast("double")
+        ).alias("p_transition"),
+    )

@@ -466,3 +466,102 @@ def test_cohort_ltv_matches_first_day_recompute(spark):
             run += r.revenue_cents
             assert r.cum_revenue_cents == run
         assert rows[0].age_days == 0  # a cohort is active on day 0
+
+
+def test_winnow_pairs_match_python_recompute(spark):
+    """Recompute the full winnowing pipeline in Python (hashlib md5,
+    4-gram hashes, window-of-5 minima, value-set distinct, df cap
+    [2, 50], pair counts, the exact top-20 sort) and compare rows
+    exactly; also check the winnowing guarantee on the selected sets:
+    every doc with >= 5 gram hashes yields at least one fingerprint
+    and fingerprints are a subset of its gram hashes."""
+    import hashlib
+    import re
+
+    out = QUERIES["llm_fingerprint_winnow"](spark, SF_ORACLE).collect()
+    docs = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    fps: dict[int, set] = {}
+    for d in docs:
+        toks = re.split(r"\s+", d.text.strip().lower())
+        if len(toks) >= 4:
+            h = [
+                hashlib.md5(
+                    " ".join(toks[i:i + 4]).encode()
+                ).hexdigest()[:8]
+                for i in range(len(toks) - 3)
+            ]
+        else:
+            h = [hashlib.md5(" ".join(toks).encode()).hexdigest()[:8]]
+        if len(h) >= 5:
+            sel = {min(h[p:p + 5]) for p in range(len(h) - 4)}
+        else:
+            sel = {min(h)}
+        assert sel and sel <= set(h)
+        fps[d.doc_id] = sel
+    df = Counter(f for s in fps.values() for f in s)
+    keep = {f for f, c in df.items() if 2 <= c <= 50}
+    pair_counts: Counter = Counter()
+    by_fp: dict[str, list] = {}
+    for doc, s in fps.items():
+        for f in s & keep:
+            by_fp.setdefault(f, []).append(doc)
+    for ds in by_fp.values():
+        ds.sort()
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                pair_counts[(a, b)] += 1
+    ranked = sorted(
+        pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    assert len(out) == len(ranked)
+    got = [((r.id_1, r.id_2), r.n_shared) for r in out]
+    got.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert [(p, n) for p, n in ranked] == got
+    for r in out:
+        n1, n2 = len(fps[r.id_1]), len(fps[r.id_2])
+        expect = pair_counts[(r.id_1, r.id_2)] / (
+            n1 + n2 - pair_counts[(r.id_1, r.id_2)]
+        )
+        assert math.isclose(r.fp_jaccard, expect, rel_tol=1e-12)
+
+
+def test_path_transitions_match_lag_recompute(spark):
+    """Recompute session-bounded transitions with a Python lag pass
+    (total (sec, event_id) order, 30-min gap rule): exact count
+    equality per cell and probabilities summing to 1 per from_type."""
+    out = QUERIES["ts_path_transitions"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    ).collect()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    per_user: dict[int, list] = {}
+    for r in ev:
+        sec = int((r.ts.replace(microsecond=0) - epoch).total_seconds())
+        per_user.setdefault(r.user_id, []).append(
+            (sec, r.event_id, r.event_type)
+        )
+    trans: Counter = Counter()
+    for rows in per_user.values():
+        rows.sort()
+        for (ps, _, pt), (s, _, t) in zip(rows, rows[1:]):
+            if s - ps <= 1800:
+                trans[(pt, t)] += 1
+    assert len(out) == len(trans)
+    row_tot: Counter = Counter()
+    for (ft, _), n in trans.items():
+        row_tot[ft] += n
+    prob_sum: Counter = Counter()
+    for r in out:
+        assert r.n_transitions == trans[(r.from_type, r.to_type)]
+        assert math.isclose(
+            r.p_transition,
+            trans[(r.from_type, r.to_type)] / row_tot[r.from_type],
+            rel_tol=1e-12,
+        )
+        prob_sum[r.from_type] += r.p_transition
+    for ft, p in prob_sum.items():
+        assert math.isclose(p, 1.0, rel_tol=1e-9)

@@ -110,6 +110,8 @@ SHOWCASE = (
     ("ts_seasonality_profile", "ONE map-combinable rollup straight to (type,dow,hod) grain — single scan, |types|x168 output rows, nothing else moves"),
     ("agg_rfm_segmentation", "one customer-grain rollup; three global NTILE windows (dimension-sized; boundary-broadcast swap documented for 1e9+ customers); 125-cell cube rollup"),
     ("ts_cohort_ltv", "one (user,day) corpus rollup (ships partials); all later exchanges reduced-grain: user re-key for the cohort MIN window, then |cohorts|x|ages| rows"),
+    ("llm_fingerprint_winnow", "per-doc fingerprint map fused with the scan; slim (doc, 8-hex) inverted index; df-capped pair join; TakeOrderedAndProject top-20"),
+    ("ts_path_transitions", "lag window on one user exchange; map-combinable rollup to |types|^2 rows; dimension-sized marginal window"),
 )
 
 
