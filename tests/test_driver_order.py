@@ -34,13 +34,21 @@ def test_current_window_prioritizes_unverified_oracles(entry):
     assert sorted(order) == sorted(QUERIES), "rotation must not drop keys"
     window = set(order[:WINDOW])
     # every key the driver has never verified and CAN hash-check must not
-    # be displaced by an already-verified key (sentinel/errored excepted)
+    # be displaced by an already-verified key (sentinel/errored excepted).
+    # Oracle-upgraded keys are verified-rows-only keys re-promoted INTO
+    # the window so the driver hash-confirms their new oracle — they are
+    # priority work, not displacement (same carve-out as the deferral and
+    # staleness tests below).
+    upgraded = entry._oracle_upgraded()
     unverified_oracle = {
         k for k in QUERIES if k not in verified and k in ORACLES
     }
     displaced = {
         k for k in order[:WINDOW]
-        if k in verified and k != entry._SENTINEL and k not in errored
+        if k in verified
+        and k != entry._SENTINEL
+        and k not in errored
+        and k not in upgraded
     }
     spill = unverified_oracle - window
     assert not (displaced and spill), (
@@ -101,7 +109,7 @@ def test_queries_and_oracles_consistent(entry):
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 264 and len(o) == 259
+    assert len(q) == 277 and len(o) == 272
 
 
 def test_new_round_keys_defer_to_backlog(entry, monkeypatch):
