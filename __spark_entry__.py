@@ -158,6 +158,12 @@ _DEFER_ORDER = (
     "ts_cohort_ltv",
     "llm_fingerprint_winnow",
     "ts_path_transitions",
+    "agg_basket_affinity",
+    "agg_entropy_mix",
+    "ts_survival_hazard",
+    "ts_dwell_time",
+    "agg_ab_proportions_ztest",
+    "ts_peak_detect",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -1882,3 +1882,317 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_monetary_cents"),
     )
+
+
+@query(
+    "agg_basket_affinity",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM li),
+    item AS (
+      SELECT pkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.pkey AS part_1, b.pkey AS part_2,
+             CAST(COUNT(*) AS BIGINT) AS pair_orders
+      FROM li a JOIN li b ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT part_1, part_2, pair_orders,
+           CAST(pair_orders AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             AS support,
+           CAST(pair_orders * n_orders AS DOUBLE)
+             / CAST(i1.cnt * i2.cnt AS DOUBLE) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN item i1 ON i1.pkey = part_1
+    JOIN item i2 ON i2.pkey = part_2
+    ORDER BY lift DESC, part_1, part_2
+    LIMIT 20
+    """,
+)
+def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining: the top-20 part pairs by lift
+    (observed co-purchase rate over the rate independence predicts)
+    with a minimum pair support of 2 orders — the association-rule
+    primitive behind "frequently bought together", cross-sell ranking,
+    and complement detection.
+
+    Float contract: supports and item counts are exact integers;
+    support and lift are each ONE IEEE division of exact integer
+    products ((pair·N)/(cnt_a·cnt_b) — both fit double far below 2^53
+    at any plausible catalog), so DuckDB hash-matches bit-for-bit.
+
+    Scale shape: baskets reduce to DISTINCT slim (order, part) pairs
+    first (one map-combinable dedup); pair generation is a self-join
+    CO-PARTITIONED on the order key — one shuffle per side, and the
+    per-order fan-out is quadratic only in BASKET size (TPC-H ≤ 13
+    items; a production run caps basket size exactly like the LSH
+    bucket caps, since a 10k-item basket is a bot, not a signal). The
+    item-frequency and n_orders tables are dimension-sized broadcasts;
+    TakeOrderedAndProject finishes the top-20. At 100 TB nothing but
+    (order, part) and (part, part, count) rows ever shuffle."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+        .distinct()
+    )
+    tot = li.select(F.countDistinct("okey").alias("n_orders"))
+    item = li.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = li.select("okey", F.col("pkey").alias("part_1"))
+    b = li.select(
+        F.col("okey").alias("okey2"), F.col("pkey").alias("part_2")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("okey") == F.col("okey2"))
+            & (F.col("part_1") < F.col("part_2")),
+        )
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 2)
+    )
+    i1 = item.select(
+        F.col("pkey").alias("part_1"), F.col("cnt").alias("cnt_1")
+    )
+    i2 = item.select(
+        F.col("pkey").alias("part_2"), F.col("cnt").alias("cnt_2")
+    )
+    return (
+        pairs.join(F.broadcast(i1), "part_1")
+        .join(F.broadcast(i2), "part_2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_1",
+            "part_2",
+            "pair_orders",
+            (
+                F.col("pair_orders").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_1") * F.col("cnt_2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_1", "part_2")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_entropy_mix",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS prio
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (
+      SELECT segment, prio, CAST(COUNT(*) AS BIGINT) AS c
+      FROM j GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT segment, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY 1
+    ),
+    term AS (
+      SELECT cell.segment, n,
+             ROUND(CAST(c AS DOUBLE)
+                   * LN(CAST(c AS DOUBLE) / n), 8) AS t
+      FROM cell JOIN seg ON cell.segment = seg.segment
+    )
+    SELECT segment,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_priorities,
+           ROUND(-(CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE))
+                 / ANY_VALUE(n), 6) AS entropy
+    FROM term GROUP BY segment
+    """,
+)
+def agg_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the order-priority mix per market segment —
+    the categorical-diversity / distribution-drift primitive: a
+    segment whose priority mix collapses toward one class (entropy
+    → 0) or flattens to uniform (entropy → ln k) is the first signal
+    monitoring dashboards alert on, and the same shape scores
+    source-mix diversity in a training-data pipeline.
+
+    Float contract: cell counts are exact; each class contributes
+    ROUND(c·ln(c/n), 8) — one IEEE expression tree (the pattern
+    llm_char_entropy proved hash-portable) — accumulated in
+    DECIMAL(30,8), final entropy rounded to 6dp.
+
+    Scale shape: the fact joins a BROADCAST customer dimension (at
+    100 TB the segment key would be denormalized onto orders anyway),
+    then ONE map-combinable rollup to |segments|×|priorities| cells;
+    everything after the cell grid is dimension-sized."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cell = j.groupBy("segment", "prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wseg = Window.partitionBy("segment")
+    t = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double") / F.col("n")),
+        8,
+    )
+    return (
+        cell.withColumn("n", F.sum("c").over(wseg).cast("bigint"))
+        .select("segment", "n", t.alias("t"))
+        .groupBy("segment")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).cast("bigint").alias("n_priorities"),
+            F.round(
+                -F.sum(F.col("t").cast("decimal(30,8)")).cast("double")
+                / F.any_value("n"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "agg_ab_proportions_ztest",
+    oracle="""
+    WITH arm AS (
+      SELECT c.c_custkey,
+             CASE WHEN substr(md5('ab|' || CAST(c.c_custkey AS VARCHAR)),
+                              1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(COALESCE(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS converted
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM arm GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+        MAX(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+      FROM g
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CAST(conv_a + conv_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS pooled_rate,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
+    FROM w
+    """,
+)
+def agg_ab_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment on conversion:
+    customers split into arms by a deterministic md5 hash (the
+    salt-and-hash assignment every production experimentation platform
+    uses — and the same trick that makes it engine-reproducible),
+    conversion = customer ever placed an urgent-priority order
+    (order-less customers count as unconverted via the LEFT join),
+    and the pooled z statistic that decides the experiment — the
+    proportions counterpart of agg_welch_ttest's means comparison.
+
+    Float contract: arm sizes and conversion counts are exact
+    integers; every rate is ONE IEEE division; the z-score is a single
+    shared expression tree of those divisions through sqrt (correctly
+    rounded per IEEE-754, so bit-identical across engines).
+
+    Scale shape: the fact side reduces map-combinably to customer
+    grain (the LEFT join ships only (custkey, flag) partials), then a
+    2-row arm rollup and a 1-row pivot — nothing after customer grain
+    exceeds dimension size. Per-variant/per-metric extensions just
+    widen the grouping keys."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("ab|"), F.col("c_custkey").cast("string"))
+            ),
+            1,
+            1,
+        ).isin(*"01234567"),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    u = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("converted"),
+        )
+        .select(arm.alias("arm"), "converted")
+    )
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        pooled.alias("pooled_rate"),
+        z.alias("z_score"),
+    )

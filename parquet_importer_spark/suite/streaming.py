@@ -2880,3 +2880,330 @@ def ts_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(row_tot).cast("double")
         ).alias("p_transition"),
     )
+
+
+@query(
+    "ts_survival_hazard",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS first_day,
+             MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS last_day
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(last_day) AS max_day FROM u),
+    d AS (
+      SELECT CAST(last_day - first_day AS BIGINT) AS dur_days,
+             CASE WHEN max_day - last_day >= 14 THEN 1 ELSE 0 END
+               AS churned
+      FROM u CROSS JOIN mx
+    ),
+    g AS (
+      SELECT dur_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(churned) AS BIGINT) AS n_churned
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT dur_days, n_users, n_churned,
+             CAST(SUM(n_users) OVER (ORDER BY dur_days DESC) AS BIGINT)
+               AS n_at_risk
+      FROM g
+    )
+    SELECT dur_days, n_at_risk, n_churned,
+           CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+             AS hazard,
+           CAST(SUM(CAST(ROUND(CAST(n_churned AS DOUBLE)
+                                / CAST(n_at_risk AS DOUBLE), 8)
+                         AS DECIMAL(30,8)))
+                    OVER (ORDER BY dur_days) AS DOUBLE)
+             AS cum_hazard
+    FROM r WHERE n_churned > 0
+    """,
+)
+def ts_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete survival / churn life table with the Nelson–Aalen
+    cumulative hazard: each user's lifespan is last-active minus
+    first-active day; users still active in the corpus's final 14 days
+    are right-CENSORED (they leave the risk set at their observed
+    duration without counting as churn — the distinction naive churn
+    rates get wrong). For every duration with at least one churn event:
+    the at-risk count, churn count, discrete hazard d/n, and the
+    cumulative hazard — the retention curve the Kaplan–Meier estimator
+    exponentiates.
+
+    Float contract: day arithmetic is exact DATE-integer math (never
+    timestamp floats); each hazard is ONE IEEE division of exact
+    integers; the cumulative sum accumulates ROUND(hazard, 8) in
+    DECIMAL(30,8) over the total dur_days order, so both engines add
+    the same exact values in the same order (the Nelson–Aalen sum is
+    hash-portable where the Kaplan–Meier PRODUCT, a chain of exp/ln
+    rounding, would not be).
+
+    Scale shape: ONE map-combinable corpus rollup to user grain is the
+    only corpus-proportional shuffle; the global max day is a 1-row
+    broadcast; everything after lives on the |distinct durations| grid
+    (≤ corpus span in days) where two slim windows run. Cohorted
+    variants just add the cohort key to every grouping."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    u = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    mx = u.select(F.max("last_day").alias("max_day"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_day") - F.col("first_day"))
+        .cast("bigint")
+        .alias("dur_days"),
+        F.when(
+            F.col("max_day") - F.col("last_day") >= 14, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    g = d.groupBy("dur_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("dur_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.withColumn(
+        "n_at_risk", F.sum("n_users").over(w_risk).cast("bigint")
+    )
+    hazard = F.col("n_churned").cast("double") / F.col("n_at_risk").cast(
+        "double"
+    )
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        r.filter(F.col("n_churned") > 0)
+        .select(
+            "dur_days",
+            "n_at_risk",
+            "n_churned",
+            hazard.alias("hazard"),
+            F.sum(F.round(hazard, 8).cast(_DEC))
+            .over(w_cum)
+            .cast("double")
+            .alias("cum_hazard"),
+        )
+    )
+
+
+@query(
+    "ts_dwell_time",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    nxt AS (
+      SELECT event_type, sec, event_id,
+             LEAD(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) - sec AS dwell
+      FROM e
+    ),
+    dw AS (
+      SELECT event_type, dwell, sec, event_id FROM nxt
+      WHERE dwell IS NOT NULL AND dwell <= 1800
+    ),
+    r AS (
+      SELECT event_type, dwell,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dwell, sec, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dw
+    ),
+    p AS (SELECT UNNEST([0.5, 0.9]) AS p),
+    pick AS (
+      SELECT event_type, CAST(p.p AS DOUBLE) AS p, dwell
+      FROM r JOIN p
+        ON r.rn = CAST(CEIL(CAST(p.p AS DOUBLE) * r.n) AS BIGINT)
+    ),
+    piv AS (
+      SELECT event_type,
+             CAST(MAX(CASE WHEN p = 0.5 THEN dwell END) AS BIGINT)
+               AS p50_dwell_s,
+             CAST(MAX(CASE WHEN p = 0.9 THEN dwell END) AS BIGINT)
+               AS p90_dwell_s
+      FROM pick GROUP BY 1
+    ),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_dwells,
+             CAST(SUM(dwell) AS DOUBLE) / COUNT(*) AS mean_dwell_s
+      FROM dw GROUP BY 1
+    )
+    SELECT agg.event_type, n_dwells, mean_dwell_s,
+           p50_dwell_s, p90_dwell_s
+    FROM agg JOIN piv ON agg.event_type = piv.event_type
+    """,
+)
+def ts_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session dwell-time distribution per event type: the seconds a
+    user spends ON an event before their next action in the same
+    session (lead-gap ≤ 30 min — longer gaps are session breaks, not
+    dwell), reported as count, mean, and exact p50/p90 — the
+    engagement-depth metric product funnels rank screens by, and the
+    timeout calibration input for ts_sessionize's gap parameter.
+
+    Float contract: dwells are exact integer seconds (both engines
+    truncate ts to whole epoch seconds first — the ns-precision
+    gotcha); the mean is ONE division of exact integers; percentiles
+    are percentile_disc-style rank selections (rn = ceil(p·n) over a
+    pinned total order) that return actual data elements, never
+    interpolations.
+
+    Scale shape: the lead window rides the ONE user-keyed exchange
+    every sessionization op here shares; the percentile windows
+    re-key to |event types| partitions (each holding only slim
+    (type, dwell) rows); the 2-row percentile spec broadcasts; the
+    final type-grain join is dimension-sized."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+        .cast("bigint")
+        .alias("sec"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    dw = (
+        ev.select(
+            "event_type",
+            "sec",
+            "event_id",
+            (F.lead("sec").over(w_user) - F.col("sec")).alias("dwell"),
+        )
+        .filter(F.col("dwell").isNotNull() & (F.col("dwell") <= 1800))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        "dwell", "sec", "event_id"
+    )
+    w_n = Window.partitionBy("event_type")
+    r = dw.select(
+        "event_type",
+        "dwell",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    p = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("p")
+    )
+    pick = r.join(
+        F.broadcast(p),
+        F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"),
+    )
+    piv = pick.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("dwell")))
+        .cast("bigint")
+        .alias("p50_dwell_s"),
+        F.max(F.when(F.col("p") == 0.9, F.col("dwell")))
+        .cast("bigint")
+        .alias("p90_dwell_s"),
+    )
+    agg = dw.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dwells"),
+        (
+            F.sum("dwell").cast("double") / F.count(F.lit(1))
+        ).alias("mean_dwell_s"),
+    )
+    return agg.join(piv, "event_type").select(
+        "event_type", "n_dwells", "mean_dwell_s",
+        "p50_dwell_s", "p90_dwell_s",
+    )
+
+
+@query(
+    "ts_peak_detect",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, hour, v,
+             MAX(v) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS lmax,
+             MAX(v) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+               AS rmax
+      FROM h
+    )
+    SELECT event_type, hour AS hour_epoch, v AS n_events,
+           CAST(v - GREATEST(lmax, rmax) AS BIGINT) AS prominence
+    FROM n
+    WHERE lmax IS NOT NULL AND rmax IS NOT NULL
+      AND v > lmax AND v > rmax
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection per series: an hourly observation is
+    a peak when it strictly exceeds the maximum of its 3 preceding AND
+    3 following observations (ties suppress — a plateau is not a
+    peak), reported with its prominence over the taller shoulder —
+    the spike-inventory primitive traffic/alerting dashboards build
+    on, complementary to ts_burst_detect's rate-model and
+    ts_anomaly_mad's global-band views.
+
+    Everything is exact integer arithmetic: hourly counts, window
+    maxima, and the prominence difference — no float contract at all.
+    Boundary rows (fewer than 1 observation on either side) are
+    excluded by the NULL window result, pinning edge semantics
+    identically in both engines. The neighborhood is OBSERVATION
+    slots, not wall-clock hours: across a gap the nearest recorded
+    hours are the shoulders, which is the behavior you want on sparse
+    series (a lone post-gap point is not automatically a peak).
+
+    Scale shape: ONE map-combinable rollup to (series, hour) grain,
+    then two frame-bounded maxima riding a single series-keyed
+    exchange — at 100 TB the windows see |series|×|hours| slim rows,
+    never raw events. Wider neighborhoods or a min-prominence gate
+    are literal changes on the same plan."""
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lmax = F.max("v").over(w.rowsBetween(-3, -1))
+    rmax = F.max("v").over(w.rowsBetween(1, 3))
+    n = h.select(
+        "event_type",
+        F.col("hour").alias("hour_epoch"),
+        F.col("v").alias("n_events"),
+        lmax.alias("lmax"),
+        rmax.alias("rmax"),
+    )
+    return (
+        n.filter(
+            F.col("lmax").isNotNull()
+            & F.col("rmax").isNotNull()
+            & (F.col("n_events") > F.col("lmax"))
+            & (F.col("n_events") > F.col("rmax"))
+        )
+        .select(
+            "event_type",
+            "hour_epoch",
+            "n_events",
+            (F.col("n_events") - F.greatest("lmax", "rmax"))
+            .cast("bigint")
+            .alias("prominence"),
+        )
+    )

@@ -565,3 +565,230 @@ def test_path_transitions_match_lag_recompute(spark):
         prob_sum[r.from_type] += r.p_transition
     for ft, p in prob_sum.items():
         assert math.isclose(p, 1.0, rel_tol=1e-9)
+
+
+def test_basket_affinity_matches_bruteforce(spark):
+    """Recompute pair supports and lift from raw baskets with Counters
+    (itertools pair enumeration) and check the top-20 exactly; lift
+    must also satisfy its definition P(ab)/(P(a)P(b)) within 1e-12."""
+    from itertools import combinations
+
+    out = QUERIES["agg_basket_affinity"](spark, SF_ORACLE).collect()
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    item: Counter = Counter()
+    pair: Counter = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    scored = [
+        (
+            pair[k] * n_orders / (item[k[0]] * item[k[1]]),
+            k[0],
+            k[1],
+            pair[k],
+        )
+        for k in pair
+        if pair[k] >= 2
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    assert len(out) == min(20, len(scored))
+    for r, (lift, p1, p2, n) in zip(out, scored):
+        assert (r.part_1, r.part_2, r.pair_orders) == (p1, p2, n)
+        assert math.isclose(r.lift, lift, rel_tol=1e-12)
+        assert math.isclose(
+            r.support, n / n_orders, rel_tol=1e-12
+        )
+        # lift definition: joint over product of marginals
+        p_ab = n / n_orders
+        p_a, p_b = item[p1] / n_orders, item[p2] / n_orders
+        assert math.isclose(r.lift, p_ab / (p_a * p_b), rel_tol=1e-12)
+
+
+def test_entropy_mix_bounds_and_recompute(spark):
+    """Entropy recomputed from a Counter contingency table (same
+    round-to-8 term truncation); every segment's entropy must sit in
+    [0, ln(n_priorities)]."""
+    out = QUERIES["agg_entropy_mix"](spark, SF_ORACLE).collect()
+    o = read_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    c = read_table(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    seg_of = {r.c_custkey: r.c_mktsegment for r in c}
+    cell: Counter = Counter()
+    for r in o:
+        cell[(seg_of[r.o_custkey], r.o_orderpriority)] += 1
+    segs: dict[str, list] = {}
+    for (s, _), n in cell.items():
+        segs.setdefault(s, []).append(n)
+    assert len(out) == len(segs)
+    for r in out:
+        counts = segs[r.segment]
+        n = sum(counts)
+        assert r.n_orders == n and r.n_priorities == len(counts)
+        ent = -sum(
+            round(cn * math.log(cn / n), 8) for cn in counts
+        ) / n
+        assert math.isclose(r.entropy, round(ent, 6), abs_tol=2e-6)
+        assert -1e-9 <= r.entropy <= math.log(len(counts)) + 1e-9
+
+
+def test_survival_hazard_life_table_algebra(spark):
+    """Life-table identities: at-risk counts are the reverse running
+    sum of users by duration (recomputed from raw events), hazards
+    are d/n, the cumulative hazard is nondecreasing, and the total
+    churn count equals the raw churned-user count."""
+    out = sorted(
+        QUERIES["ts_survival_hazard"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.dur_days,
+    )
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", "ts"
+    ).collect()
+    span: dict[int, list] = {}
+    for r in ev:
+        d = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days
+        if r.user_id in span:
+            s = span[r.user_id]
+            s[0], s[1] = min(s[0], d), max(s[1], d)
+        else:
+            span[r.user_id] = [d, d]
+    max_day = max(s[1] for s in span.values())
+    durs = [
+        (s[1] - s[0], 1 if max_day - s[1] >= 14 else 0)
+        for s in span.values()
+    ]
+    n_users_at: Counter = Counter()
+    churned_at: Counter = Counter()
+    for d, ch in durs:
+        n_users_at[d] += 1
+        churned_at[d] += ch
+    assert len(out) == sum(1 for t in churned_at.values() if t > 0)
+    prev_cum = 0.0
+    for r in out:
+        n_risk = sum(n for d, n in n_users_at.items() if d >= r.dur_days)
+        assert r.n_at_risk == n_risk
+        assert r.n_churned == churned_at[r.dur_days]
+        assert math.isclose(
+            r.hazard, r.n_churned / r.n_at_risk, rel_tol=1e-12
+        )
+        assert r.cum_hazard >= prev_cum - 1e-12
+        prev_cum = r.cum_hazard
+    assert sum(r.n_churned for r in out) == sum(ch for _, ch in durs)
+
+
+def test_dwell_time_matches_python_recompute(spark):
+    """Dwell gaps recomputed with a Python lag pass; means exactly,
+    percentiles as the ceil(p*n)-th order statistic of the sorted
+    dwell list per type."""
+    out = QUERIES["ts_dwell_time"](spark, SF_ORACLE).collect()
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    ).collect()
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    per_user: dict[int, list] = {}
+    for r in ev:
+        sec = int((r.ts.replace(microsecond=0) - epoch).total_seconds())
+        per_user.setdefault(r.user_id, []).append(
+            (sec, r.event_id, r.event_type)
+        )
+    dwells: dict[str, list] = {}
+    for rows in per_user.values():
+        rows.sort()
+        for (s, _, t), (ns, _, _) in zip(rows, rows[1:]):
+            if ns - s <= 1800:
+                dwells.setdefault(t, []).append(ns - s)
+    assert len(out) == len(dwells)
+    for r in out:
+        ds = sorted(dwells[r.event_type])
+        n = len(ds)
+        assert r.n_dwells == n
+        assert math.isclose(
+            r.mean_dwell_s, sum(ds) / n, rel_tol=1e-12
+        )
+        assert r.p50_dwell_s == ds[math.ceil(0.5 * n) - 1]
+        assert r.p90_dwell_s == ds[math.ceil(0.9 * n) - 1]
+
+
+def test_ab_ztest_matches_scipy_style_recompute(spark):
+    """Arms, conversion counts, and z recomputed from raw tables with
+    hashlib md5; z must equal the textbook pooled two-proportion
+    statistic, and every customer must land in exactly one arm."""
+    import hashlib
+
+    out = QUERIES["agg_ab_proportions_ztest"](spark, SF_ORACLE).collect()
+    assert len(out) == 1
+    r = out[0]
+    cust = read_table(spark, SF_ORACLE, "customer").select(
+        "c_custkey"
+    ).collect()
+    orders = read_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    urgent = {
+        o.o_custkey for o in orders if o.o_orderpriority == "1-URGENT"
+    }
+    n = {"A": 0, "B": 0}
+    conv = {"A": 0, "B": 0}
+    for c in cust:
+        arm = (
+            "A"
+            if hashlib.md5(f"ab|{c.c_custkey}".encode()).hexdigest()[0]
+            in "01234567"
+            else "B"
+        )
+        n[arm] += 1
+        conv[arm] += 1 if c.c_custkey in urgent else 0
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (
+        n["A"], n["B"], conv["A"], conv["B"],
+    )
+    p_pool = (conv["A"] + conv["B"]) / (n["A"] + n["B"])
+    z = (conv["A"] / n["A"] - conv["B"] / n["B"]) / math.sqrt(
+        p_pool * (1 - p_pool) * (1 / n["A"] + 1 / n["B"])
+    )
+    assert math.isclose(r.z_score, z, rel_tol=1e-12)
+    assert 0 < r.pooled_rate < 1  # degenerate rates would break z
+
+
+def test_peak_detect_matches_bruteforce(spark):
+    """Peaks recomputed by brute force over each series' observation
+    list: strictly greater than every value in the 3-observation
+    shoulders, at least one observation on each side, prominence
+    over the taller shoulder."""
+    out = {
+        (r.event_type, r.hour_epoch): (r.n_events, r.prominence)
+        for r in QUERIES["ts_peak_detect"](spark, SF_ORACLE).collect()
+    }
+    ev = read_table(spark, SF_ORACLE, "events").select(
+        "event_type", "ts"
+    ).collect()
+    series: dict[str, Counter] = {}
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    for r in ev:
+        h = int((r.ts - epoch).total_seconds()) // 3600
+        series.setdefault(r.event_type, Counter())[h] += 1
+    expect = {}
+    for t, cnt in series.items():
+        hs = sorted(cnt)
+        for i, h in enumerate(hs):
+            left = [cnt[x] for x in hs[max(0, i - 3):i]]
+            right = [cnt[x] for x in hs[i + 1:i + 4]]
+            if not left or not right:
+                continue
+            v = cnt[h]
+            if v > max(left) and v > max(right):
+                expect[(t, h)] = (v, v - max(max(left), max(right)))
+    assert out == expect

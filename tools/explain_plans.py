@@ -112,6 +112,12 @@ SHOWCASE = (
     ("ts_cohort_ltv", "one (user,day) corpus rollup (ships partials); all later exchanges reduced-grain: user re-key for the cohort MIN window, then |cohorts|x|ages| rows"),
     ("llm_fingerprint_winnow", "per-doc fingerprint map fused with the scan; slim (doc, 8-hex) inverted index; df-capped pair join; TakeOrderedAndProject top-20"),
     ("ts_path_transitions", "lag window on one user exchange; map-combinable rollup to |types|^2 rows; dimension-sized marginal window"),
+    ("agg_basket_affinity", "DISTINCT (order,part) dedup first; pair self-join co-partitioned on orderkey; broadcast item counts; TakeOrderedAndProject top-20"),
+    ("ts_survival_hazard", "one user-grain rollup; 1-row max-day broadcast; at-risk + cumulative windows on the |durations| grid"),
+    ("ts_dwell_time", "lead window on the shared user exchange; |types|-partition percentile windows over slim rows; broadcast 2-row spec"),
+    ("agg_entropy_mix", "broadcast customer dim; one map-combinable rollup to the |seg|x|prio| cell grid; dimension-sized entropy reduce"),
+    ("agg_ab_proportions_ztest", "map-combinable reduce to customer grain; 2-row arm rollup + 1-row pivot; z one codegen expression tree"),
+    ("ts_peak_detect", "one rollup to (series,hour) grain; two frame-bounded maxima on a single series exchange; all-integer"),
 )
 
 
