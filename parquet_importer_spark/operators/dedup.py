@@ -1004,6 +1004,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     t_num: int = 4,
     t_den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via AllPairs/PPJoin-style prefix
     filtering (Bayardo, Ma & Srikant, WWW 2007) — the recall-lossless
@@ -1030,10 +1031,18 @@ def prefix_filter_jaccard_pairs(
     array, then postings only for PREFIX tokens — and because prefixes
     hold each doc's globally rarest tokens, posting lists are short by
     construction (the frequent head of the vocabulary never enters a
-    posting). No bucket cap is needed for exactness; at 100 TB the
-    standard composition is to df-cap the vocabulary tail into
-    llm_dedup_near's banded LSH for the (rare) docs made entirely of
-    hot tokens. Verification joins the candidate pair ids back to the
+    posting). No bucket cap is needed for exactness. The one
+    driver-memory valve is ``max_df``: the broadcast df table is
+    vocab-sized, and a hot-vocabulary corpus can outgrow the driver —
+    with ``max_df`` set, grams with df > max_df are PRUNED from the
+    broadcast and every missing gram keys off the shared ceiling
+    ``max_df + 1`` (realized as a LEFT join + coalesce; an inner join
+    here would silently shrink doc shingle sets and break exactness).
+    Capped grams then tie in the order and fall back to byte order of
+    the gram text — still one total order shared by all docs, so the
+    prefix theorem and the exact verification are untouched; only the
+    candidate count can grow (hot grams drift toward prefixes).
+    Verification joins the candidate pair ids back to the
     doc-sized keyed table twice — slim int pairs against sorted-array
     rows, never a pairwise pass outside the candidate set.
     """
@@ -1050,15 +1059,22 @@ def prefix_filter_jaccard_pairs(
     # document frequency is an efficiency choice (rarest-first keeps
     # postings short), not a correctness requirement. So the df table
     # may be broadcast (vocab-sized, measured 25% faster than the
-    # second gram shuffle), and at 100 TB it may be df-capped or even
-    # sampled without breaking exactness, as long as every doc keys
-    # off the SAME table.
+    # second gram shuffle). With max_df set, the hot tail is pruned
+    # from the broadcast and the LEFT join assigns every pruned gram
+    # the shared ceiling max_df + 1 — an inner join would silently
+    # drop those grams from the doc sets and break exactness.
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+        df_key = F.coalesce(F.col("df"), F.lit(max_df + 1)).cast("string")
+        joined = ex.join(F.broadcast(dfreq), "gram", "left")
+    else:
+        df_key = F.col("df").cast("string")
+        joined = ex.join(F.broadcast(dfreq), "gram")
     keyed = (
-        ex.join(F.broadcast(dfreq), "gram")
-        .select(
+        joined.select(
             "doc_id",
             F.concat(
-                F.lpad(F.col("df").cast("string"), 8, "0"),
+                F.lpad(df_key, 8, "0"),
                 F.lit("|"),
                 F.col("gram"),
             ).alias("key"),

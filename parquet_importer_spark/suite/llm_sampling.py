@@ -1254,9 +1254,8 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH a AS (
       SELECT doc_id,
-             (strpos('0123456789abcdef',
-                     substr(md5('s17|' || CAST(doc_id AS VARCHAR)), 1, 1))
-              - 1) % 5 AS fold,
+             CAST('0x' || substr(md5('s17|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 5 AS fold,
              len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
              sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
                AS content_hash
@@ -1279,7 +1278,9 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold cross-validation assignment plus the
     leakage diagnostic every eval split needs: fold membership is a
-    pure function of doc_id (seeded md5 hex -> 0..4), so folds are
+    pure function of doc_id (first FOUR seeded-md5 hex chars -> int %
+    5 — a single hex digit would give fold 0 a 4/16-vs-3/16 residue
+    bias; 65536 % 5 = 1 makes the skew <=1 part in 13107), so folds are
     stable under re-runs and incremental arrivals, and per fold we
     report doc count, token mass (folds should be balanced in TOKENS,
     not just docs), and how many docs have an exact-duplicate twin in
@@ -1300,15 +1301,13 @@ def llm_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         (
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(
-                        seeded_md5(F.col("doc_id").cast("string"), 17), 1, 1
-                    ),
-                )
-                - 1
-            )
+            F.conv(
+                F.substring(
+                    seeded_md5(F.col("doc_id").cast("string"), 17), 1, 4
+                ),
+                16,
+                10,
+            ).cast("int")
             % 5
         ).alias("fold"),
         F.size(tokens(F.col("text"))).alias("n_toks"),

@@ -1036,7 +1036,8 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sites s
     ),
     flags AS (
-      SELECT t.site_id, MAX(t.d2) <= m.m * m.m AS k_exact
+      SELECT t.site_id,
+             (MAX(t.d2) <= m.m * m.m AND COUNT(*) = 5) AS k_exact
       FROM topk t JOIN margin m USING (site_id)
       GROUP BY t.site_id, m.m
     )
@@ -1049,9 +1050,11 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed k-nearest-neighbor join (k=5): each query site
     takes its 3x3 cell ring as the candidate set, candidates rank by
     exact squared planar distance with a point-id tie-break, and every
-    site carries a k_exact GUARANTEE flag — true iff its k-th distance
-    is within the distance to the ring boundary, the standard grid-kNN
-    certificate (when false, a production run expands the ring and
+    site carries a k_exact GUARANTEE flag — true iff the site found a
+    FULL k=5 list AND its k-th distance is within the distance to the
+    ring boundary, the standard grid-kNN certificate (a ring with <5
+    candidates can never certify: the missing neighbors may sit just
+    outside it) (when false, a production run expands the ring and
     re-probes only those sites; the single-round version keeps the
     oracle replayable). This is the store-locator / nearest-depot /
     spatial-feature join.
@@ -1132,7 +1135,12 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = (
         topk.join(F.broadcast(margin), "site_id")
         .groupBy("site_id", "m")
-        .agg((F.max("d2") <= F.col("m") * F.col("m")).alias("k_exact"))
+        .agg(
+            (
+                (F.max("d2") <= F.col("m") * F.col("m"))
+                & (F.count("*") == 5)
+            ).alias("k_exact")
+        )
         .select("site_id", "k_exact")
     )
     return topk.join(F.broadcast(flags), "site_id").select(

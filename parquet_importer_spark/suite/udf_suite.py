@@ -13,7 +13,8 @@ The reference exposes no function surface at all (SURVEY §2.K); these
 are the four extension points a Spark engine offers, fastest first:
 pandas UDF (Arrow-vectorized) ≫ row UDF; applyInPandas for grouped
 logic; mapInPandas for 1→N. Every closure is self-contained — executor
-workers never import this package (see .claude/skills/verify gotchas).
+workers never import this package, so UDF bodies must not reference
+module-level helpers (pickling would drag the whole module graph in).
 """
 
 from __future__ import annotations

@@ -101,15 +101,38 @@ def test_error_then_no_rerun_stays_prioritized(entry, tmp_path):
     assert errored == {"x"} and verified == {"y"}
 
 
+# The only keys allowed to ship WITHOUT a DuckDB oracle. Adding a new
+# rows-only key means arguing here (and in SURVEY §2) why no oracle can
+# exist; everything else must register in both QUERIES and ORACLES, so
+# the expected counts derive from the registry instead of a hand-bumped
+# literal (which went stale twice in round 7).
+ROWS_ONLY_ALLOWLIST = frozenset(
+    {
+        "llm_multimodal",  # opaque binary payloads, sha-only check
+        "llm_multimodal_resize",  # same
+        "llm_multimodal_frames",  # same
+        "llm_sim_ivf_kmeans",  # MLlib seed-dependent centroids
+        "sink_postgis",  # live-DB side effects
+    }
+)
+
+
 def test_queries_and_oracles_consistent(entry):
-    from parquet_importer_spark.suite import ORACLES
+    from parquet_importer_spark.suite import ORACLES, QUERIES
 
     q = entry.queries()
     o = entry.oracle_sql()
     assert list(o) == [k for k in q if k in ORACLES], (
         "oracle_sql order must follow queries order"
     )
-    assert len(q) == 277 and len(o) == 272
+    assert set(q) == set(QUERIES) and set(o) == set(ORACLES)
+    missing = set(q) - set(o)
+    assert missing == ROWS_ONLY_ALLOWLIST, (
+        "every query needs an oracle unless allowlisted rows-only; "
+        f"unexpected oracle-less keys: {sorted(missing - ROWS_ONLY_ALLOWLIST)}; "
+        f"allowlisted keys that now HAVE oracles (remove from allowlist): "
+        f"{sorted(ROWS_ONLY_ALLOWLIST - missing)}"
+    )
 
 
 def test_new_round_keys_defer_to_backlog(entry, monkeypatch):

@@ -197,7 +197,7 @@ def test_kfold_conservation_and_leakage_symmetry(spark):
 
     def fold_of(doc_id: int) -> int:
         h = hashlib.md5(f"s17|{doc_id}".encode()).hexdigest()
-        return "0123456789abcdef".index(h[0]) % 5
+        return int(h[:4], 16) % 5
 
     def content_key(text: str) -> str:
         return _re.sub(r"\s+", " ", text.strip().lower())
