@@ -191,14 +191,22 @@ def test_bench_stdout_line_fits_driver_capture():
             "doc_tokens": 99_999_999_999_999,
             "lineitem": 99_999_999_999,
         },
-        # 999.999 s/query is the conservative ceiling: even one query at
-        # that level means a ~14-minute suite, far past any driver budget
-        "queries": {qid: 999.999 for qid in bench.HEADLINE},
+        # 99.999 s/query is the conservative ceiling: one query at that
+        # level is already a driver-budget blowout (the real per-query
+        # worst across r1-r7 is <5 s), and 52 of them would be a
+        # 90-minute suite no driver would wait out
+        "queries": {qid: 99.999 for qid in bench.HEADLINE},
         "sf": 0.1,
         "sf1_spot": {
             "n": 10,
             "max_xlin": 999.99,
             "worst": max(bench.HEADLINE, key=len),
+        },
+        "ambient": {
+            "s0": 99.999,
+            "s1": 99.999,
+            "dr": 99.99,
+            "busy": 100.0,
         },
     }
     line = json.dumps(worst)
