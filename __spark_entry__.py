@@ -164,6 +164,10 @@ _DEFER_ORDER = (
     "ts_dwell_time",
     "agg_ab_proportions_ztest",
     "ts_peak_detect",
+    # round 8: scale-safe forms of the two r7 weak ops (per-shard
+    # systematic sampler; bucket-rank NTILE with no global sort)
+    "llm_sample_weighted_sharded",
+    "agg_rfm_rankcut",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -1837,11 +1837,11 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-combinable corpus rollup to customer grain,
     then three partition-less NTILE windows over |customers| rows and
     a 125-cell rollup. The global windows are the honest cost: at
-    1e9+ customers swap exact NTILE for broadcast quintile BOUNDARIES
-    (percentile_approx over the same rollup, or the exact rank-based
-    cut agg_percentile_disc demonstrates) joined back map-side — the
-    cube rollup and label rule are unchanged. At driver SFs the
-    window is dimension-sized and exactness is the point."""
+    1e9+ customers the shipped swap is agg_rfm_rankcut (next key):
+    the distributed bucket-rank decomposition that reproduces these
+    NTILE scores BIT-FOR-BIT with no corpus-sized serial sort. At
+    driver SFs the window here is dimension-sized and the two keys
+    hash-identically."""
     od = read_table(spark, sf_dir, "orders")
     day = (
         F.unix_timestamp(F.date_trunc("day", F.col("o_orderdate"))).cast(
@@ -1864,6 +1864,135 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_score"),
         F.ntile(5).over(Window.orderBy("f", "o_custkey")).alias("f_score"),
         F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("m_score"),
+    )
+    r_s, f_s, m_s = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    seg = (
+        F.when((r_s >= 4) & (f_s >= 4) & (m_s >= 4), F.lit("champion"))
+        .when((r_s <= 2) & (f_s >= 4), F.lit("at_risk"))
+        .when(r_s == 1, F.lit("lost"))
+        .otherwise(F.lit("other"))
+    )
+    mdec = F.sum(F.col("m").cast("decimal(38,0)"))
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.min(seg).alias("segment"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        mdec.cast("bigint").alias("total_monetary_cents"),
+        (
+            mdec.cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_monetary_cents"),
+    )
+
+
+@query(
+    "agg_rfm_rankcut",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT)
+                 // 86400) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, m,
+             NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY f, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY m, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score = 1 THEN 'lost'
+                ELSE 'other' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(m AS DECIMAL(38,0))) AS BIGINT)
+             AS total_monetary_cents,
+           CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_monetary_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_rankcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of agg_rfm_segmentation (round-7 verdict item
+    3): BIT-IDENTICAL output — the oracle IS the NTILE formulation —
+    with no corpus-sized serial sort anywhere. The classic distributed
+    ranking decomposition: global rank in the total order (metric,
+    custkey) = per-bucket row_number (window PARTITIONED by a
+    value-range bucket, fully parallel) + the bucket's cumulative
+    offset (one prefix sum over the BUCKET TABLE, whose size is
+    bounded by the value domain / granularity — days/64 for recency,
+    distinct order counts for frequency, cents/1e5 for monetary —
+    never by customer count). The NTILE score is then pure integer
+    arithmetic on (rank, n): SQL-standard remainder-to-first-buckets
+    rule, score = (r-1) DIV (b+1) + 1 inside the first (n%5) big
+    buckets, else (n%5) + 1 + (r - (n%5)*(b+1) - 1) DIV b with
+    b = n DIV 5 — which also degrades correctly to score = r when
+    n < 5. Both engines agreeing on the hash proves the rank-cut
+    construction reproduces NTILE exactly, tie-breaks included.
+
+    Scale shape: the only unpartitioned window runs over the bucket
+    table (thousands of rows at ANY corpus size); the corpus-grain
+    windows are all PARTITIONed by bucket; offsets and the customer
+    count broadcast back. Three scored columns join back on the
+    customer key — three co-partitioned shuffles on the same grain —
+    then the identical 125-cell rollup."""
+    od = read_table(spark, sf_dir, "orders")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("o_orderdate"))).cast(
+            "bigint"
+        )
+        / F.lit(86400)
+    ).cast("bigint")
+    cust = od.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m"),
+    ).localCheckpoint(eager=False)
+    n_df = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ntile_score = (
+        "CAST(CASE WHEN r <= (n % 5) * (n DIV 5 + 1) "
+        "THEN (r - 1) DIV (n DIV 5 + 1) + 1 "
+        "ELSE (n % 5) + 1 + (r - (n % 5) * (n DIV 5 + 1) - 1) DIV (n DIV 5) "
+        "END AS INT)"
+    )
+
+    def quintile(metric: str, bucket_div: int, out: str) -> DataFrame:
+        per = cust.select(
+            "o_custkey", metric, F.expr(f"{metric} DIV {bucket_div}").alias("bk")
+        )
+        counts = per.groupBy("bk").agg(F.count(F.lit(1)).alias("cnt"))
+        # prefix sum over the BUCKET table: bounded by the value
+        # domain, not the customer count — safe as a global window
+        woff = Window.orderBy("bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.select(
+            "bk", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off")
+        )
+        wrank = Window.partitionBy("bk").orderBy(metric, "o_custkey")
+        return (
+            per.withColumn("rb", F.row_number().over(wrank))
+            .join(F.broadcast(offs), "bk")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "o_custkey",
+                (F.col("off") + F.col("rb")).alias("r"),
+                "n",
+            )
+            .select("o_custkey", F.expr(ntile_score).alias(out))
+        )
+    scored = (
+        cust.select("o_custkey", "m")
+        .join(quintile("last_day", 64, "r_score"), "o_custkey")
+        .join(quintile("f", 1, "f_score"), "o_custkey")
+        .join(quintile("m", 100000, "m_score"), "o_custkey")
     )
     r_s, f_s, m_s = F.col("r_score"), F.col("f_score"), F.col("m_score")
     seg = (

@@ -1214,10 +1214,10 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sampled set itself.
 
     Scale shape: the global prefix sum is one unpartitioned window —
-    the known serial point. At 100 TB you run the identical construction
-    per shard/source partition (window PARTITION BY shard) and the
-    math is unchanged; kept here global so the oracle pins the exact
-    corpus-wide systematic design."""
+    the known serial point, kept here because the oracle pins the
+    exact corpus-wide systematic design. The production form is
+    llm_sample_weighted_sharded (next key): the IDENTICAL construction
+    with the window PARTITION BY a hash shard, fully parallel."""
     from pyspark.sql import Window
 
     d = read_table(spark, sf_dir, "documents")
@@ -1242,6 +1242,83 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = F.expr("cum_before DIV 500")
     after = F.expr("(cum_before + n_tok) DIV 500")
     return c.filter(before < after).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (before + 1).cast("bigint").alias("picked_stride"),
+    )
+
+
+@query(
+    "llm_sample_weighted_sharded",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             md5('s17|' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             substr(hkey, 1, 1) AS shard,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY substr(hkey, 1, 1)
+               ORDER BY hkey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM w
+    )
+    SELECT shard, doc_id, source, n_tok,
+           CAST(cum_before // 500 + 1 AS BIGINT) AS picked_stride
+    FROM c
+    WHERE cum_before // 500 < (cum_before + n_tok) // 500
+    """,
+)
+def llm_sample_weighted_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB form of llm_sample_weighted (round-7 verdict item 3):
+    the identical token-proportional systematic sampler, but the token
+    number line is laid out PER HASH SHARD (first seeded-md5 hex digit,
+    16 shards here — a width knob, not a semantic choice) so the prefix
+    sum is a PARTITIONed window: 16-way parallel here, thousands-way
+    with a wider prefix, never one task sorting the corpus. Within a
+    shard the math is byte-for-byte the global construction — docs on
+    a number line in hash order, a tick every STRIDE=500 tokens, keep
+    tick-spanning docs — and because the hash order is uniform, each
+    shard is itself an unbiased systematic sample; the union keeps
+    selection probability proportional to token count for sub-stride
+    docs EXACTLY, at the cost of up to one stride of rounding slack
+    per shard boundary (vs the single global line).
+
+    Scale shape: one map-side projection, ONE window whose partition
+    key is the shard — no global sort anywhere; the plan pin asserts
+    the window exchange is hashpartitioning, not SinglePartition."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.lit("s17|"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    ).withColumn("shard", F.substring("hkey", 1, 1))
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = w.select(
+        "shard",
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(win), F.lit(0)).alias("cum_before"),
+    )
+    before = F.expr("cum_before DIV 500")
+    after = F.expr("(cum_before + n_tok) DIV 500")
+    return c.filter(before < after).select(
+        "shard",
         "doc_id",
         "source",
         "n_tok",

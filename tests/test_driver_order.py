@@ -111,7 +111,6 @@ ROWS_ONLY_ALLOWLIST = frozenset(
         "llm_multimodal",  # opaque binary payloads, sha-only check
         "llm_multimodal_resize",  # same
         "llm_multimodal_frames",  # same
-        "llm_sim_ivf_kmeans",  # MLlib seed-dependent centroids
         "sink_postgis",  # live-DB side effects
     }
 )

@@ -118,6 +118,13 @@ SHOWCASE = (
     ("agg_entropy_mix", "broadcast customer dim; one map-combinable rollup to the |seg|x|prio| cell grid; dimension-sized entropy reduce"),
     ("agg_ab_proportions_ztest", "map-combinable reduce to customer grain; 2-row arm rollup + 1-row pivot; z one codegen expression tree"),
     ("ts_peak_detect", "one rollup to (series,hour) grain; two frame-bounded maxima on a single series exchange; all-integer"),
+    # round 8: the r7 weak/watch list enters the showcase — pins now
+    # record SinglePartition presence so the scale-safe variants PROVE
+    # the absence of any global serial sort
+    ("llm_dedup_cc_bigstar", "big-star/small-star rounds: two groupBy-min shuffles per round on slim int pairs; no window, no SinglePartition exchange"),
+    ("llm_sample_weighted", "the documented serial point: ONE unpartitioned prefix-sum window (SinglePartition pinned PRESENT — the oracle-exact global design; the sharded key below is the scale form)"),
+    ("llm_sample_weighted_sharded", "identical sampler, window PARTITION BY hash shard: hashpartitioning exchange only, SinglePartition pinned ABSENT"),
+    ("agg_rfm_rankcut", "corpus-grain windows partitioned by value bucket; SinglePartition only above the bounded bucket/count tables; three co-partitioned custkey joins; 125-cell rollup"),
 )
 
 
@@ -151,6 +158,11 @@ def plan_fingerprint(plan: str) -> dict:
         "markers": present,
         "nonempty_pushed_filters": pushed,
         "exchanges": plan.count("Exchange ("),  # initial-plan shuffle count
+        # serial points: every single-partition exchange (global windows
+        # / unpartitioned sorts land here). >0 is only acceptable over
+        # provably bounded inputs (dimension/bucket tables, final top-k)
+        # — the per-query SHOWCASE note must say which.
+        "single_partition": plan.count("SinglePartition"),
     }
 
 
