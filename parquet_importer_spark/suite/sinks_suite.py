@@ -984,33 +984,45 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "spatial_knn_join",
     oracle="""
-    WITH pts AS (
+    WITH gp AS (
+      SELECT 22.5 / POWER(2, GREATEST(0, LEAST(8,
+               CAST(CEIL(LOG2(COUNT(*) / 5000.0)) AS INT)))) AS p
+      FROM events
+    ),
+    dims AS (
+      SELECT p, CAST(round(180 / p) AS BIGINT) AS ny,
+             CAST(round(360 / p) AS BIGINT) AS nx
+      FROM gp
+    ),
+    pts AS (
       SELECT event_id,
              ("value" % 360) - 180 AS lon,
              ("value" % 180) - 90 AS lat,
-             CAST(floor((("value" % 180) - 90 + 90) / 22.5) AS BIGINT) AS cy,
-             CAST(floor((("value" % 360) - 180 + 180) / 22.5) AS BIGINT) AS cx
-      FROM events
+             CAST(floor((("value" % 180) - 90 + 90) / d.p) AS BIGINT) AS cy,
+             CAST(floor((("value" % 360) - 180 + 180) / d.p) AS BIGINT) AS cx,
+             d.p, d.ny, d.nx
+      FROM events CROSS JOIN dims d
     ),
     sites AS (
-      SELECT event_id AS site_id, lon AS slon, lat AS slat, cy, cx
+      SELECT event_id AS site_id, lon AS slon, lat AS slat,
+             cy, cx, p, ny, nx
       FROM pts WHERE event_id % 499 = 0
     ),
     ring AS (
       SELECT s.site_id, s.slon, s.slat,
-             (s.cy + dy.dy) * 16 + (s.cx + dx.dx) AS cell
+             (s.cy + dy.dy) * s.nx + (s.cx + dx.dx) AS cell
       FROM sites s,
            (SELECT unnest([-1, 0, 1]) AS dy) dy,
            (SELECT unnest([-1, 0, 1]) AS dx) dx
-      WHERE s.cy + dy.dy BETWEEN 0 AND 7
-        AND s.cx + dx.dx BETWEEN 0 AND 15
+      WHERE s.cy + dy.dy BETWEEN 0 AND s.ny - 1
+        AND s.cx + dx.dx BETWEEN 0 AND s.nx - 1
     ),
     cand AS (
       SELECT r.site_id, r.slon, r.slat, p.event_id AS point_id,
              (p.lon - r.slon) * (p.lon - r.slon)
                + (p.lat - r.slat) * (p.lat - r.slat) AS d2
       FROM ring r
-      JOIN pts p ON p.cy * 16 + p.cx = r.cell
+      JOIN pts p ON p.cy * p.nx + p.cx = r.cell
       WHERE p.event_id <> r.site_id
     ),
     ranked AS (
@@ -1024,14 +1036,14 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin AS (
       SELECT site_id,
              least(
-               slon - ((CAST(floor((slon + 180) / 22.5) AS BIGINT) - 1)
-                        * 22.5 - 180),
-               ((CAST(floor((slon + 180) / 22.5) AS BIGINT) + 2)
-                        * 22.5 - 180) - slon,
-               slat - ((CAST(floor((slat + 90) / 22.5) AS BIGINT) - 1)
-                        * 22.5 - 90),
-               ((CAST(floor((slat + 90) / 22.5) AS BIGINT) + 2)
-                        * 22.5 - 90) - slat
+               slon - ((CAST(floor((slon + 180) / p) AS BIGINT) - 1)
+                        * p - 180),
+               ((CAST(floor((slon + 180) / p) AS BIGINT) + 2)
+                        * p - 180) - slon,
+               slat - ((CAST(floor((slat + 90) / p) AS BIGINT) - 1)
+                        * p - 90),
+               ((CAST(floor((slat + 90) / p) AS BIGINT) + 2)
+                        * p - 90) - slat
              ) AS m
       FROM sites s
     ),
@@ -1059,26 +1071,55 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replayable). This is the store-locator / nearest-depot /
     spatial-feature join.
 
-    Same binary-exact 22.5-degree grid as spatial_geohash_join, so
-    cell ids and ring membership match the oracle bit-for-bit;
-    distances are a fixed shared IEEE expression tree, ordered with a
-    total (d2, point_id) key.
+    The grid pitch is DATA-ADAPTIVE, the adaptive_sign_bits pattern
+    (round-7 LSH fix): pitch = 22.5 / 2^s with
+    s = clamp(ceil(log2(n/5000)), 0, 8) derived from COUNT(*) by
+    BOTH engines, so cell ids, ring membership, and the boundary
+    margin match bit-for-bit at every SF (22.5/2^s is an exact binary
+    double; the /p divisions are the same correctly-rounded IEEE op in
+    both engines). A FIXED 22.5-degree grid packed ~36% of this
+    corpus's points into one diagonal cell (lat and lon derive from
+    the same value column — the points are effectively 1-D), turning
+    the candidate join super-linear: measured 20 s at sf0.1, xlin 2.3
+    at sf1 even with a half-rate (2-D-uniform) pitch schedule. The
+    full-rate schedule (cells ∝ n) holds per-cell occupancy ~constant
+    for ANY intrinsic dimensionality <= 2 at the cost of over-refining
+    uniform data (cheap: empty cells cost nothing in a hash join, and
+    a too-fine grid only lowers the k_exact certification ratio, which
+    is the operator's own coarseness telemetry).
 
     Scale shape: the point side gains a codegen'd cell id and never
     shuffles; sites explode to <= 9 (site,cell) rows and BROADCAST
     into the candidate hash join; per-site top-k is one window over
-    the candidate rows (bounded by ring occupancy, never the corpus).
-    At 100 TB: finer grid, same plan — candidate cost is ring
-    occupancy x sites, and the k_exact ratio tells you when the grid
-    is too coarse."""
-    pts = read_table(spark, sf_dir, "events").select(
-        "event_id",
-        ((F.col("value") % 360) - 180).alias("lon"),
-        ((F.col("value") % 180) - 90).alias("lat"),
+    the candidate rows (bounded by ring occupancy, which the adaptive
+    pitch holds ~constant as n grows — never the corpus)."""
+    ev = read_table(spark, sf_dir, "events")
+    s_expr = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(8),
+            F.ceil(F.log2(F.count(F.lit(1)) / F.lit(5000.0))).cast("int"),
+        ),
+    )
+    dims = ev.agg(
+        (F.lit(22.5) / F.pow(F.lit(2.0), s_expr)).alias("p")
     ).select(
-        "*",
-        F.floor((F.col("lat") + 90) / 22.5).alias("cy"),
-        F.floor((F.col("lon") + 180) / 22.5).alias("cx"),
+        "p",
+        F.round(F.lit(180) / F.col("p")).cast("bigint").alias("ny"),
+        F.round(F.lit(360) / F.col("p")).cast("bigint").alias("nx"),
+    )
+    pts = (
+        ev.select(
+            "event_id",
+            ((F.col("value") % 360) - 180).alias("lon"),
+            ((F.col("value") % 180) - 90).alias("lat"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "*",
+            F.floor((F.col("lat") + 90) / F.col("p")).alias("cy"),
+            F.floor((F.col("lon") + 180) / F.col("p")).alias("cx"),
+        )
     )
     sites = pts.filter(F.col("event_id") % 499 == 0).select(
         F.col("event_id").alias("site_id"),
@@ -1086,21 +1127,24 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("slat"),
         "cy",
         "cx",
+        "p",
+        "ny",
+        "nx",
     )
     offs = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     ring = (
         sites.select("*", offs.alias("dy"))
         .select("*", offs.alias("dx"))
         .filter(
-            (F.col("cy") + F.col("dy")).between(0, 7)
-            & (F.col("cx") + F.col("dx")).between(0, 15)
+            (F.col("cy") + F.col("dy")).between(F.lit(0), F.col("ny") - 1)
+            & (F.col("cx") + F.col("dx")).between(F.lit(0), F.col("nx") - 1)
         )
         .select(
             "site_id",
             "slon",
             "slat",
             (
-                (F.col("cy") + F.col("dy")) * 16
+                (F.col("cy") + F.col("dy")) * F.col("nx")
                 + (F.col("cx") + F.col("dx"))
             ).alias("cell"),
         )
@@ -1109,7 +1153,7 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("point_id"),
         "lon",
         "lat",
-        (F.col("cy") * 16 + F.col("cx")).alias("cell"),
+        (F.col("cy") * F.col("nx") + F.col("cx")).alias("cell"),
     )
     d2 = (F.col("lon") - F.col("slon")) * (F.col("lon") - F.col("slon")) + (
         F.col("lat") - F.col("slat")
@@ -1125,11 +1169,12 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = cand.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+    p = F.col("p")
     m = F.least(
-        F.col("slon") - ((F.floor((F.col("slon") + 180) / 22.5) - 1) * 22.5 - 180),
-        ((F.floor((F.col("slon") + 180) / 22.5) + 2) * 22.5 - 180) - F.col("slon"),
-        F.col("slat") - ((F.floor((F.col("slat") + 90) / 22.5) - 1) * 22.5 - 90),
-        ((F.floor((F.col("slat") + 90) / 22.5) + 2) * 22.5 - 90) - F.col("slat"),
+        F.col("slon") - ((F.floor((F.col("slon") + 180) / p) - 1) * p - 180),
+        ((F.floor((F.col("slon") + 180) / p) + 2) * p - 180) - F.col("slon"),
+        F.col("slat") - ((F.floor((F.col("slat") + 90) / p) - 1) * p - 90),
+        ((F.floor((F.col("slat") + 90) / p) + 2) * p - 90) - F.col("slat"),
     )
     margin = sites.select("site_id", m.alias("m"))
     flags = (
