@@ -68,3 +68,103 @@ def test_kfold_folds_near_uniform(spark):
     # 65536 % 5 = 1: residue skew is at most 1 part in 13107 — any
     # remaining spread is sampling noise, bounded loosely here.
     assert hi <= lo * 1.15, sizes
+
+
+def test_rfm_rankcut_equals_ntile_formulation(spark):
+    """agg_rfm_rankcut's distributed bucket-rank must reproduce
+    agg_rfm_segmentation's NTILE output cell-for-cell — the two keys
+    share one oracle text, but this asserts the ENGINES agree directly
+    (a shared-oracle bug would slip past both parity checks)."""
+    a = {
+        (r.r_score, r.f_score, r.m_score): (
+            r.segment,
+            r.n_customers,
+            r.total_monetary_cents,
+        )
+        for r in QUERIES["agg_rfm_segmentation"](spark, SF_ORACLE).collect()
+    }
+    b = {
+        (r.r_score, r.f_score, r.m_score): (
+            r.segment,
+            r.n_customers,
+            r.total_monetary_cents,
+        )
+        for r in QUERIES["agg_rfm_rankcut"](spark, SF_ORACLE).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_sharded_sampler_matches_per_shard_recomputation(spark):
+    """Each shard of llm_sample_weighted_sharded must equal the global
+    systematic sampler run on that shard's docs alone — recomputed
+    independently in Python from the raw table."""
+    import hashlib
+    import re as _re
+    from collections import defaultdict
+
+    from parquet_importer_spark.io import read_table
+
+    got = defaultdict(dict)
+    for r in QUERIES["llm_sample_weighted_sharded"](
+        spark, SF_ORACLE
+    ).collect():
+        got[r.shard][r.doc_id] = (r.n_tok, r.picked_stride)
+
+    docs = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    shards = defaultdict(list)
+    for d in docs:
+        h = hashlib.md5(f"s17|{d.doc_id}".encode()).hexdigest()
+        n_tok = len(_re.split(r"\s+", d.text.strip().lower()))
+        shards[h[0]].append((h, d.doc_id, n_tok))
+    want = defaultdict(dict)
+    for shard, rows in shards.items():
+        cum = 0
+        for _, doc_id, n_tok in sorted(rows):
+            if cum // 500 < (cum + n_tok) // 500:
+                want[shard][doc_id] = (n_tok, cum // 500 + 1)
+            cum += n_tok
+    assert dict(got) == dict(want)
+    assert sum(len(v) for v in want.values()) > 0
+
+
+def test_knn_adaptive_grid_is_recall_safe_where_certified(spark):
+    """Wherever k_exact is TRUE, the returned 5 neighbors must equal
+    the brute-force exact 5-NN — the certificate's whole contract,
+    checked against an independent O(n*sites) recomputation."""
+    from collections import defaultdict
+
+    from parquet_importer_spark.io import read_table
+
+    rows = QUERIES["spatial_knn_join"](spark, SF_ORACLE).collect()
+    by_site = defaultdict(list)
+    certified = {}
+    for r in rows:
+        by_site[r.site_id].append((r.d2, r.point_id))
+        certified[r.site_id] = r.k_exact
+
+    pts = [
+        (e.event_id, (e.value % 360) - 180, (e.value % 180) - 90)
+        for e in read_table(spark, SF_ORACLE, "events")
+        .select("event_id", "value")
+        .collect()
+    ]
+    coords = {i: (lon, lat) for i, lon, lat in pts}
+    for site_id, flag in certified.items():
+        if not flag:
+            continue
+        slon, slat = coords[site_id]
+        truth = sorted(
+            (
+                (
+                    (lon - slon) * (lon - slon)
+                    + (lat - slat) * (lat - slat),
+                    pid,
+                )
+                for pid, (lon, lat) in coords.items()
+                if pid != site_id
+            )
+        )[:5]
+        assert sorted(by_site[site_id]) == truth, site_id
+    assert any(certified.values()), "no site certified — grid too fine"
