@@ -168,6 +168,12 @@ _DEFER_ORDER = (
     # systematic sampler; bucket-rank NTILE with no global sort)
     "llm_sample_weighted_sharded",
     "agg_rfm_rankcut",
+    # round 8 second wave (window slots 18-20; ~30 stale re-check slots
+    # remain behind them): rank-sum test, touch attribution, and the
+    # cross-source overlap matrix
+    "agg_mannwhitney_u",
+    "ts_attribution_touch",
+    "llm_source_overlap",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -2325,3 +2325,165 @@ def agg_ab_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pooled.alias("pooled_rate"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(user_id % 2 AS INT) AS arm
+      FROM events
+    ),
+    cva AS (
+      SELECT event_type, v, arm, CAST(COUNT(*) AS BIGINT) AS m
+      FROM g GROUP BY 1, 2, 3
+    ),
+    cv AS (
+      SELECT event_type, v, CAST(SUM(m) AS BIGINT) AS t
+      FROM cva GROUP BY 1, 2
+    ),
+    ranks AS (
+      SELECT event_type, v, t,
+             1 + COALESCE(SUM(t) OVER (
+               PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS min_rank
+      FROM cv
+    ),
+    arms AS (
+      SELECT c.event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN m ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN
+               CAST(m AS DECIMAL(38,0))
+                 * (2 * r.min_rank + r.t - 1) ELSE 0 END)
+               AS DECIMAL(38,0)) AS ra2
+      FROM cva c JOIN ranks r USING (event_type, v)
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+               AS DECIMAL(38,0)) AS tsum
+      FROM cv GROUP BY 1
+    )
+    SELECT a.event_type, a.n_a, a.n_b,
+           CAST(a.ra2 - a.n_a * (a.n_a + 1) AS DOUBLE) / 2 AS u_a,
+           ROUND(
+             CAST(a.ra2 - a.n_a * (a.n_a + 1)
+                  - a.n_a * a.n_b AS DOUBLE)
+             / (2 * sqrt(
+                 CAST(CAST(a.n_a AS DECIMAL(38,0)) * a.n_b
+                      * (CAST(a.n_a + a.n_b + 1 AS DECIMAL(38,0))
+                           * (a.n_a + a.n_b) * (a.n_a + a.n_b - 1)
+                         - t.tsum) AS DOUBLE)
+                 / CAST(12 * CAST(a.n_a + a.n_b AS DECIMAL(38,0))
+                        * (a.n_a + a.n_b - 1) AS DOUBLE))),
+             6) AS z,
+           abs(CAST(a.ra2 - a.n_a * (a.n_a + 1)
+                    - a.n_a * a.n_b AS DOUBLE)
+               / (2 * sqrt(
+                   CAST(CAST(a.n_a AS DECIMAL(38,0)) * a.n_b
+                        * (CAST(a.n_a + a.n_b + 1 AS DECIMAL(38,0))
+                             * (a.n_a + a.n_b) * (a.n_a + a.n_b - 1)
+                           - t.tsum) AS DOUBLE)
+                   / CAST(12 * CAST(a.n_a + a.n_b AS DECIMAL(38,0))
+                          * (a.n_a + a.n_b - 1) AS DOUBLE)))) >= 1.96
+             AS significant
+    FROM arms a JOIN ties t USING (event_type)
+    """,
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per event_type between
+    the user-parity arms — the NON-parametric sibling of
+    agg_welch_ttest: rank-based, so heavy-tailed revenue-style metrics
+    (exactly where the t-test's normality assumption dies) still get a
+    valid significance readout. Average ranks for ties, the normal
+    approximation with the standard tie correction, |z| >= 1.96 flag.
+
+    Exactness: every rank quantity lives at 2x scale so tie midpoints
+    (.5 ranks) stay integers — avg_rank2 = 2*min_rank + t - 1,
+    U_A2 = R_A2 - n_A(n_A+1) — and all moments (R_A2, tie term
+    SUM(t^3 - t), the variance numerator/denominator) accumulate in
+    DECIMAL(38,0). The only floats are ONE division, ONE sqrt (IEEE
+    correctly-rounded, hence bit-portable — unlike ln/exp), and ONE
+    final division, the identical expression tree in both engines.
+
+    Scale shape: the agg_rfm_rankcut trick applied to ranking — ranks
+    derive from the VALUE-GRAIN rollup (groupBy (type, value-cents,
+    arm), map-combinable), so the only window runs over distinct
+    values per type, never raw rows; two 5-row per-type aggregates
+    join at the end. No raw-row sort anywhere."""
+    g = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    cva = g.groupBy("event_type", "v", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    cv = cva.groupBy("event_type", "v").agg(
+        F.sum("m").cast("bigint").alias("t")
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = cv.select(
+        "event_type",
+        "v",
+        "t",
+        (1 + F.coalesce(F.sum("t").over(w), F.lit(0))).alias("min_rank"),
+    )
+    _D = "decimal(38,0)"
+    arms = (
+        cva.join(ranks, ["event_type", "v"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(
+                F.when(
+                    F.col("arm") == 0,
+                    F.col("m").cast(_D)
+                    * (2 * F.col("min_rank") + F.col("t") - 1),
+                ).otherwise(F.lit(0).cast(_D))
+            )
+            .cast(_D)
+            .alias("ra2"),
+        )
+    )
+    ties = cv.groupBy("event_type").agg(
+        F.sum(F.col("t").cast(_D) * F.col("t") * F.col("t") - F.col("t"))
+        .cast(_D)
+        .alias("tsum")
+    )
+    j = arms.join(ties, "event_type")
+    n = F.col("n_a") + F.col("n_b")
+    num = (
+        F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
+        - F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    var_num = (
+        F.col("n_a").cast(_D)
+        * F.col("n_b")
+        * ((n + 1).cast(_D) * n * (n - 1) - F.col("tsum"))
+    ).cast("double")
+    var_den = (F.lit(12) * n.cast(_D) * (n - 1)).cast("double")
+    z = num / (2 * F.sqrt(var_num / var_den))
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+            / 2
+        ).alias("u_a"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )

@@ -1381,3 +1381,96 @@ def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(100)
     )
+
+
+@query(
+    "llm_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT source, {_SH3N} AS grams FROM t),
+    ex AS (
+      SELECT DISTINCT source, unnest(grams) AS gram FROM sh
+    ),
+    sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM ex GROUP BY 1
+    ),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sz sa ON sa.source = shared.src_a
+    JOIN sz sb ON sb.source = shared.src_b
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the training-mix
+    diagnostic that tells you which corpus sources are restatements of
+    each other BEFORE you weight them (two mirrors of the same crawl
+    in a mix silently double their effective epoch count; DoReMi-style
+    mixture tuning assumes sources are distinct). For every source
+    pair sharing at least one distinct 3-gram shingle: both set sizes,
+    the shared count, and the set Jaccard.
+
+    Scale shape: the corpus reduces to DISTINCT (source, gram) rows in
+    one pass (gram-digest-slim at 100 TB: swap gram for md5(gram), the
+    llm_contamination_ngram move); pair expansion happens per gram
+    from its SORTED source set — an array expression bounded by
+    |sources| (the same set-based fan-out as the graph substrate,
+    llm_dedup.py:_supplier_sigma_edges), never a self-join of the
+    posting table against itself row-by-row — and the rollup lands on
+    the |sources|^2-bounded pair grid. The size table is
+    |sources|-row and broadcast. The oracle is the independent
+    posting-self-join SQL, so the hash certifies the set-based fan-out
+    against the classic formulation."""
+    from parquet_importer_spark.functions.text import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    ex = (
+        d.select("source", F.explode(shingles(F.col("text"), 3)).alias("gram"))
+        .distinct()
+    )
+    sz = ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    shared = (
+        ex.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

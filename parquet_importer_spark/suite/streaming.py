@@ -3207,3 +3207,133 @@ def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prominence"),
         )
     )
+
+
+@query(
+    "ts_attribution_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+      FROM events WHERE event_type <> 'error'
+    ),
+    conv AS (
+      SELECT user_id, tsu, event_id,
+             COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER w
+               AS k,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS last_ch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS) OVER w
+               AS first_ch,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+               AS c_click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+               AS c_view,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) OVER w
+               AS c_signup,
+             event_type
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributable AS (
+      SELECT * FROM conv WHERE event_type = 'purchase' AND k >= 1
+    ),
+    per_channel AS (
+      SELECT a.*, ch.channel,
+             CASE ch.channel WHEN 'click' THEN c_click
+                             WHEN 'view' THEN c_view
+                             ELSE c_signup END AS cnt
+      FROM attributable a
+      CROSS JOIN (SELECT unnest(['click', 'view', 'signup']) AS channel) ch
+    )
+    SELECT channel,
+           CAST(COUNT(CASE WHEN first_ch = channel THEN 1 END) AS BIGINT)
+             AS n_first_touch,
+           CAST(COUNT(CASE WHEN last_ch = channel THEN 1 END) AS BIGINT)
+             AS n_last_touch,
+           CAST(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) / k, 8)
+                         AS DECIMAL(20,8))) AS DOUBLE) AS linear_credit
+    FROM per_channel GROUP BY 1
+    """,
+)
+def ts_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution — the marketing-analytics
+    counterpart of ts_funnel: every purchase is credited to the
+    touch events (click/view/signup; error rows excluded) that
+    preceded it in the user's stream, under the three standard models
+    at once: FIRST-touch (the acquiring channel), LAST-touch (the
+    closing channel), and LINEAR (each preceding touch gets 1/k of the
+    conversion). Purchases with no prior touch are unattributable and
+    drop out.
+
+    Float contract: linear credits are ROUND(cnt/k, 8) per
+    (conversion, channel) — one shared IEEE division — accumulated in
+    DECIMAL(20,8), so the rollup is exact and order-free; first/last
+    counts are pure integers. Event order is (epoch-microseconds,
+    event_id) — both engines read this fixture's timestamps at
+    microsecond precision, and the id tie-break makes the order total.
+
+    Scale shape: ONE user_id exchange serves all six running windows
+    (count, first/last channel, three per-channel counts — Spark
+    evaluates same-frame window functions in one pass); the 3x
+    per-channel fan-out applies only to ATTRIBUTABLE conversions (an
+    array-literal explode, map-side); the rollup is 3 rows. At 100 TB
+    this is the same shape as any sessionization pass — the user
+    partitioning is the pipeline's natural key."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+            # cast is the identity and unix_micros matches epoch_us
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    conv = ev.select(
+        "event_type",
+        F.count(touch).over(w).alias("k"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+        *[
+            F.count(F.when(F.col("event_type") == c, 1))
+            .over(w)
+            .alias(f"c_{c}")
+            for c in ("click", "view", "signup")
+        ],
+    ).filter((F.col("event_type") == "purchase") & (F.col("k") >= 1))
+    per_channel = conv.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(c) for c in ("click", "view", "signup")])
+        ).alias("channel"),
+    ).select(
+        "first_ch",
+        "last_ch",
+        "k",
+        "channel",
+        F.when(F.col("channel") == "click", F.col("c_click"))
+        .when(F.col("channel") == "view", F.col("c_view"))
+        .otherwise(F.col("c_signup"))
+        .alias("cnt"),
+    )
+    credit = F.round(F.col("cnt").cast("double") / F.col("k"), 8).cast(
+        "decimal(20,8)"
+    )
+    return per_channel.groupBy("channel").agg(
+        F.count(F.when(F.col("first_ch") == F.col("channel"), 1))
+        .cast("bigint")
+        .alias("n_first_touch"),
+        F.count(F.when(F.col("last_ch") == F.col("channel"), 1))
+        .cast("bigint")
+        .alias("n_last_touch"),
+        F.sum(credit).cast("double").alias("linear_credit"),
+    )

@@ -125,6 +125,10 @@ SHOWCASE = (
     ("llm_sample_weighted", "the documented serial point: ONE unpartitioned prefix-sum window (SinglePartition pinned PRESENT — the oracle-exact global design; the sharded key below is the scale form)"),
     ("llm_sample_weighted_sharded", "identical sampler, window PARTITION BY hash shard: hashpartitioning exchange only, SinglePartition pinned ABSENT"),
     ("agg_rfm_rankcut", "corpus-grain windows partitioned by value bucket; SinglePartition only above the bounded bucket/count tables; three co-partitioned custkey joins; 125-cell rollup"),
+    # round 8 second wave
+    ("agg_mannwhitney_u", "ranks from the VALUE-GRAIN rollup: window over distinct cents values per type, never raw rows; two 5-row per-type aggregates join at the end"),
+    ("ts_attribution_touch", "one user_id exchange serves all six running windows; channel fan-out is a map-side 3-element explode on attributable conversions only"),
+    ("llm_source_overlap", "distinct (source,gram) pass; pair fan-out from per-gram sorted source sets (array expression, no posting self-join); |sources|-row size table broadcast"),
 )
 
 
