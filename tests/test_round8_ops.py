@@ -168,3 +168,120 @@ def test_knn_adaptive_grid_is_recall_safe_where_certified(spark):
         )[:5]
         assert sorted(by_site[site_id]) == truth, site_id
     assert any(certified.values()), "no site certified — grid too fine"
+
+
+def test_mannwhitney_matches_pure_python(spark):
+    """U statistic and z per event_type recomputed with a direct
+    average-rank implementation (no value-grain decomposition) — the
+    two formulations must agree exactly on U and to 1e-9 on z."""
+    import hashlib  # noqa: F401 — parallel structure with sibling tests
+    from collections import defaultdict
+
+    from parquet_importer_spark.io import read_table
+
+    got = {
+        r.event_type: (r.n_a, r.n_b, r.u_a, r.z)
+        for r in QUERIES["agg_mannwhitney_u"](spark, SF_ORACLE).collect()
+    }
+    rows = (
+        read_table(spark, SF_ORACLE, "events")
+        .select("event_type", "value", "user_id")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        v = round(r.value * 100)
+        by_type[r.event_type].append((v, int(r.user_id % 2)))
+    for etype, vals in by_type.items():
+        svals = sorted(v for v, _ in vals)
+        # average rank per value
+        first = {}
+        cnt = {}
+        for i, v in enumerate(svals, start=1):
+            first.setdefault(v, i)
+            cnt[v] = cnt.get(v, 0) + 1
+        avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in first}
+        n_a = sum(1 for _, a in vals if a == 0)
+        n_b = len(vals) - n_a
+        r_a = sum(avg_rank[v] for v, a in vals if a == 0)
+        u_a = r_a - n_a * (n_a + 1) / 2
+        n = n_a + n_b
+        tsum = sum(c**3 - c for c in cnt.values())
+        var = n_a * n_b * ((n + 1) * n * (n - 1) - tsum) / (12 * n * (n - 1))
+        z = (u_a - n_a * n_b / 2) / var**0.5
+        gna, gnb, gua, gz = got[etype]
+        assert (gna, gnb) == (n_a, n_b)
+        assert gua == u_a
+        # the operator reports ROUND(z, 6)
+        assert abs(gz - z) < 5e-7, (etype, gz, z)
+
+
+def test_attribution_conserves_conversions(spark):
+    """First/last counts must each sum to the number of attributable
+    conversions, and the linear credits must sum to the same number
+    (each conversion distributes exactly 1 across its touches, up to
+    the 1e-8 per-term rounding)."""
+    from parquet_importer_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["ts_attribution_touch"](spark, SF_ORACLE).collect()
+    n_first = sum(r.n_first_touch for r in out)
+    n_last = sum(r.n_last_touch for r in out)
+    linear = sum(r.linear_credit for r in out)
+
+    ev = read_table(spark, SF_ORACLE, "events").filter(
+        F.col("event_type") != "error"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_conv = (
+        ev.select(
+            "event_type",
+            F.count(
+                F.when(F.col("event_type") != "purchase", 1)
+            ).over(w).alias("k"),
+        )
+        .filter((F.col("event_type") == "purchase") & (F.col("k") >= 1))
+        .count()
+    )
+    assert n_first == n_last == n_conv > 0
+    assert abs(linear - n_conv) < 1e-4
+
+
+def test_source_overlap_matches_pure_python(spark):
+    """Pairwise shared-gram counts recomputed from raw text in Python
+    set algebra must equal the operator's matrix exactly."""
+    import re as _re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from parquet_importer_spark.io import read_table
+
+    got = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_shared)
+        for r in QUERIES["llm_source_overlap"](spark, SF_ORACLE).collect()
+    }
+    docs = (
+        read_table(spark, SF_ORACLE, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    grams = defaultdict(set)
+    for d in docs:
+        toks = _re.split(r"\s+", d.text.strip().lower())
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        grams[d.source] |= sh
+    want = {}
+    for a, b in combinations(sorted(grams), 2):
+        shared = len(grams[a] & grams[b])
+        if shared:
+            want[(a, b)] = (len(grams[a]), len(grams[b]), shared)
+    assert got == want and len(want) > 0
