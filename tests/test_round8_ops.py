@@ -285,3 +285,30 @@ def test_source_overlap_matches_pure_python(spark):
         if shared:
             want[(a, b)] = (len(grams[a]), len(grams[b]), shared)
     assert got == want and len(want) > 0
+
+
+def test_ntile_rankcut_formula_exhaustive():
+    """The integer rank->NTILE(5) formula agg_rfm_rankcut evaluates in
+    SQL — CASE WHEN r <= (n%5)*(n DIV 5 + 1) THEN (r-1) DIV (n DIV 5+1)
+    + 1 ELSE (n%5) + 1 + (r - (n%5)*(n DIV 5+1) - 1) DIV (n DIV 5) END —
+    must equal the SQL-standard remainder-to-first-buckets NTILE for
+    EVERY rank at every population size up to 1000 (covers n < 5,
+    n % 5 == 0, and every remainder class)."""
+
+    def ntile_std(r: int, n: int, k: int = 5) -> int:
+        # remainder-to-first rule: first (n % k) buckets hold b+1 rows
+        b, rem = divmod(n, k)
+        big = rem * (b + 1)
+        if r <= big:
+            return (r - 1) // (b + 1) + 1
+        return rem + ((r - big - 1) // b) + 1 if b else r
+
+    def formula(r: int, n: int) -> int:
+        b, rem = n // 5, n % 5
+        if r <= rem * (b + 1):
+            return (r - 1) // (b + 1) + 1
+        return rem + 1 + (r - rem * (b + 1) - 1) // b if b else r
+
+    for n in range(1, 1001):
+        for r in range(1, n + 1):
+            assert formula(r, n) == ntile_std(r, n), (r, n)
