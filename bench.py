@@ -278,13 +278,13 @@ def main() -> None:
     ).mode("overwrite").save()
     sent_last = round(time.perf_counter() - t0, 3)
     amb_end = _ambient_snapshot()
-    # Compact (parsed-stdout) markers: s0/s1 = sentinel flagship run
-    # first/last, dr = their ratio (same-session slowdown), busy =
+    # Compact (parsed-stdout) markers: dr = last/first ratio of the
+    # codegen-warm flagship sentinel (same-session slowdown), busy =
     # whole-box CPU share over the suite (includes our own Spark load;
-    # high busy + high dr on a flat clean-session number = co-load).
+    # high busy + high dr on a flat clean-session number = co-load),
+    # mv = how many queries moved >1.25x vs the committed clean-session
+    # reference. Raw sentinel times live in the detail record.
     ambient = {
-        "s0": sent_first,
-        "s1": sent_last,
         "dr": round(sent_last / sent_first, 2) if sent_first else None,
     }
     if "cpu_total" in amb_start and "cpu_total" in amb_end:
@@ -312,6 +312,31 @@ def main() -> None:
             f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
         ).fetchone()[0] or 0),
     }
+
+    # Per-query drift attribution vs BENCH_REF.json — a clean-session
+    # record committed by hand (never written by this script): every
+    # query that reads >1.25x its reference is listed with its ratio,
+    # so a drifted driver-recorded total names its movers in-band
+    # instead of leaving the delta arguable (rounds 5-7 drifted
+    # 44.4 -> 63.7 s on identical fixture+code with no way to tell
+    # co-load from regression). Only comparable when the fixture
+    # fingerprint matches the reference's.
+    vs_ref: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json"
+            )
+        ) as fh:
+            ref = json.load(fh)
+        if ref.get("fixture") == fp:
+            for qid, sec in timings.items():
+                rsec = ref.get("queries", {}).get(qid)
+                if rsec and sec > 1.25 * rsec:
+                    vs_ref[qid] = round(sec / rsec, 2)
+    except (OSError, ValueError):
+        pass
+    ambient["mv"] = len(vs_ref)
 
     out = {
         "metric": "headline_suite_total",
@@ -360,6 +385,8 @@ def main() -> None:
         "unstable_runs": unstable,
         "ambient_start": amb_start,
         "ambient_end": amb_end,
+        "sentinel": {"first": sent_first, "last": sent_last},
+        "vs_ref_movers": vs_ref,
         # last key on purpose: the driver keeps the LAST 2000 chars of
         # combined output, so the per-query scale factors survive even
         # when the head of this detail line is truncated

@@ -202,10 +202,9 @@ def test_bench_stdout_line_fits_driver_capture():
             "worst": max(bench.HEADLINE, key=len),
         },
         "ambient": {
-            "s0": 99.999,
-            "s1": 99.999,
             "dr": 99.99,
             "busy": 100.0,
+            "mv": 99,
         },
     }
     line = json.dumps(worst)
