@@ -599,7 +599,16 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus once instead of eight times."""
     import math
 
-    emb = read_table(spark, sf_dir, "embeddings").select("embedding")
+    # the eager checkpoint guarantees upstream lineage is computed
+    # EXACTLY once: the covariance pass references the embedding column
+    # twice (posexplode + carry), which Catalyst would otherwise inline
+    # twice into the collapsed projection (pinned by
+    # tests/test_round4_ops.py::test_pca_power_scans_input_once)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .localCheckpoint(eager=True)
+    )
     # dimension probe is an eager 1-row job at construction time; guard
     # the empty-table case explicitly instead of crashing on None[0]
     head = emb.select("embedding").head(1)
@@ -608,7 +617,6 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "pos int, component double, eigenvalue double"
         )
     dim = len(head[0][0])
-    n = emb.count()
     e1 = emb.select(
         F.posexplode("embedding").alias("j", "xj"), F.col("embedding")
     )
@@ -619,23 +627,35 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repo's portable half-away rounding) and sum as exact BIGINT
     # — 27x faster per row than a DECIMAL(38,12) cast at identical
     # determinism; |sum| <= n * max|x_j x_k| * 1e6 stays under 2^63
-    # to ~1e9 rows of O(30)-magnitude products
+    # to ~1e9 rows of O(30)-magnitude products. n rides the same
+    # aggregate (every cell's row count IS n), so the corpus is
+    # computed exactly once: the 1-row dim probe plus this pass.
     prod = F.col("xj").cast("double") * F.col("xk").cast("double")
     cells = (
         e2.groupBy("j", "k")
         .agg(
-            F.round(
-                F.sum(F.floor(prod * 1000000.0 + F.lit(0.5)).cast("bigint"))
-                .cast("double")
-                / (F.lit(1000000.0) * F.lit(n).cast("bigint")),
-                12,
-            ).alias("c")
+            F.sum(
+                F.floor(prod * 1000000.0 + F.lit(0.5)).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
         )
         .collect()
     )
+    n = cells[0].n if cells else 0
     cov = [[0.0] * dim for _ in range(dim)]
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    snap = Decimal("1e-12")
     for r in cells:
-        cov[r.j][r.k] = r.c
+        # same shared expression the oracle evaluates: exact integer
+        # sum -> one IEEE divide -> 12dp snap. Python round() is
+        # half-to-EVEN (banned, udf_suite.py header); Spark's ROUND on
+        # doubles is exact-decimal HALF_UP, which Decimal reproduces
+        # bit-for-bit (Decimal(double) is the exact binary value).
+        q = r.s / (1000000.0 * n)
+        cov[r.j][r.k] = float(
+            Decimal(q).quantize(snap, rounding=ROUND_HALF_UP)
+        )
     v = [1.0 / math.sqrt(dim)] * dim
     eigval = 0.0
     for _ in range(8):

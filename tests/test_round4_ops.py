@@ -346,12 +346,13 @@ def test_containment_catches_embedded_doc(spark):
 
 
 def test_pca_power_scans_input_once(spark):
-    """Round-6 verdict item 2: the power loop must iterate over a
-    localCheckpoint-ed embedding column, not re-scan the source per
-    action. An accumulator-bumping UDF on the input counts how many
-    times each row is actually computed: with the eager checkpoint the
-    UDF runs exactly once per row (during materialization); without it
-    every one of the ~10 driver actions would re-run it."""
+    """Round-6 verdict item 2, tightened by the round-8 covariance
+    rewrite: the corpus must be computed ONCE — a single covariance
+    pass (n rows) plus the 1-row dimension probe — with the 8 power
+    iterations running on the collected d x d matrix, never re-reading
+    the input. An accumulator-bumping UDF on the input counts how many
+    times each row is actually computed; the old
+    one-corpus-pass-PER-ROUND shape would read ~10x."""
     import unittest.mock as mock
 
     import parquet_importer_spark.suite.llm_similarity as sim
@@ -373,6 +374,8 @@ def test_pca_power_scans_input_once(spark):
         out = sim.llm_emb_pca_power(spark, SF).collect()
     assert len(out) == 4
     assert acc.value == n, (
-        f"input computed {acc.value / n:.1f}x per row — the checkpoint "
-        "before the power loop is gone"
+        f"input computed {acc.value / n:.1f}x per row — either the "
+        "checkpoint before the covariance pass is gone (the double "
+        "column reference then inlines upstream lineage twice) or the "
+        "power loop is re-scanning the corpus"
     )

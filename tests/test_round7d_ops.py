@@ -258,7 +258,11 @@ def test_bootstrap_ci_matches_hash_replicate_recompute(spark):
     ).collect()
 
     def weight(b: int, eid: int) -> int:
-        hx = hashlib.md5(f"boot|{b}|{eid}".encode()).hexdigest()[:8]
+        # round 8: four 8-hex draws per md5 — replicate b = g*4 + i
+        # reads hex window [8i, 8i+8) of md5('boot|g|eid')
+        g, i = divmod(b, 4)
+        hx32 = hashlib.md5(f"boot|{g}|{eid}".encode()).hexdigest()
+        hx = hx32[8 * i : 8 * i + 8]
         for k, cut in enumerate(_POISSON_CUTS):
             if hx < cut:
                 return k
