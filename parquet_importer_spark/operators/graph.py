@@ -111,6 +111,12 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: lineage still truncates at each round boundary, but
+            # materialization folds into the consumer's job instead of
+            # forcing one driver-scheduled job per round. Local wall
+            # time is unchanged (the LSH edge build dominates); on a
+            # cluster this removes 10 sequential driver->scheduler
+            # round-trips per run.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
