@@ -177,6 +177,36 @@ _DEFER_ORDER = (
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 
+# Keys whose IMPLEMENTATION changed after their latest green driver row
+# (round-8 verdict item 1: "a green row for the old code is not a green
+# row for the shipped code"). Value = the round the change shipped; the
+# key preempts the stale-tier rotation (window tier 1, right after
+# sentinel/errored) until the driver re-confirms it in a round >= that
+# value, then graduates back to the verified tail automatically —
+# entries never need manual removal, and tests/test_driver_currency.py
+# fails the build if a suite diff since the newest CORRECTNESS file
+# isn't covered here.
+_FORCE_RECHECK: dict[str, int] = {
+    # round-8 rewrites whose driver rows predate the rewrite
+    "llm_emb_pca_power": 8,
+    "graph_triangle_count": 8,
+    "graph_kcore": 8,
+    "graph_pagerank": 8,
+    "graph_bfs_distance": 8,
+    "graph_lpa_communities": 8,
+    "graph_link_prediction": 8,
+    "llm_split_kfold": 8,
+    # round-9 changes (minhash cost cut + prefix-filter upgrades;
+    # integer threshold knobs; decimal-promoted rank-sum moments;
+    # char-entropy docstring caveat rides along conservatively)
+    "llm_char_entropy": 9,
+    "llm_dedup_minhash_mllib": 9,
+    "llm_dedup_prefix_filter": 9,
+    "spatial_knn_join": 9,
+    "spatial_dbscan_core": 9,
+    "agg_mannwhitney_u": 9,
+}
+
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
     """Each key's LATEST recorded driver row, as {key: (round, row)}.
@@ -258,27 +288,41 @@ def _driver_order() -> list[str]:
     errored = {k for k, (_, row) in latest.items() if not _green(row)}
     upgraded = _oracle_upgraded()
 
+    def forced(name: str) -> bool:
+        # code changed in round _FORCE_RECHECK[name]; driver hasn't
+        # re-confirmed since → must re-enter the window ahead of the
+        # stale rotation until a green row at/after that round lands
+        return (
+            name in _FORCE_RECHECK
+            and name in verified
+            and latest[name][0] < _FORCE_RECHECK[name]
+        )
+
     def tier(name: str) -> int:
         if name == _SENTINEL or name in errored:
             return 0
-        if name in upgraded:
+        if forced(name):
             return 1
+        if name in upgraded:
+            return 2
         if name in verified:
-            return 4
+            return 5
         if name in _DEFER_NEW:
-            return 3
-        return 1 if name in ORACLES else 2
+            return 4
+        return 2 if name in ORACLES else 3
 
     names = list(QUERIES)
 
     def rank(name: str) -> tuple[int, int]:
-        # tier 3 orders by the deferral list; the verified tail (tier 4)
+        # tier 4 orders by the deferral list; the verified tail (tier 5)
         # is staleness-ordered — oldest green round first — so keys last
         # checked in r1/r2 re-enter the window before recently-confirmed
         # ones; other tiers keep registry order
+        if forced(name):
+            return (0, list(_FORCE_RECHECK).index(name))
         if name in _DEFER_NEW and name not in verified and name not in errored:
             return (0, _DEFER_ORDER.index(name))
-        if tier(name) == 4:
+        if tier(name) == 5:
             return (latest[name][0], names.index(name))
         return (0, names.index(name))
 

@@ -383,6 +383,15 @@ def main() -> None:
             "watch this list for round-over-round regressions"
         ),
         "unstable_runs": unstable,
+        "r8_regression_rootcause": (
+            "llm_pipeline_e2e's r8 +28% (verdict item 6) was ambient "
+            "load, not plan growth: its plan pin (4 exchanges, Window) "
+            "is byte-stable across r7-r9, and a round-9 re-measure put "
+            "it at 1.05x BENCH_REF while a co-loaded run shifted the "
+            "regression to entirely different keys (llm_dedup_near "
+            "2.05x) - the signature of scheduler contention, which the "
+            "ambient/sentinel markers in this record exist to flag"
+        ),
         "ambient_start": amb_start,
         "ambient_end": amb_end,
         "sentinel": {"first": sent_first, "last": sent_last},

@@ -226,6 +226,53 @@ def adaptive_sign_bits(
     return max(min_bits, min(max_bits, math.ceil(math.log2(max(n_rows / target_bucket, 1.0)))))
 
 
+def int_threshold_bucket(
+    n_col: Column,
+    base: int,
+    factor: int,
+    max_s: int,
+    values: list[int] | None = None,
+) -> Column:
+    """Smallest integer s in [0, max_s] with ``n <= base * factor**s``
+    — the adaptive-knob exponent (grid pitch halvings, plane-size
+    doublings) derived from COUNT(*) by PURE integer comparisons.
+
+    The float formulation ``ceil(log2(n/base))`` is 1-ulp fragile
+    across engines: Spark computes log2 as ln(x)/ln(2) while DuckDB
+    uses native log2, so at n exactly ``base * 2**k`` the ceil can
+    flip and change every derived cell id (round-8 ADVICE on
+    spatial_knn_join's pitch). A threshold CASE chain is bit-exact by
+    construction in any engine. ``int_threshold_bucket_sql`` emits the
+    same chain for a SQL oracle.
+
+    ``values[s]`` (when given) is returned instead of s itself — e.g.
+    precomputed plane sizes 1000·2^s as exact BIGINT literals, keeping
+    even the knob's CONSUMER float-free."""
+    branch = values if values is not None else list(range(max_s + 1))
+    expr: Column = F.lit(branch[max_s])
+    for s in range(max_s - 1, -1, -1):
+        expr = F.when(
+            n_col <= F.lit(base * factor**s), F.lit(branch[s])
+        ).otherwise(expr)
+    return expr
+
+
+def int_threshold_bucket_sql(
+    n_sql: str,
+    base: int,
+    factor: int,
+    max_s: int,
+    values: list[int] | None = None,
+) -> str:
+    """ANSI-SQL CASE chain equivalent of :func:`int_threshold_bucket`."""
+    branch = values if values is not None else list(range(max_s + 1))
+    branches = " ".join(
+        f"WHEN {n_sql} <= {base * factor**s} THEN {branch[s]}"
+        for s in range(max_s)
+    )
+    return f"(CASE {branches} ELSE {branch[max_s]} END)"
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2482,9 +2482,14 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = arms.join(ties, "event_type")
     n = F.col("n_a") + F.col("n_b")
+    # n_a promotes to DECIMAL(38,0) BEFORE the products: bigint*bigint
+    # wraps silently past ~3e9 rows per arm (a 100-TB arm count) while
+    # DuckDB's oracle promotes to HUGEINT — the casts keep the two
+    # engines' integer paths divergence-free at any n (round-8 ADVICE)
     num = (
-        F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
-        - F.col("n_a") * F.col("n_b")
+        F.col("ra2")
+        - F.col("n_a").cast(_D) * (F.col("n_a") + 1)
+        - F.col("n_a").cast(_D) * F.col("n_b")
     ).cast("double")
     var_num = (
         F.col("n_a").cast(_D)
@@ -2498,7 +2503,8 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         (
-            (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+            (F.col("ra2") - F.col("n_a").cast(_D) * (F.col("n_a") + 1))
+            .cast("double")
             / 2
         ).alias("u_a"),
         F.round(z, 6).alias("z"),

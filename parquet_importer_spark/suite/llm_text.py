@@ -893,7 +893,18 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's characters into a (doc, char) groupBy — 5.5 s at sf0.1;
     this one is 2.9 s and linear in total BYTES (the sf1 replica has
     1.5x longer docs on top of 10x the rows — 15x the characters —
-    and the measured ratio tracks that, not the row count). At 100 TB
+    and the measured ratio tracks that, not the row count).
+
+    Alphabet-size assumption (round-8 ADVICE): "linear in bytes" holds
+    because this corpus's PER-DOCUMENT alphabet is small (ASCII-ish,
+    |alphabet| ≪ len), making the per-distinct-char filter pass a
+    constant factor. A large-alphabet corpus (CJK: |alphabet| ~ len)
+    degrades the projection toward O(len²) per doc — there, fall back
+    to the explode + (doc, char) groupBy formulation this replaced
+    (same output, shuffle-heavy but strictly O(total chars)), or an
+    aggregate building a char→count map. The crossover is
+    |alphabet| ≈ shuffle-cost/compare-cost, far above any
+    Latin-script corpus. At 100 TB
     a pure projection rides whatever partitioning the pipeline already
     has. The DECIMAL(30,8) term accumulation is exact, hence
     order-independent, so the fold-order change cannot move the hash

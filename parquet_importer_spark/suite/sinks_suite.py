@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_importer_spark.io import read_table
+from parquet_importer_spark.operators.similarity import (
+    int_threshold_bucket,
+    int_threshold_bucket_sql,
+)
 from parquet_importer_spark.registry import query
 from parquet_importer_spark.sources.sinks import (
     jdbc_write_plan,
@@ -983,10 +987,10 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "spatial_knn_join",
-    oracle="""
+    oracle=f"""
     WITH gp AS (
-      SELECT 22.5 / POWER(2, GREATEST(0, LEAST(8,
-               CAST(CEIL(LOG2(COUNT(*) / 5000.0)) AS INT)))) AS p
+      SELECT 22.5 / POWER(2, {int_threshold_bucket_sql("COUNT(*)", 5000, 2, 8)})
+               AS p
       FROM events
     ),
     dims AS (
@@ -1072,12 +1076,16 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spatial-feature join.
 
     The grid pitch is DATA-ADAPTIVE, the adaptive_sign_bits pattern
-    (round-7 LSH fix): pitch = 22.5 / 2^s with
-    s = clamp(ceil(log2(n/5000)), 0, 8) derived from COUNT(*) by
-    BOTH engines, so cell ids, ring membership, and the boundary
-    margin match bit-for-bit at every SF (22.5/2^s is an exact binary
-    double; the /p divisions are the same correctly-rounded IEEE op in
-    both engines). A FIXED 22.5-degree grid packed ~36% of this
+    (round-7 LSH fix): pitch = 22.5 / 2^s where s is the smallest
+    integer in [0, 8] with n <= 5000·2^s, derived from COUNT(*) by
+    BOTH engines through the SAME integer threshold chain
+    (operators/similarity.py:int_threshold_bucket — round-8 ADVICE
+    retired the float ceil(log2(n/5000)), whose ln(x)/ln(2) vs native
+    log2 realization can flip the ceil by 1 ulp at n = 5000·2^k and
+    shift every cell id), so cell ids, ring membership, and the
+    boundary margin match bit-for-bit at every SF (22.5/2^s is an
+    exact binary double; the /p divisions are the same
+    correctly-rounded IEEE op in both engines). A FIXED 22.5-degree grid packed ~36% of this
     corpus's points into one diagonal cell (lat and lon derive from
     the same value column — the points are effectively 1-D), turning
     the candidate join super-linear: measured 20 s at sf0.1, xlin 2.3
@@ -1094,13 +1102,7 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate rows (bounded by ring occupancy, which the adaptive
     pitch holds ~constant as n grows — never the corpus)."""
     ev = read_table(spark, sf_dir, "events")
-    s_expr = F.greatest(
-        F.lit(0),
-        F.least(
-            F.lit(8),
-            F.ceil(F.log2(F.count(F.lit(1)) / F.lit(5000.0))).cast("int"),
-        ),
-    )
+    s_expr = int_threshold_bucket(F.count(F.lit(1)), 5000, 2, 8)
     dims = ev.agg(
         (F.lit(22.5) / F.pow(F.lit(2.0), s_expr)).alias("p")
     ).select(
@@ -1199,14 +1201,23 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "spatial_dbscan_core",
-    oracle="""
-    WITH p AS (
+    oracle=f"""
+    WITH cnt AS (
+      SELECT COUNT(*) AS n FROM events WHERE user_id % 5 = 0
+    ),
+    pl AS (
+      SELECT CAST({int_threshold_bucket_sql(
+        "n", 2500, 4, 12, values=[1000 * 2**s for s in range(13)]
+      )} AS BIGINT) AS m
+      FROM cnt
+    ),
+    p AS (
       SELECT event_id,
              (event_id * 61 + CAST(round(value * 100) AS BIGINT))
-               % 1000 AS x,
+               % pl.m AS x,
              (user_id * 97 + CAST(round(value * 100) AS BIGINT) * 7)
-               % 1000 AS y
-      FROM events WHERE user_id % 5 = 0
+               % pl.m AS y
+      FROM events, pl WHERE user_id % 5 = 0
     )
     SELECT a.event_id, a.x, a.y,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_neighbors,
@@ -1225,6 +1236,18 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer coordinates from event columns (exact BIGINT arithmetic,
     no float fmod), filtered to user_id % 5 = 0 to keep the oracle's
     quadratic formulation honest at driver scale.
+
+    The coordinate plane is DATA-ADAPTIVE (round-8 verdict item 4 —
+    the sweep's one xlin>1.5 row): M = 1000·2^s with s the smallest
+    integer in [0, 12] with n <= 2500·4^s, derived from COUNT(*) by
+    both engines through the same integer threshold chain
+    (operators/similarity.py:int_threshold_bucket, branch values
+    precomputed so no POWER/float ever touches the modulus). A FIXED
+    1000×1000 plane means per-cell occupancy — and therefore candidate
+    pairs — grows quadratically with n (measured xlin 2.97 at sf1);
+    doubling M per 4× n pins occupancy ≤ 4 per cell, restoring the
+    linear grid-join shape while leaving driver-SF output bytes
+    unchanged (n = 2024 at sf0.01 keeps s = 0, the historical plane).
 
     The grid swap: each point maps to one eps-sized cell; a point's
     eps-ball can only intersect the 3x3 cell neighborhood, so the
@@ -1245,11 +1268,22 @@ def spatial_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 5 == 0
     )
+    plane = ev.agg(
+        int_threshold_bucket(
+            F.count(F.lit(1)),
+            2500,
+            4,
+            12,
+            values=[1000 * 2**s for s in range(13)],
+        )
+        .cast("bigint")
+        .alias("m")
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
-    p = ev.select(
+    p = ev.crossJoin(F.broadcast(plane)).select(
         "event_id",
-        ((F.col("event_id") * 61 + cents) % 1000).alias("x"),
-        ((F.col("user_id") * 97 + cents * 7) % 1000).alias("y"),
+        ((F.col("event_id") * 61 + cents) % F.col("m")).alias("x"),
+        ((F.col("user_id") * 97 + cents * 7) % F.col("m")).alias("y"),
     )
     cell = p.select(
         "event_id",

@@ -263,6 +263,12 @@ def test_verified_tail_is_staleness_ordered(entry):
         and k != entry._SENTINEL
         and k not in errored
         and k not in upgraded
+        # force-recheck keys (code changed after their green row) jump
+        # ahead of the stale rotation by design — not part of the tail
+        and not (
+            k in entry._FORCE_RECHECK
+            and latest[k][0] < entry._FORCE_RECHECK[k]
+        )
     ]
     rounds = [latest[k][0] for k in tail]
     assert rounds == sorted(rounds), (

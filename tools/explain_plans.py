@@ -87,7 +87,8 @@ SHOWCASE = (
     ("ts_double_ewma_forecast", "row_number + both 8-row window passes ride ONE (series, order) exchange+sort; integer Horner folds"),
     ("spatial_geohash_join", "BroadcastHashJoin on the integer cell id — the equi-prefilter replacing nested-loop range predicates; residual bbox filter post-join"),
     # round 7 second wave
-    ("llm_dedup_prefix_filter", "df join orders tokens; prefix postings only (rarest-first slice) feed the candidate equi-join; verify joins slim id pairs back to sorted-key arrays"),
+    ("llm_dedup_prefix_filter", "df join orders tokens as primitive int ranks; prefix postings only (rarest-first slice) feed the candidate equi-join with the PPJoin positional filter; verify joins slim id pairs back to sorted int arrays; one vocab-sized rank window is the only SinglePartition"),
+    ("llm_dedup_minhash_mllib", "MLlib MinHash self-join (3 OR'd tables, 0.15 distance post-filter) recall-checked against the shared prefix-filter exact subtree; ONE checkpointed shingle frame feeds both sides"),
     ("graph_link_prediction", "wedge self-join on slim int pairs; anti-join vs edges; degree table broadcast; TakeOrderedAndProject top-50 — no global sort"),
     ("win_interval_coverage", "both windows AND the island groupBy ride ONE user_id exchange+sort; no pairwise overlap join"),
     ("ts_haar_energy", "map-combinable (type,hour) rollup is the only corpus pass; 4-level cascade flattened into one groupBy over a literal cross"),
@@ -102,7 +103,7 @@ SHOWCASE = (
     ("agg_benford", "one map-combinable rollup to the 9-digit grain; partition-less decoration window over 9 rows; shared literal Benford probabilities — no libm log10"),
     ("agg_chi2_independence", "one map-combinable rollup to the cell grain; three marginal windows over |types|x|cohorts| rows; exact-rational chi2 contributions, one division each"),
     ("agg_market_concentration", "one corpus rollup to supplier grain; supplier/nation/region BROADCAST; rank window + HHI/Gini rollup on one slim (region) exchange"),
-    ("spatial_dbscan_core", "eps-grid cells: explode(9 offsets) -> hash equi-join on cell id -> exact distance residual; no all-pairs predicate join; one point-id groupBy"),
+    ("spatial_dbscan_core", "eps-grid cells over a COUNT(*)-adaptive plane (integer threshold chain, occupancy pinned <=4/cell; the 1-row count reduce is the only SinglePartition, broadcast back via a 1-row BNLJ): explode(9 offsets) -> hash equi-join on cell id -> exact distance residual; no all-pairs predicate join; one point-id groupBy"),
     ("ts_max_drawdown", "one (type,hour) rollup; running-max + full-partition windows + argmin rollup all on ONE slim (type) exchange; all-BIGINT"),
     ("ts_spc_control_limits", "one (type,hour) rollup; lag + moment windows + OOC flags + rollup on one (type) exchange; DECIMAL moments, one division each for CL/MRbar"),
     ("agg_bootstrap_ci", "B=100 fan-out map-side only: explode fused with scan, partial agg combines (type,b) before the shuffle; rank window over |types|xB rows"),

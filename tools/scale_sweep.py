@@ -49,15 +49,25 @@ def main() -> None:
         for n in QUERIES
         if n not in SKIP and (not only or any(n.startswith(p) for p in only))
     ]
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 2)
+
     for i, name in enumerate(names):
         row: dict = {}
         try:
-            for key, sf_dir in (("sf01", SF01), ("sf1", SF1)):
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                row[key] = round(time.perf_counter() - t0, 2)
+            row["sf01"] = timed(name, SF01)
+            row["sf1"] = timed(name, SF1)
+            if row["sf01"] > row["sf1"]:
+                # a 10x input running FASTER is ambient noise (Janino
+                # codegen on first plan compile, GC) by definition —
+                # re-time both and keep the min (round-8 verdict item 5:
+                # ts_gap_fill read 15.6 s sf0.1 vs 5.0 s sf1 on one run)
+                row["sf01"] = min(row["sf01"], timed(name, SF01))
+                row["sf1"] = min(row["sf1"], timed(name, SF1))
             row["xlin"] = round(row["sf1"] / (10.0 * max(row["sf01"], 0.05)), 2)
             results[name] = row
         except Exception as exc:
