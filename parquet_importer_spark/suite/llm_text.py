@@ -886,54 +886,54 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches exactly.
 
     Scale shape: ZERO shuffle — the whole histogram lives inside array
-    expressions per document (split → array_distinct → per-char count
-    via filter/size, O(len x alphabet) codegen work), and the entropy
-    fold runs over the <=|alphabet|-sized counts array. The original
-    formulation exploded one ROW PER CHARACTER and shuffled the whole
-    corpus's characters into a (doc, char) groupBy — 5.5 s at sf0.1;
-    this one is 2.9 s and linear in total BYTES (the sf1 replica has
-    1.5x longer docs on top of 10x the rows — 15x the characters —
-    and the measured ratio tracks that, not the row count).
-
-    Alphabet-size assumption (round-8 ADVICE): "linear in bytes" holds
-    because this corpus's PER-DOCUMENT alphabet is small (ASCII-ish,
-    |alphabet| ≪ len), making the per-distinct-char filter pass a
-    constant factor. A large-alphabet corpus (CJK: |alphabet| ~ len)
-    degrades the projection toward O(len²) per doc — there, fall back
-    to the explode + (doc, char) groupBy formulation this replaced
-    (same output, shuffle-heavy but strictly O(total chars)), or an
-    aggregate building a char→count map. The crossover is
-    |alphabet| ≈ shuffle-cost/compare-cost, far above any
-    Latin-script corpus. At 100 TB
+    expressions per document. History: the original formulation
+    exploded one ROW PER CHARACTER and shuffled the whole corpus's
+    characters into a (doc, char) groupBy (5.5 s at sf0.1); round 8
+    replaced it with a per-distinct-char filter pass — but that is
+    O(len × |alphabet|) per doc, and the round-9 de-noised sweep
+    caught it super-linear (xlin 1.63: the sf1 replica's ``_r{N}``
+    token tags GROW the alphabet on top of 15× the characters —
+    exactly the large-alphabet degradation the round-8 ADVICE
+    predicted). Now: sort the char array once (O(n log n), JVM
+    intrinsic), join it back to a string, and split it into maximal
+    equal-char runs with ONE regex scan (``(.)\\1*`` via
+    regexp_extract_all — run lengths of a sorted string ARE the
+    per-char counts). All per-character work is compiled JVM code; the
+    only interpreted higher-order fold runs over the ≤|alphabet| run
+    strings (an interpreted lambda fold over raw CHARACTERS measured
+    8.5 s at sf0.1 — µs-scale state allocation per element; keep folds
+    on reduced arrays). Alphabet-independent. Every count still
+    contributes the identical ROUND(c · ln(c/n), 8) IEEE tree
+    accumulated in DECIMAL(30,8) (exact ⇒ order-free), so the SQL
+    oracle is unchanged through all three formulations. At 100 TB
     a pure projection rides whatever partitioning the pipeline already
     has. The DECIMAL(30,8) term accumulation is exact, hence
     order-independent, so the fold-order change cannot move the hash
     and the SQL oracle is unchanged."""
     d = read_table(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    # maximal equal-char runs of the sorted character string; '.' never
+    # meets a newline because \s+ was stripped above
+    runs = F.expr(
+        r"regexp_extract_all(array_join(array_sort(split(s, '')), ''),"
+        r" '(.)\\1*', 0)"
+    )
     base = (
         d.select("doc_id", s.alias("s"))
         .filter(F.length("s") >= 1)
         .select(
             "doc_id",
             F.length("s").cast("bigint").alias("n"),
-            F.split(F.col("s"), "").alias("cs"),
+            F.transform(runs, lambda r: F.length(r).cast("bigint")).alias(
+                "counts"
+            ),
         )
-        .select(
-            "doc_id", "n", "cs", F.array_distinct("cs").alias("alphabet")
-        )
-    )
-    counts = F.transform(
-        F.col("alphabet"),
-        lambda ch: F.size(F.filter(F.col("cs"), lambda c: c == ch)).cast(
-            "bigint"
-        ),
     )
     term = lambda c: F.round(  # noqa: E731 — shared IEEE tree, both engines
         c.cast("double") * F.log(c.cast("double") / F.col("n")), 8
     ).cast("decimal(30,8)")
     tsum = F.aggregate(
-        counts,
+        F.col("counts"),
         F.lit(0).cast("decimal(30,8)"),
         # decimal + widens to (31,8); cast back — lossless at these
         # magnitudes (|term| < len * ln(len)) and required by aggregate's
@@ -943,7 +943,7 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.col("n").alias("n_chars_nospace"),
-        F.size("alphabet").cast("bigint").alias("n_distinct_chars"),
+        F.size("counts").cast("bigint").alias("n_distinct_chars"),
         F.round(-tsum.cast("double") / F.col("n"), 6).alias("entropy"),
     )
 
