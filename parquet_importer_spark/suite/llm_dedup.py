@@ -246,9 +246,37 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(read_table(spark, sf_dir, "documents")).select(
         "doc_id", shingles(F.col("text"), 2).alias("toks")
     ).localCheckpoint(eager=False)
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14)
+    # HashingTF's feature width must TRACK the shingle vocabulary: with
+    # vocab >> numFeatures, distinct shingles alias onto shared feature
+    # indices, every doc's feature set inflates toward everyone else's,
+    # and MinHash bucket pairs grow super-linearly — the 100x ladder
+    # rung measured 420 s in the LSH join at 90k vocab over 16k fixed
+    # features vs ~100 s at 2^18 (SCALE_LADDER.json, round 9). One HLL
+    # pass sizes the knob: next_pow2(4*vocab), floored at the
+    # historical 2^14 so every corpus with vocab <= 16384 — all
+    # driver-checked SFs and the sf1 replica — keeps byte-identical
+    # behavior. Driver-side float log2 is fine here: the oracle models
+    # the RECALL contract, never the LSH internals this knob tunes.
+    import math  # noqa: PLC0415
+
+    vocab = int(
+        docs.select(F.explode("toks").alias("g"))
+        .agg(F.approx_count_distinct("g").alias("v"))
+        .first()["v"]
+    )
+    num_features, num_tables = 1 << 14, 3
+    if vocab > (1 << 14):
+        num_features = 1 << min(22, math.ceil(math.log2(4.0 * vocab)))
+        # a wide feature space removes the aliasing that INFLATED
+        # feature-Jaccard above true Jaccard, so borderline ~0.90 pairs
+        # lose that accidental recall cushion — one more OR table
+        # ((1-s)^4 vs (1-s)^3) restores it: 25400/25400 recalled at the
+        # 100x rung vs 25399 with 3 tables, at ~the same join cost
+        # because the wide space already collapsed the bucket sizes
+        num_tables = 4
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features)
     feat = tf.transform(docs).filter(F.size("toks") > 0).localCheckpoint(eager=False)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)
     model = mh.fit(feat)
     # distance threshold 0.15, NOT 0.8: approxSimilarityJoin decides
     # RECALL at bucket-collision time and only then computes the exact

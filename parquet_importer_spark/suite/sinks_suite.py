@@ -989,7 +989,7 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spatial_knn_join",
     oracle=f"""
     WITH gp AS (
-      SELECT 22.5 / POWER(2, {int_threshold_bucket_sql("COUNT(*)", 5000, 2, 8)})
+      SELECT 22.5 / POWER(2, {int_threshold_bucket_sql("COUNT(*)", 5000, 2, 12)})
                AS p
       FROM events
     ),
@@ -1077,7 +1077,11 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid pitch is DATA-ADAPTIVE, the adaptive_sign_bits pattern
     (round-7 LSH fix): pitch = 22.5 / 2^s where s is the smallest
-    integer in [0, 8] with n <= 5000·2^s, derived from COUNT(*) by
+    integer in [0, 12] with n <= 5000·2^s (the round-8 clamp of 8
+    saturated at the 100× ladder rung — n = 10M wants s = 11, and the
+    pinned-occupancy argument only holds while the clamp is slack;
+    s ≤ 8 is unchanged for every n ≤ 1.28M, so all driver-checked SFs
+    keep their historical grids), derived from COUNT(*) by
     BOTH engines through the SAME integer threshold chain
     (operators/similarity.py:int_threshold_bucket — round-8 ADVICE
     retired the float ceil(log2(n/5000)), whose ln(x)/ln(2) vs native
@@ -1102,7 +1106,7 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate rows (bounded by ring occupancy, which the adaptive
     pitch holds ~constant as n grows — never the corpus)."""
     ev = read_table(spark, sf_dir, "events")
-    s_expr = int_threshold_bucket(F.count(F.lit(1)), 5000, 2, 8)
+    s_expr = int_threshold_bucket(F.count(F.lit(1)), 5000, 2, 12)
     dims = ev.agg(
         (F.lit(22.5) / F.pow(F.lit(2.0), s_expr)).alias("p")
     ).select(

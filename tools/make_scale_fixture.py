@@ -34,9 +34,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import sys
+
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
-REPLICAS = 10
+# usage: python tools/make_scale_fixture.py [replicas] [name]
+# default 10 replicas -> .scale/sf1; `100 sf10` builds the 100x ladder
+# rung used by tools/scale_ladder.py (same tagging scheme, so the
+# duplicate-cluster distribution repeats per replica at every rung)
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_NAME = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", _NAME
+)
 OFF = 10_000_000
 
 
