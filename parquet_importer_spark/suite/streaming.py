@@ -844,7 +844,17 @@ def stream_jdbc_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches as the chunks and per-partition batched JDBC
     connections instead of the reference's single connection; the
     availableNow drain makes the result batch-equal, so the oracle
-    hash-checks the full pipeline including the database hop."""
+    hash-checks the full pipeline including the database hop.
+
+    Scale note (round-9 100× ladder, xlin_b 1.85): the super-linear
+    term is the EXTERNAL system, not the plan — embedded Derby's
+    insert throughput decays as its table grows (56k rows/s at 1M
+    rows → 30k at 10M; single-JVM lock manager + b-tree growth). The
+    Spark side is one availableNow drain with per-partition batched
+    writes either way. The production-scale path for bulk DB loads is
+    the COPY-protocol sink (sink_postgres_copy, ~300k rows/s live,
+    xlin 0.33); this key keeps Derby because it is the only engine the
+    sandbox lets the STREAMING hop hash-verify end-to-end."""
     from parquet_importer_spark.sources.sinks import write_jdbc
     from parquet_importer_spark.streaming.microbatch import as_stream_dir
 
