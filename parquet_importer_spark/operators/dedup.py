@@ -1069,6 +1069,15 @@ def prefix_filter_jaccard_pairs_from_sets(
     (e.g. the MLlib MinHash recall harness, which feeds the SAME
     2-gram sets to HashingTF) don't re-tokenize the corpus.
 
+    PRECONDITION — ``set_col`` arrays must be duplicate-free (SETS, not
+    bags). The df aggregate counts exploded rows and ``sz`` feeds the
+    union size as ``sza + szb − inter``, while the verification's
+    ``array_intersect`` dedupes — duplicate elements would silently
+    inflate df and union and deflate every Jaccard. Both in-repo
+    callers pass ``array_distinct``'ed shingles (pinned by
+    tests/test_round9_ops.py::test_prefix_filter_from_sets_requires_distinct);
+    new callers must ``F.array_distinct`` first (cheap, idempotent).
+
     Two engineering upgrades over the round-7 string-keyed form, both
     output-invariant (the candidate set can only shrink; verification
     is a bijection away from the old one, so d1/d2/inter/union/jacc

@@ -214,14 +214,21 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — but its RECALL contract can. The query computes the exact
     2-gram-Jaccard ≥ 0.9 pair set and flags each pair with whether the
     MLlib LSH join surfaced it. The oracle recomputes the exact pair
-    set and asserts ``found_by_lsh`` literally — with 2 OR-amplified
+    set and asserts ``found_by_lsh`` literally — with 3 OR-amplified
     hash tables a 0.9-similar pair collides with probability
-    ≥ 1 − (1 − s)² = 0.99, and the fixed seed makes the outcome
-    deterministic per dataset, so a recall break hash-mismatches
-    (verified: 2 tables surface the identical pair set 4 did at
-    sf0.01/sf0.1/sf1, at half the bucket-pair distance evaluations —
-    MLlib computes an exact distance per colliding pair, which was
-    this query's single largest cost at 1.3M bucket pairs).
+    ≥ 1 − (1 − s)³ = 0.999, and the fixed seed makes the outcome
+    deterministic per dataset, so a recall break hash-mismatches.
+    3 tables is MEASURED, not theoretical headroom: h=2 missed 5 of
+    2540 exact ≥0.9 pairs at sf1 (SURVEY §8.4) — borderline s≈0.9
+    pairs miss with probability (1−s)² ≈ 1%, and thousands of pairs
+    make that a near-certain driver mismatch — while h=3 surfaced
+    every exact pair at sf0.01/sf0.1/sf1. The wide-vocab regime below
+    escalates to h=4 because de-aliasing the feature space removes an
+    accidental recall cushion (aliasing inflates feature-Jaccard above
+    true Jaccard). Each extra table costs little here: MLlib computes
+    an exact distance per colliding bucket pair — this query's single
+    largest cost at 1.3M pairs — and the 0.15 distance threshold, not
+    the table count, bounds that set.
 
     Ground truth is AllPairs/PPJoin prefix filtering (shared
     ``prefix_filter_jaccard_pairs`` subtree, t = 9/10), NOT the full

@@ -12,16 +12,26 @@ rotation puts it at the front of the next driver window and graduates
 it automatically once the driver re-confirms).
 
 Granularity is the decorated function's source span per git diff
-(base = the commit that last touched the newest correctness file,
-compared against the WORKING TREE, so uncommitted edits count too).
-Docstring-only edits flag conservatively — a cheap re-check beats a
-stale certification. Shared-helper edits (operators/*) are out of
-scope here; in practice every helper change this repo has shipped also
-touched its suite-level consumers' docstrings, which this guard sees.
+(base = the commit that last touched the newest COMMITTED correctness
+file, compared against the WORKING TREE, so uncommitted edits count
+too; an uncommitted newest-round file falls back to the prior round's
+commit instead of silently disabling the guard — round-9 advice).
+Docstring-only edits are exempted PRECISELY (round-9 verdict hint):
+a flagged function whose AST — docstrings stripped, nested defs
+included — is byte-identical between base and working tree changed no
+behavior, so its existing driver row still certifies the shipped
+code. Anything the AST comparison can't prove identical (new
+function, parse failure, any non-docstring node) flags conservatively
+— a cheap re-check beats a stale certification. Shared-helper edits
+(operators/*) are out of scope here; in practice every helper change
+this repo has shipped also touched its suite-level consumers'
+behavior lines, which this guard sees.
 """
 
 from __future__ import annotations
 
+import ast
+import copy
 import glob
 import importlib.util
 import inspect
@@ -42,21 +52,31 @@ def _entry_module():
 
 
 def _newest_correctness() -> tuple[int, str] | None:
+    """(round, base commit) of the newest correctness file that git
+    knows about. The newest round's file is typically untracked while
+    that round is still being built — `git log -1 -- <file>` returns
+    empty for it, and returning None there would disable the guard in
+    exactly the tree that needs it (round-9 advice). Walk down to the
+    newest COMMITTED file instead; its commit is the correct diff base
+    because every row in an uncommitted newer file was measured against
+    code at-or-after that commit anyway."""
     files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-    if not files:
-        return None
-    newest = max(
-        files, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-    )
-    rnd = int(re.search(r"r(\d+)", os.path.basename(newest)).group(1))
-    base = subprocess.run(
-        ["git", "log", "-1", "--format=%H", "--", os.path.basename(newest)],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.strip()
-    return (rnd, base) if base else None
+    for path in sorted(
+        files,
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    ):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        base = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", os.path.basename(path)],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        if base:
+            return (rnd, base)
+    return None
 
 
 def _changed_ranges(base: str) -> dict[str, list[tuple[int, int]]]:
@@ -92,6 +112,69 @@ def _changed_ranges(base: str) -> dict[str, list[tuple[int, int]]]:
     return out
 
 
+def _strip_docstrings(node: ast.AST) -> ast.AST:
+    """Remove every docstring (module/class/function, nested included)
+    from a COPY of the tree, so two versions differing only in doc
+    text compare equal under ast.dump."""
+    node = copy.deepcopy(node)
+    for sub in ast.walk(node):
+        if isinstance(
+            sub, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ) and sub.body:
+            first = sub.body[0]
+            if (
+                isinstance(first, ast.Expr)
+                and isinstance(first.value, ast.Constant)
+                and isinstance(first.value.value, str)
+            ):
+                # keep the body non-empty (a docstring-only body would
+                # otherwise become syntactically invalid for dump)
+                sub.body = sub.body[1:] or [ast.Pass()]
+    return node
+
+
+def _function_dumps(source: str, name: str) -> list[str] | None:
+    """Docstring-stripped ast.dump of every def named `name` in
+    `source`, or None if the source doesn't parse."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return None
+    return sorted(
+        ast.dump(_strip_docstrings(sub))
+        for sub in ast.walk(tree)
+        if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and sub.name == name
+    )
+
+
+def _doc_only_change(base: str, rel: str, fn_name: str) -> bool:
+    """True iff every def named `fn_name` in `rel` has an identical
+    docstring-stripped AST at `base` and in the working tree — i.e.
+    the flagged diff cannot have changed the function's behavior."""
+    shown = subprocess.run(
+        ["git", "show", f"{base}:{rel}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if shown.returncode != 0:
+        return False  # file absent at base: not provably doc-only
+    try:
+        with open(os.path.join(REPO, rel)) as fh:
+            now = fh.read()
+    except OSError:
+        return False
+    then_dumps = _function_dumps(shown.stdout, fn_name)
+    now_dumps = _function_dumps(now, fn_name)
+    return (
+        then_dumps is not None
+        and now_dumps is not None
+        and bool(now_dumps)
+        and then_dumps == now_dumps
+    )
+
+
 def test_changed_queries_are_scheduled_for_recheck():
     meta = _newest_correctness()
     if meta is None:
@@ -124,6 +207,8 @@ def test_changed_queries_are_scheduled_for_recheck():
         end = start + len(lines) - 1
         if not any(a <= end and b >= start for a, b in spans):
             continue
+        if _doc_only_change(base, rel, fn.__name__):
+            continue  # prose changed, behavior didn't: row still current
         # this key's implementation changed since round `rnd` recorded
         if key not in latest:
             continue  # never driver-checked: already in the priority tier
@@ -138,6 +223,43 @@ def test_changed_queries_are_scheduled_for_recheck():
         "queries changed since CORRECTNESS_r%d but not scheduled in "
         "__spark_entry__._FORCE_RECHECK: %s" % (rnd, ", ".join(offenders))
     )
+
+
+def test_doc_only_exemption_is_precise():
+    """The AST comparison must exempt docstring edits (top-level and
+    nested) and nothing else — a constant, operator, or default tweak
+    still flags."""
+    base = (
+        "def q(spark, sf):\n"
+        '    """old prose."""\n'
+        "    def inner():\n"
+        '        """old inner prose."""\n'
+        "        return 1\n"
+        "    return inner() + 2\n"
+    )
+    doc_edit = base.replace("old prose", "new prose").replace(
+        "old inner prose", "new inner prose"
+    )
+    behavior_edit = base.replace("+ 2", "+ 3")
+    default_edit = base.replace("def q(spark, sf):", "def q(spark, sf=1):")
+    assert _function_dumps(base, "q") == _function_dumps(doc_edit, "q")
+    assert _function_dumps(base, "q") != _function_dumps(behavior_edit, "q")
+    assert _function_dumps(base, "q") != _function_dumps(default_edit, "q")
+    assert _function_dumps("def q(:\n", "q") is None  # parse failure flags
+    assert _function_dumps(base, "absent") == []  # missing def flags
+
+
+def test_newest_correctness_skips_untracked(tmp_path):
+    """An uncommitted newest-round file must not disable the guard:
+    the returned base is always a real commit (round-9 advice)."""
+    meta = _newest_correctness()
+    assert meta is not None, "no committed correctness file found"
+    rnd, base = meta
+    assert re.fullmatch(r"[0-9a-f]{40}", base)
+    shown = subprocess.run(
+        ["git", "cat-file", "-t", base], cwd=REPO, capture_output=True, text=True
+    )
+    assert shown.stdout.strip() == "commit"
 
 
 def test_force_recheck_keys_are_registered():

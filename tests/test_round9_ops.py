@@ -104,3 +104,53 @@ def test_prefix_filter_int_rank_path_matches_capped_string_path(spark):
     )
     assert uncapped == capped
     assert len(uncapped) > 0
+
+
+def test_prefix_filter_from_sets_requires_distinct(spark):
+    """prefix_filter_jaccard_pairs_from_sets treats set_col as SETS
+    (round-9 advice: duplicates inflate df/union while array_intersect
+    dedupes, silently corrupting Jaccard). Pin three things: (1) on a
+    bag input the corruption is real — the documented footgun, not a
+    theoretical one; (2) array_distinct-ing the same input yields the
+    true Jaccard; (3) both in-repo callers are safe because the shared
+    shingles() builder emits distinct arrays."""
+    from parquet_importer_spark.functions.text import shingles, shingles_all
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs_from_sets,
+    )
+
+    # |{a,b,c,d} ∩ {a,b,c,e}| / |∪| = 3/5; the bag row duplicates 'a'
+    bag = spark.createDataFrame(
+        [(1, ["a", "a", "b", "c", "d"]), (2, ["a", "b", "c", "e"])],
+        "doc_id int, g array<string>",
+    )
+    run = lambda df: {  # noqa: E731
+        (r["d1"], r["d2"]): (r["inter_sz"], r["union_sz"], float(r["jacc"]))
+        for r in prefix_filter_jaccard_pairs_from_sets(
+            df, "doc_id", "g", t_num=1, t_den=2
+        ).collect()
+    }
+    corrupted = run(bag)
+    clean = run(bag.select("doc_id", F.array_distinct("g").alias("g")))
+    assert clean[(1, 2)] == (3, 5, 0.6)
+    # the duplicate inflates sz(doc1) 4→5, so union reads 6, jacc 0.5
+    assert corrupted[(1, 2)] == (3, 6, 0.5)
+
+    # caller safety: shingles() (used by both in-repo callers) is
+    # array_distinct(shingles_all()) — no duplicates can reach the helper
+    docs = read_table(spark, SF_ORACLE, "documents").limit(50)
+    dup_rows = (
+        docs.select(shingles(F.col("text"), 2).alias("g"))
+        .filter(F.size("g") != F.size(F.array_distinct("g")))
+        .count()
+    )
+    assert dup_rows == 0
+    # and shingles_all (the bag variant) is NOT fed to the helper: the
+    # distinction exists, so this corpus genuinely exercises it
+    bag_rows = (
+        docs.select(shingles_all(F.col("text"), 2).alias("g"))
+        .filter(F.size("g") != F.size(F.array_distinct("g")))
+        .count()
+    )
+    assert bag_rows > 0
