@@ -15,10 +15,22 @@ decade is a real super-linear term that the first decade hid.
 
     python tools/scale_ladder.py            # the default list
     python tools/scale_ladder.py graph_     # prefix filter
+    python tools/scale_ladder.py --missing      # every registry key not yet laddered
+    python tools/scale_ladder.py --missing 40   # ...first 40 of those (tranche)
 
 Writes SCALE_LADDER.json {key: {sf01, sf1, sf10, xlin_a, xlin_b}}.
 Single-run timings with the sweep's min-of-2 rule per adjacent pair
 (re-time when a smaller SF reads slower than the next rung).
+
+stream_jdbc_import gets a SPLIT row (round-9 verdict item 3): its
+total time includes embedded Derby's insert wall (throughput decays
+56k→30k rows/s as the table grows — an external term), which as a
+single number could mask a genuine Spark-side regression. The ladder
+therefore also times the IDENTICAL streaming drain (same readStream →
+select → foreachBatch availableNow shape) against a noop batch sink
+at every rung, and reports drain_* and drain_xlin_b alongside — the
+Spark hop's own ≤1.2 gate, with the Derby term isolated as the
+remainder.
 """
 
 from __future__ import annotations
@@ -31,6 +43,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: excluded from the ladder for the same reason the 10x sweep excludes
+#: them (tools/scale_sweep.py SKIP): both write into the LIVE scratch
+#: Postgres — timing them at sf10 would bulk-load 60M rows into a
+#: shared external server per run, and their scale story is the COPY
+#: throughput measurement in SURVEY §6, not an xlin slope. Pinned by
+#: tests/test_scale_sweep_coverage.py.
+SKIP = frozenset({"sink_postgis", "sink_postgres_copy"})
+
 RUNGS = (
     ("sf01", "/root/testdata/sf0.1"),
     ("sf1", os.path.join(ROOT, ".scale", "sf1")),
@@ -70,16 +91,63 @@ DEFAULT_KEYS = (
 )
 
 
+def _drain_only(spark, sf_dir: str) -> None:
+    """stream_jdbc_import's exact Spark-side shape — readStream over the
+    events parquet, the same 2-column projection, foreachBatch with an
+    availableNow drain — but the batch sink is noop instead of Derby
+    JDBC. Timing this isolates the streaming hop from the external
+    insert wall (see module docstring)."""
+    import tempfile  # noqa: PLC0415
+
+    from parquet_importer_spark.io import table_path  # noqa: PLC0415
+    from parquet_importer_spark.streaming.microbatch import (  # noqa: PLC0415
+        as_stream_dir,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    ckpt = tempfile.mkdtemp(prefix="pis_drain_ckpt_")
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.write.format("noop").mode("overwrite").save()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(as_stream_dir(table_path(sf_dir, "events")))
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def main() -> None:
     from parquet_importer_spark.session import get_spark
     from parquet_importer_spark.suite import QUERIES
 
-    only = tuple(sys.argv[1:])
-    keys = [
-        k
-        for k in (only and [q for q in QUERIES if any(q.startswith(p) for p in only)] or DEFAULT_KEYS)
-        if k in QUERIES
-    ]
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--missing":
+        path = os.path.join(ROOT, "SCALE_LADDER.json")
+        done: dict = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                done = json.load(fh).get("results", {})
+        keys = [k for k in QUERIES if k not in done and k not in SKIP]
+        if len(argv) > 1:
+            keys = keys[: int(argv[1])]
+    else:
+        only = tuple(argv)
+        keys = [
+            k
+            for k in (
+                only
+                and [q for q in QUERIES if any(q.startswith(p) for p in only)]
+                or DEFAULT_KEYS
+            )
+            if k in QUERIES and k not in SKIP
+        ]
     spark = get_spark("scale-ladder")
 
     def timed(key: str, sf_dir: str) -> float:
@@ -101,6 +169,24 @@ def main() -> None:
                 row["sf1"] = min(row["sf1"], timed(key, RUNGS[1][1]))
             row["xlin_a"] = round(row["sf1"] / (10 * max(row["sf01"], 0.05)), 2)
             row["xlin_b"] = round(row["sf10"] / (10 * max(row["sf1"], 0.05)), 2)
+            if key == "stream_jdbc_import":
+                # Spark-drain-vs-Derby-insert split (module docstring)
+                for name, sf_dir in RUNGS:
+                    t0 = time.perf_counter()
+                    _drain_only(spark, sf_dir)
+                    row[f"drain_{name}"] = round(time.perf_counter() - t0, 2)
+                if row["drain_sf01"] > row["drain_sf1"]:
+                    t0 = time.perf_counter()
+                    _drain_only(spark, RUNGS[0][1])
+                    row["drain_sf01"] = min(
+                        row["drain_sf01"], round(time.perf_counter() - t0, 2)
+                    )
+                row["drain_xlin_b"] = round(
+                    row["drain_sf10"] / (10 * max(row["drain_sf1"], 0.05)), 2
+                )
+                row["derby_insert_sf10"] = round(
+                    row["sf10"] - row["drain_sf10"], 2
+                )
             results[key] = row
             print(f"{key}: {row}", file=sys.stderr)
         except Exception as exc:
