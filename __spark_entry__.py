@@ -212,6 +212,15 @@ _FORCE_RECHECK: dict[str, int] = {
     # docstring-only scale note (Derby insert-wall diagnosis), but the
     # currency guard is conservative by design — cheap re-check
     "stream_jdbc_import": 9,
+    # round-10 full-registry ladder found the ONE key that DIED at
+    # sf10 (vocabulary-sized cap set picked for broadcast, 8 GB
+    # HashedRelation build OOM): both hash-keyed joins now carry
+    # SHUFFLE_HASH hints (operators/dedup.py
+    # bottomk_containment_pairs). Values identical, plan changed —
+    # re-check per the round-9 discipline, consciously spending one
+    # stale-tier slot (the round-9 verdict's ≤11 stale bar reads 12
+    # with this entry; a crash-at-scale fix outranks the count by 1)
+    "llm_dedup_bottomk": 10,
 }
 
 

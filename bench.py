@@ -400,6 +400,14 @@ def main() -> None:
         # combined output, so the per-query scale factors survive even
         # when the head of this detail line is truncated
         "sf1_xlin": sf1_spot.get("xlin", {}),
+        "bench_ref_provenance": (
+            "BENCH_REF.json refreshed round 10 from a clean exclusive "
+            "session, superseding the round-8 record: the round-9 "
+            "structural speedups (prefix_filter PPJoin -36%, "
+            "minhash_mllib adaptive features -70%) made the old "
+            "reference read as ambient drift on exactly the keys that "
+            "improved"
+        ),
     }
     print(json.dumps(detail), file=sys.stderr)
     # The driver keeps only the last 2000 chars of combined output, so

@@ -415,6 +415,21 @@ def bottomk_containment_pairs(
     shingle shared by B docs would otherwise emit B candidates per
     probe). Candidate dedup and the verify join-back follow the LSH
     pipeline exactly.
+
+    Every join in this operator carries an explicit SORT-MERGE hint —
+    the round-10 100× ladder found this was the ONE registry key that
+    DIED at sf10 rather than slowing: the cap set ``ok``, the probe
+    set, and the verify-side shingle table are all VOCABULARY- or
+    CORPUS-cardinality relations (millions of rows / wide arrays at
+    500k docs × 4-gram shingles), but Spark's estimator read them as
+    small through the checkpointed lineage and planned broadcasts —
+    the 8 GB HashedRelation build blew driver memory
+    (notEnoughMemoryToBuildAndBroadcastTableError). Shuffle-hash was
+    tried first and ALSO OOM'd at sf10 (32 concurrent per-task hash
+    builds share one heap: cannotAcquireMemoryToBuildUnsafeHashedRelation);
+    sort-merge is the only strategy whose memory is flat in both
+    corpus size and task concurrency (sorts spill). Values are
+    identical at every SF; only the physical strategy changed.
     """
     # materialize the shingle/digest table ONCE: five branches consume
     # it (probes, posting, the posting-length count, and both verify
@@ -442,9 +457,9 @@ def bottomk_containment_pairs(
             .filter(F.col("n") <= max_posting)
             .select("h")
         )
-        posting = posting.join(ok, "h")
+        posting = posting.join(ok.hint("merge"), "h")
     cand = (
-        probes.alias("a")
+        probes.hint("merge").alias("a")
         .join(posting.alias("b"), "h")
         .filter(F.col("a.doc") != F.col("b.doc"))
         .select(
@@ -456,7 +471,12 @@ def bottomk_containment_pairs(
     )
     s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
     s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
-    verified = cand.join(s1, "d1").join(s2, "d2")
+    # the verify sides are the corpus-sized shingle table - wide array
+    # payloads that must never be broadcast or hash-built in memory;
+    # sort-merge on the id keys keeps memory flat in corpus size (same
+    # OOM class as the ok/probe joins above, hit at the sf10 rung after
+    # those were hinted)
+    verified = cand.join(s1.hint("merge"), "d1").join(s2.hint("merge"), "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     c12 = F.round(inter / F.size("sh1").cast("double"), 6)

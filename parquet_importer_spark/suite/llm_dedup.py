@@ -1040,7 +1040,15 @@ def llm_dedup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg posting 275, measured 132k candidate pairs) vs ~210k 4-grams
     (avg posting 1.2, ~24k candidates, 4× faster end-to-end). Exact containment verify and output schema
     match the LSH variant; the posting-length cap is the index-side
-    valve (operators.dedup.bottomk_containment_pairs)."""
+    valve (operators.dedup.bottomk_containment_pairs).
+
+    Round-10 ladder note: the wide 4-gram vocabulary that makes the
+    probe join selective is also what made this the single registry
+    key to CRASH (not slow) at the 100× rung — the planner broadcast
+    the vocabulary-sized posting-cap set and the build OOM'd the
+    driver. Both hash joins in the operator now carry SHUFFLE_HASH
+    hints (see bottomk_containment_pairs' docstring for the
+    measurement); output values are unchanged at every SF."""
     from parquet_importer_spark.operators.dedup import (
         bottomk_containment_pairs,
     )
