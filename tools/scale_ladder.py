@@ -17,6 +17,13 @@ decade is a real super-linear term that the first decade hid.
     python tools/scale_ladder.py graph_     # prefix filter
     python tools/scale_ladder.py --missing      # every registry key not yet laddered
     python tools/scale_ladder.py --missing 40   # ...first 40 of those (tranche)
+    python tools/scale_ladder.py --rung3 llm_dedup_editdist ...
+        # THIRD decade (sf100 = 1000x, tools/make_scale_fixture.py 1000
+        # sf100): adds sf100 + xlin_c to the named keys' existing rows.
+        # Every decade so far has exposed a term the previous one hid
+        # (fixed-width hashes at 10x->100x); this rung is for the keys
+        # whose bound arguments are cap- or clamp-based and should be
+        # WATCHED where they saturate, not trusted.
 
 Writes SCALE_LADDER.json {key: {sf01, sf1, sf10, xlin_a, xlin_b}}.
 Single-run timings with the sweep's min-of-2 rule per adjacent pair
@@ -123,11 +130,87 @@ def _drain_only(spark, sf_dir: str) -> None:
     q.awaitTermination()
 
 
+#: heap for the 1000x rung's per-key JVMs. The sf0.1..sf10 rungs run
+#: on the 8g default; 5M-doc / 600M-lineitem inputs need working-set
+#: headroom a real cluster's executors would have (the first shared-JVM
+#: rung-3 attempt died of heap poisoning after one key OOM'd and took
+#: the rest of the list with it — process isolation + honest memory).
+RUNG3_MEM = os.environ.get("SPARK_GRAFT_RUNG3_MEM", "48g")
+
+
+def _rung3(keys: list[str]) -> None:
+    """Add the sf100 (1000x) rung to existing ladder rows in place.
+
+    Each key runs in a FRESH subprocess/JVM (``--rung3-one``): an OOM
+    at this scale poisons the shared heap and a stopped SparkContext
+    fails every later key, so isolation is what makes a per-key
+    error attributable to the KEY."""
+    import subprocess  # noqa: PLC0415
+
+    for key in keys:
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=RUNG3_MEM)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung3-one", key],
+            env=env,
+            check=False,
+        )
+    with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
+        rows = json.load(fh)["results"]
+    over = [(k, r) for k, r in rows.items() if r.get("xlin_c", 0) > 1.2]
+    print(f"third-decade xlin_c > 1.2 ({len(over)}):")
+    for k, r in over:
+        print(f"  {r['xlin_c']:5.2f}  {k}  ({r['sf10']}s -> {r['sf100']}s)")
+
+
+def _rung3_one(key: str) -> None:
+    from parquet_importer_spark.session import get_spark
+    from parquet_importer_spark.suite import QUERIES
+
+    sf100 = os.path.join(ROOT, ".scale", "sf100")
+    path = os.path.join(ROOT, "SCALE_LADDER.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    rows = data["results"]
+    if key not in QUERIES or key not in rows:
+        print(f"{key}: skipped (not registered/laddered)", file=sys.stderr)
+        return
+    spark = get_spark("scale-ladder-rung3")
+
+    def timed(sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    row = rows[key]
+    row.pop("sf100_error", None)
+    try:
+        row["sf100"] = timed(sf100)
+        if row["sf10"] > row["sf100"]:
+            # inversion = the stored second rung was ambient-inflated
+            row["sf10"] = min(row["sf10"], timed(RUNGS[2][1]))
+            row["xlin_b"] = round(row["sf10"] / (10 * max(row["sf1"], 0.05)), 2)
+        row["xlin_c"] = round(row["sf100"] / (10 * max(row["sf10"], 0.05)), 2)
+        row["rung3_mem"] = RUNG3_MEM
+        print(f"{key}: {row}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — record, isolate, move on
+        row["sf100_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        row["rung3_mem"] = RUNG3_MEM
+        print(f"{key}: ERROR {row['sf100_error']}", file=sys.stderr)
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+
+
 def main() -> None:
     from parquet_importer_spark.session import get_spark
     from parquet_importer_spark.suite import QUERIES
 
     argv = sys.argv[1:]
+    if argv and argv[0] == "--rung3":
+        _rung3(argv[1:])
+        return
+    if argv and argv[0] == "--rung3-one":
+        _rung3_one(argv[1])
+        return
     if argv and argv[0] == "--missing":
         path = os.path.join(ROOT, "SCALE_LADDER.json")
         done: dict = {}
