@@ -896,9 +896,13 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the large-alphabet degradation the round-8 ADVICE
     predicted). Now: sort the char array once (O(n log n), JVM
     intrinsic), join it back to a string, and split it into maximal
-    equal-char runs with ONE regex scan (``(.)\\1*`` via
+    equal-char runs with ONE regex scan (``(?s)(.)\\1*`` via
     regexp_extract_all — run lengths of a sorted string ARE the
-    per-char counts). All per-character work is compiled JVM code; the
+    per-char counts; DOTALL because Java ``\\s`` is ASCII-only, so
+    U+0085/U+2028/U+2029 survive the whitespace strip and a bare
+    ``.`` would silently drop their runs while the oracle's
+    per-character enumeration counts them — round-9 ADVICE, fixed
+    round 10). All per-character work is compiled JVM code; the
     only interpreted higher-order fold runs over the ≤|alphabet| run
     strings (an interpreted lambda fold over raw CHARACTERS measured
     8.5 s at sf0.1 — µs-scale state allocation per element; keep folds
@@ -912,11 +916,16 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the SQL oracle is unchanged."""
     d = read_table(spark, sf_dir, "documents")
     s = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
-    # maximal equal-char runs of the sorted character string; '.' never
-    # meets a newline because \s+ was stripped above
+    # maximal equal-char runs of the sorted character string. (?s)
+    # (DOTALL) is load-bearing: Java \s is ASCII-only, so the Unicode
+    # line separators U+0085/U+2028/U+2029 SURVIVE the \s+ strip, and
+    # a bare '.' excludes exactly those five terminator code points —
+    # their runs would vanish from counts/n_distinct_chars/entropy
+    # while the oracle's per-character enumeration still counts them
+    # (round-9 ADVICE; round 10 made every character matchable)
     runs = F.expr(
         r"regexp_extract_all(array_join(array_sort(split(s, '')), ''),"
-        r" '(.)\\1*', 0)"
+        r" '(?s)(.)\\1*', 0)"
     )
     base = (
         d.select("doc_id", s.alias("s"))
