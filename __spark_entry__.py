@@ -232,6 +232,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # sf1/sf10 rungs) keeps its grid bit-identically. Second
     # consciously-spent stale slot this round, same reasoning.
     "spatial_knn_join": 10,
+    # round-10 second rung-3 widening tranche: the single-window CUSUM
+    # was a constant-parallelism sort (5 series partitions growing
+    # 1000x each; xlin_c 1.68) — now bucketed per (series,
+    # COUNT(*)-adaptive time bucket) with broadcast prefix-offset
+    # chaining. Outputs proven bit-identical to the old form at sf1
+    # (nb=16) and hash-green vs the unchanged oracle at sf0.01 (nb=1);
+    # fourth consciously-spent stale slot, same >1.2-gate reasoning.
+    "ts_change_points": 10,
 }
 
 

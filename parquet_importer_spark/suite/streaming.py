@@ -1209,12 +1209,27 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax comparison is exact on both engines up to ~1e38, no
     silent BIGINT wrap and no decimal→double conversion anywhere.
 
-    Scale shape: one shuffle on the series key, two window passes over
-    the same (ts, event_id) sort (cumsum + ranking), partial-agg
-    per-series totals. At 100 TB a series too big for one partition
-    splits into time buckets whose per-bucket prefix sums chain with a
-    second tiny pass — same primitive as the concurrency sweep."""
+    Scale shape (round 10: the 1000× rung caught the single-window
+    form at xlin_c 1.68 — event_type cardinality is CONSTANT across
+    decades, so "one window partition per series" is a
+    constant-parallelism sort that grows 1000× per partition): each
+    series is split into COUNT(*)-adaptive time buckets (2^s buckets
+    for the smallest s with n ≤ 100k·2^s, the float-free
+    int_threshold_bucket knob — per-bucket rows stay ~20k at every
+    decade, and all driver SFs get nb = 1), the cumsum/ranking windows
+    run per (series, bucket), and per-bucket sums/counts chain through
+    a broadcast offsets frame — the documented prefix-chaining
+    primitive, now implemented. The global argmax is the per-bucket
+    argmax of per-bucket rows under the SAME (score DESC, ts, rn)
+    comparator, so outputs are bit-identical to the single-window
+    form at every SF (rn is unique per series → total order). Bucket
+    ids derive from unix_millis so span·nb fits int64 out to
+    century-scale spans; ts is non-null by the events contract."""
     from pyspark.sql import Window
+
+    from parquet_importer_spark.operators.similarity import (
+        int_threshold_bucket,
+    )
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
@@ -1222,33 +1237,102 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    whole = Window.partitionBy("event_type")
+    # one partial-agg pass: series-independent time range + row count →
+    # bucket count nb (power of 2, exact integer threshold chain) and
+    # the millisecond span that maps ts → bucket id monotonically
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the NTZ→TZ cast under unix_millis is a fixed
+    # offset and the ts → bucket mapping stays monotone
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    stats = ev.agg(
+        F.min(ts_ms).alias("mn_ms"),
+        F.max(ts_ms).alias("mx_ms"),
+        int_threshold_bucket(
+            F.count(F.lit(1)),
+            100_000,
+            2,
+            16,
+            values=[1 << s for s in range(17)],
+        ).alias("nb"),
+    )
     # accumulate in decimal(38,0): DuckDB promotes SUM(BIGINT) to
     # HUGEINT (int128) so its n·prefix − rn·total stays exact, while
     # Spark's BIGINT would wrap silently under non-ANSI mode on very
     # long/high-valued series. decimal(38,0) keeps the argmax exact to
     # ~1e38 on both engines (overflow beyond that nulls, not wraps).
     dec_cents = F.col("cents").cast("decimal(38,0)")
-    c = ev.select(
+    b = ev.crossJoin(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.expr(
+            "(unix_millis(cast(ts as timestamp)) - mn_ms) * nb"
+            " DIV (mx_ms - mn_ms + 1)"
+        ),
+    )
+    order = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    c = b.select(
         "event_type",
         "ts",
+        "bkt",
         F.sum(dec_cents)
         .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("prefix"),
-        F.row_number().over(order).alias("rn"),
-        F.count(F.lit(1)).over(whole).alias("n"),
-        F.sum(dec_cents).over(whole).alias("total"),
+        .alias("prefix_w"),
+        F.row_number().over(order).alias("rn_w"),
     )
+    # per-(series, bucket) sums/counts → exclusive running offsets plus
+    # the series totals, all over a ≤ |series|·nb-row frame that
+    # BROADCASTS back; offset + within-bucket value = the exact global
+    # prefix/rank the single-window form computed. The summary derives
+    # from c itself (the cumsum's last row per bucket IS the bucket
+    # sum; max_by is deterministic because rn_w is unique in-bucket),
+    # so it reuses c's (event_type, bkt) exchange instead of paying a
+    # third events scan
+    wt = Window.partitionBy("event_type").orderBy("bkt")
+    whole = Window.partitionBy("event_type")
+    offs = c.groupBy("event_type", "bkt").agg(
+        F.max_by("prefix_w", "rn_w").alias("bsum"),
+        F.max("rn_w").cast("bigint").alias("bcnt"),
+    ).select(
+        "event_type",
+        "bkt",
+        F.coalesce(
+            F.sum("bsum").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("off_sum"),
+        F.coalesce(
+            F.sum("bcnt").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("off_cnt"),
+        F.sum("bsum").over(whole).alias("total"),
+        F.sum("bcnt").over(whole).alias("n"),
+    )
+    j = c.join(F.broadcast(offs), ["event_type", "bkt"])
+    prefix = F.col("off_sum") + F.col("prefix_w")
+    rn = F.col("off_cnt") + F.col("rn_w").cast("bigint")
     score = F.abs(
-        F.col("n").cast("decimal(38,0)") * F.col("prefix")
-        - F.col("rn").cast("decimal(38,0)") * F.col("total")
+        F.col("n").cast("decimal(38,0)") * prefix
+        - rn.cast("decimal(38,0)") * F.col("total")
+    )
+    scored = j.select(
+        "event_type",
+        "ts",
+        "bkt",
+        rn.alias("rn"),
+        F.col("n"),
+        score.alias("score"),
+    )
+    # argmax in two rungs under the IDENTICAL total-order comparator:
+    # per-bucket top-1 shrinks each series to ≤ nb candidate rows
+    # (reuses the (event_type, bkt) partitioning — no extra exchange),
+    # then the series-level pick sorts only those
+    pick_b = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("score").desc(), F.col("ts").asc(), F.col("rn").asc()
     )
     pick = Window.partitionBy("event_type").orderBy(
-        score.desc(), F.col("ts").asc(), F.col("rn").asc()
+        F.col("score").desc(), F.col("ts").asc(), F.col("rn").asc()
     )
     return (
-        c.withColumn("score", score)
+        scored.withColumn("pick_b", F.row_number().over(pick_b))
+        .filter(F.col("pick_b") == 1)
         .withColumn("pick", F.row_number().over(pick))
         .filter(F.col("pick") == 1)
         .select(
