@@ -1213,23 +1213,22 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     form at xlin_c 1.68 — event_type cardinality is CONSTANT across
     decades, so "one window partition per series" is a
     constant-parallelism sort that grows 1000× per partition): each
-    series is split into COUNT(*)-adaptive time buckets (2^s buckets
-    for the smallest s with n ≤ 100k·2^s, the float-free
-    int_threshold_bucket knob — per-bucket rows stay ~20k at every
-    decade, and all driver SFs get nb = 1), the cumsum/ranking windows
-    run per (series, bucket), and per-bucket sums/counts chain through
-    a broadcast offsets frame — the documented prefix-chaining
-    primitive, now implemented. The global argmax is the per-bucket
-    argmax of per-bucket rows under the SAME (score DESC, ts, rn)
-    comparator, so outputs are bit-identical to the single-window
-    form at every SF (rn is unique per series → total order). Bucket
-    ids derive from unix_millis so span·nb fits int64 out to
-    century-scale spans; ts is non-null by the events contract."""
+    series is split into COUNT(*)-adaptive time buckets (the smallest
+    power-of-2 count holding ≤100k rows per bucket, integer-exact via
+    bit_length — per-bucket rows stay bounded at every decade), the
+    cumsum/ranking windows run per (series, bucket), and per-bucket
+    sums/counts chain through a broadcast offsets frame — the
+    documented prefix-chaining primitive, now implemented. The global
+    argmax is the per-bucket argmax of per-bucket rows under the SAME
+    (score DESC, ts, rn) comparator, so outputs are bit-identical to
+    the single-window form at every SF (rn is unique per series →
+    total order; proven side-by-side at sf1/nb=16). nb == 1 — every
+    driver SF and the bench fixture — keeps the ORIGINAL one-window
+    physical plan, so the small-SF cost is one footer-served count
+    job, not six extra stages. Bucket ids derive from unix_millis so
+    span·nb fits int64 out to century-scale spans; ts is non-null by
+    the events contract."""
     from pyspark.sql import Window
-
-    from parquet_importer_spark.operators.similarity import (
-        int_threshold_bucket,
-    )
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
@@ -1237,35 +1236,67 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    # one partial-agg pass: series-independent time range + row count →
-    # bucket count nb (power of 2, exact integer threshold chain) and
-    # the millisecond span that maps ts → bucket id monotonically
-    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
-    # (session.py), so the NTZ→TZ cast under unix_millis is a fixed
-    # offset and the ts → bucket mapping stays monotone
-    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    stats = ev.agg(
-        F.min(ts_ms).alias("mn_ms"),
-        F.max(ts_ms).alias("mx_ms"),
-        int_threshold_bucket(
-            F.count(F.lit(1)),
-            100_000,
-            2,
-            16,
-            values=[1 << s for s in range(17)],
-        ).alias("nb"),
-    )
     # accumulate in decimal(38,0): DuckDB promotes SUM(BIGINT) to
     # HUGEINT (int128) so its n·prefix − rn·total stays exact, while
     # Spark's BIGINT would wrap silently under non-ANSI mode on very
     # long/high-valued series. decimal(38,0) keeps the argmax exact to
     # ~1e38 on both engines (overflow beyond that nulls, not wraps).
     dec_cents = F.col("cents").cast("decimal(38,0)")
-    b = ev.crossJoin(F.broadcast(stats)).withColumn(
+    # bucket count: smallest power of 2 holding ≤100k rows per bucket
+    # (integer-exact — n is an int, not a float log). The count() is
+    # footer-served (the adaptive_sign_bits precedent); nb == 1 keeps
+    # the original one-window-per-series physical plan, so the small-SF
+    # (driver/bench) cost is one metadata job, not six extra stages.
+    n_rows = ev.count()
+    q = -(-max(n_rows, 1) // 100_000)  # integer ceil(n / 100k)
+    nb = 1 << min(16, (q - 1).bit_length())
+    if nb == 1:
+        order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        whole = Window.partitionBy("event_type")
+        c = ev.select(
+            "event_type",
+            "ts",
+            F.sum(dec_cents)
+            .over(
+                order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("prefix"),
+            F.row_number().over(order).alias("rn"),
+            F.count(F.lit(1)).over(whole).alias("n"),
+            F.sum(dec_cents).over(whole).alias("total"),
+        )
+        score = F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("rn").cast("decimal(38,0)") * F.col("total")
+        )
+        pick = Window.partitionBy("event_type").orderBy(
+            score.desc(), F.col("ts").asc(), F.col("rn").asc()
+        )
+        return (
+            c.withColumn("score", score)
+            .withColumn("pick", F.row_number().over(pick))
+            .filter(F.col("pick") == 1)
+            .select(
+                "event_type",
+                F.col("n").cast("bigint").alias("n_points"),
+                F.col("rn").cast("bigint").alias("cp_row"),
+                F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+                .cast("bigint")
+                .alias("cp_epoch"),
+                F.col("score").cast("bigint").alias("score_cents"),
+            )
+        )
+    # bucketed path: series-independent time range (one partial-agg
+    # pass) maps ts → bucket id monotonically. ts is TIMESTAMP_NTZ; the
+    # session timezone is pinned UTC (session.py), so the NTZ→TZ cast
+    # under unix_millis is a fixed offset and the mapping stays monotone
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    mn_ms, mx_ms = ev.agg(F.min(ts_ms), F.max(ts_ms)).first()
+    b = ev.withColumn(
         "bkt",
         F.expr(
-            "(unix_millis(cast(ts as timestamp)) - mn_ms) * nb"
-            " DIV (mx_ms - mn_ms + 1)"
+            f"(unix_millis(cast(ts as timestamp)) - {int(mn_ms)}) * {nb}"
+            f" DIV {int(mx_ms) - int(mn_ms) + 1}"
         ),
     )
     order = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")

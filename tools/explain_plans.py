@@ -61,7 +61,7 @@ SHOWCASE = (
     ("llm_contamination_ngram", "one shingle pass; single digest exchange serves the train-membership window AND the per-doc rollup"),
     ("agg_count_min", "≤1024-cell sketch grid broadcast into the probe join; TakeOrderedAndProject top-10"),
     ("llm_dedup_containment", "same slim LSH band shuffle as llm_dedup_near; only the verify metric differs"),
-    ("ts_change_points", "cumsum/ranking windows per (series, COUNT(*)-adaptive time bucket) with broadcast prefix-offset chaining — series cardinality is constant across decades, so the single-window form was a constant-parallelism sort (1000x-rung xlin_c 1.68); decimal(38,0)-exact scores, per-bucket argmax under the identical comparator compiled to WindowGroupLimit (streaming top-1, no sort materialization); the initial plan prints the offsets branch as a duplicate subtree, but AQE ReusedExchange runs the (series, bucket) shuffle once — 2 runtime scans (stats + main), both 4-column projections"),
+    ("ts_change_points", "dual physical path on a footer-served count: ≤100k rows (this showcased SF, every driver SF, bench) keeps the original one-exchange single-window plan; above it, cumsum/ranking windows run per (series, COUNT(*)-adaptive time bucket) with broadcast prefix-offset chaining and per-bucket argmax under the identical comparator (WindowGroupLimit top-1) — series cardinality is constant across decades, so the single-window form was a constant-parallelism sort (1000x-rung xlin_c 1.68 → 0.71 bucketed); outputs bit-identical on both paths, decimal(38,0)-exact scores"),
     ("llm_rank_fusion", "join-free fusion: rank lists union into (doc,src,rank) rows; one tiny groupBy sums RRF terms — no SortMergeJoin"),
     # round 5 additions
     ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
