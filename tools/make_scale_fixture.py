@@ -122,7 +122,20 @@ def main() -> None:
                 }
             )
         )
-    pq.write_table(pa.concat_tables(parts), f"{DST}/embeddings.parquet")
+    # row_group_size matters: pyarrow's default (1Mi rows) wrote the
+    # sf100 embeddings as TWO 1M-row groups, and Spark's vectorized
+    # parquet reader assigns whole row groups to byte-splits — so 30 of
+    # 32 scan tasks read ZERO rows and every per-row-heavy embedding op
+    # ran its map stage at parallelism 2 (round 10: this single layout
+    # flaw, not any plan shape, produced the ladder's three worst
+    # embedding rows). Rows are wide (64 floats ≈ 600 B), so 65536-row
+    # groups ≈ 25–40 MB — under Spark's split size at every rung, which
+    # keeps every scheduled scan task non-empty.
+    pq.write_table(
+        pa.concat_tables(parts),
+        f"{DST}/embeddings.parquet",
+        row_group_size=65536,
+    )
     print(f"embeddings: {len(vid) * REPLICAS} rows")
 
 
