@@ -232,6 +232,15 @@ _FORCE_RECHECK: dict[str, int] = {
     # sf1/sf10 rungs) keeps its grid bit-identically. Second
     # consciously-spent stale slot this round, same reasoning.
     "spatial_knn_join": 10,
+    # round-10 tranche 2d: join_bloom_prefilter's EXACT join carried a
+    # forced F.broadcast on the filtered-orders side — a corpus
+    # FRACTION (4.5M rows at sf100; xlin_c 1.36), violating the
+    # round's rule 1 and the operator's own documented degradation
+    # contract. Hint dropped: Catalyst auto-broadcasts at every driver
+    # SF (plan pins unchanged), AQE degrades to sort-merge at scale.
+    # Values identical, plan changed at scale only — fifth
+    # consciously-spent stale slot, same >1.2-gate reasoning.
+    "join_bloom_prefilter": 10,
     # round-10 second rung-3 widening tranche: the single-window CUSUM
     # was a constant-parallelism sort (5 series partitions growing
     # 1000x each; xlin_c 1.68) — now bucketed per (series,

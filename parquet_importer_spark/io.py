@@ -109,7 +109,19 @@ def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ``defaultParallelism`` — but ONLY when the scan is under-split:
     at production scale the input already has thousands of splits and
     this is a no-op (never shrink parallelism, never add a shuffle).
-    """
+
+    KNOWN HAZARD (round 10, caught by the 1000× ladder): the
+    under-split check counts BYTE-RANGE splits, but Spark's vectorized
+    parquet reader assigns whole ROW GROUPS to splits — a file with
+    few huge row groups (e.g. a 1.3 GB file pyarrow wrote as two
+    1M-row groups) reports 32 partitions while 30 of them read zero
+    rows, and the map stage silently runs at parallelism 2. The
+    fixture writer now emits sane row groups
+    (tools/make_scale_fixture.py); for wild inputs the detection
+    would need footer row-group stats (rows per LOADED split, not
+    split count) — recorded as round-11 work. Symptom to recognize:
+    a CPU-bound stage with N tasks where task time concentrates in
+    #row-groups of them."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     key = (id(spark), id(df._jdf))

@@ -370,7 +370,18 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered dim exceeds the broadcast threshold (the exact join
     degrades to sort-merge) but its bit table still fits: the bloom
     then prunes the fact BEFORE the fact-side exchange, which is the
-    expensive thing at 100 TB."""
+    expensive thing at 100 TB.
+
+    The exact join deliberately carries NO broadcast hint (round 10:
+    the 1000× rung read xlin_c 1.36 because a forced F.broadcast
+    pinned the ~3%-of-orders side — a corpus FRACTION, 4.5M rows at
+    sf100 — into a single-threaded HashedRelation build, violating
+    this round's rule 1 and this docstring's own degradation
+    contract): Catalyst auto-broadcasts it at every driver SF (same
+    physical plan, pinned), and AQE picks sort-merge once the
+    filtered dim outgrows the threshold — which is the regime the
+    bloom stage exists for. Only the ≤65536-position bit tables,
+    bounded by construction, keep the explicit broadcast hint."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 480000
@@ -397,7 +408,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         pre.join(
-            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+            o.select("o_orderkey", "o_orderpriority"),
             pre.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")
