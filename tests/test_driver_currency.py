@@ -175,6 +175,25 @@ def _doc_only_change(base: str, rel: str, fn_name: str) -> bool:
     )
 
 
+def _recheck_covers(entry_round: int, latest_green_round: int) -> bool:
+    """True iff a ``_FORCE_RECHECK`` value certifies the key's latest
+    green driver row as current: scheduled for a FUTURE round (entry >
+    latest) or already satisfied THAT round (entry == latest — the
+    entry's documented graduation case)."""
+    return entry_round >= latest_green_round
+
+
+def test_recheck_satisfied_same_round_is_not_an_offender():
+    """Round-10 verdict item 1: a _FORCE_RECHECK entry equal to the
+    key's latest green round means the driver already re-confirmed the
+    change that round — the guard must not flag it during the window
+    where that round's correctness file is still uncommitted."""
+    assert _recheck_covers(10, 10)  # satisfied same round
+    assert _recheck_covers(11, 10)  # scheduled for next round
+    assert not _recheck_covers(9, 10)  # stale entry: change postdates it
+    assert not _recheck_covers(0, 10)  # absent entry
+
+
 def test_changed_queries_are_scheduled_for_recheck():
     meta = _newest_correctness()
     if meta is None:
@@ -214,7 +233,22 @@ def test_changed_queries_are_scheduled_for_recheck():
             continue  # never driver-checked: already in the priority tier
         if not entry._green(latest[key][1]):
             continue  # errored latest row: already tier 0
-        scheduled = entry._FORCE_RECHECK.get(key, 0) > latest[key][0]
+        # An entry EQUAL to the key's latest green round is SATISFIED,
+        # not unscheduled: per the entry's graduation semantics
+        # (__spark_entry__._FORCE_RECHECK docstring) a green row in
+        # round >= the entry's value means the driver re-confirmed the
+        # changed code that round. Requiring strictly-greater produced
+        # a false positive every round in the window between the driver
+        # run and the artifact commit (round-10 verdict item 1): the
+        # diff base falls back to the PRIOR round's commit while
+        # latest[key] already carries the new round's green row, so the
+        # satisfied same-round entry read as missing. Residual blind
+        # spot (accepted): a change made after that round's driver run
+        # but before its artifacts commit; closes as soon as the
+        # artifacts land, because the base then advances past the run.
+        scheduled = _recheck_covers(
+            entry._FORCE_RECHECK.get(key, 0), latest[key][0]
+        )
         if not scheduled:
             offenders.append(
                 f"{key} (latest green r{latest[key][0]}, source {rel}:{start})"
