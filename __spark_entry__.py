@@ -198,8 +198,6 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_split_kfold": 8,
     # round-9 changes (minhash cost cut + prefix-filter upgrades;
     # integer threshold knobs; decimal-promoted rank-sum moments)
-    "llm_dedup_minhash_mllib": 9,
-    "llm_dedup_prefix_filter": 9,
     "spatial_dbscan_core": 9,
     "agg_mannwhitney_u": 9,
     # round-10 latent-correctness fix (round-9 ADVICE): the sorted-run
@@ -249,6 +247,15 @@ _FORCE_RECHECK: dict[str, int] = {
     # (nb=16) and hash-green vs the unchanged oracle at sf0.01 (nb=1);
     # fourth consciously-spent stale slot, same >1.2-gate reasoning.
     "ts_change_points": 10,
+    # round-11 (verdict item 6): prefix_filter_jaccard_pairs_from_sets
+    # now enforces its set-semantics precondition with an internal
+    # F.array_distinct on the explode. Both suite callers already feed
+    # distinct arrays (the guard is a no-op scan for them; pinned by
+    # tests/test_round9_ops.py), so outputs are provably unchanged —
+    # but shared-helper edits are outside the currency guard's
+    # diff-span scope, so schedule the cheap re-checks explicitly.
+    "llm_dedup_prefix_filter": 11,
+    "llm_dedup_minhash_mllib": 11,
 }
 
 

@@ -1089,14 +1089,16 @@ def prefix_filter_jaccard_pairs_from_sets(
     (e.g. the MLlib MinHash recall harness, which feeds the SAME
     2-gram sets to HashingTF) don't re-tokenize the corpus.
 
-    PRECONDITION — ``set_col`` arrays must be duplicate-free (SETS, not
-    bags). The df aggregate counts exploded rows and ``sz`` feeds the
-    union size as ``sza + szb − inter``, while the verification's
-    ``array_intersect`` dedupes — duplicate elements would silently
+    ``set_col`` is treated as a SET: the explode runs through
+    ``F.array_distinct`` (cheap, idempotent — round-10 verdict item 6),
+    because the df aggregate counts exploded rows and ``sz`` feeds the
+    union size as ``sza + szb − inter`` while the verification's
+    ``array_intersect`` dedupes — a bag input would otherwise silently
     inflate df and union and deflate every Jaccard. Both in-repo
-    callers pass ``array_distinct``'ed shingles (pinned by
-    tests/test_round9_ops.py::test_prefix_filter_from_sets_requires_distinct);
-    new callers must ``F.array_distinct`` first (cheap, idempotent).
+    callers already pass ``array_distinct``'ed shingles, so the guard
+    costs them one no-op array scan; a duplicate-bearing caller now
+    gets true Jaccards instead of corrupted ones (pinned by
+    tests/test_round9_ops.py::test_prefix_filter_from_sets_requires_distinct).
 
     Two engineering upgrades over the round-7 string-keyed form, both
     output-invariant (the candidate set can only shrink; verification
@@ -1132,7 +1134,8 @@ def prefix_filter_jaccard_pairs_from_sets(
     """
     ex = (
         sets_df.select(
-            F.col(id_col).alias("doc_id"), F.explode(set_col).alias("gram")
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.col(set_col))).alias("gram"),
         )
         .localCheckpoint(eager=False)
     )
