@@ -256,6 +256,17 @@ _FORCE_RECHECK: dict[str, int] = {
     # diff-span scope, so schedule the cheap re-checks explicitly.
     "llm_dedup_prefix_filter": 11,
     "llm_dedup_minhash_mllib": 11,
+    # round-11 multimodal oracle flip (verdict items 3 + 8): resize and
+    # frames gained their staged full-value oracles (decorator-only
+    # change — the tier-2 oracle-upgrade rotation would pull them in
+    # anyway; these entries make the currency guard's requirement
+    # explicit), and llm_multimodal's byte_entropy moved from numpy
+    # pairwise accumulation to the order-free decimal-grid contract
+    # (per-row double values CHANGED in the last printed decimals —
+    # the new oracle replicates the new contract exactly).
+    "llm_multimodal": 11,
+    "llm_multimodal_resize": 11,
+    "llm_multimodal_frames": 11,
 }
 
 

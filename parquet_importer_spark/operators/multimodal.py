@@ -98,12 +98,35 @@ def extract_features(mm: DataFrame) -> DataFrame:
         # have this package on sys.path, so the closure must not reference
         # any module-level symbol from parquet_importer_spark
         import io
+        from decimal import Decimal
+        from math import log2
+
         import numpy as np
 
         try:
             from PIL import Image  # feature flag: real codec when present
         except ImportError:
             Image = None
+
+        GRID8 = Decimal("0.00000001")
+
+        def byte_entropy(b: bytes) -> float:
+            """Shannon entropy of the byte histogram, in bits, under the
+            suite's shared float contract (round-10 verdict item 8, the
+            llm_char_entropy trick): each byte class contributes
+            round(c * log2(c/n), 8) — ONE IEEE expression tree an SQL
+            engine replicates verbatim — quantized onto the 8-decimal
+            grid and accumulated EXACTLY as Decimal, so the sum is
+            order-free (no numpy pairwise accumulation order to
+            mismatch) and the final round(-sum/n, 6) is hashable."""
+            n = len(b)
+            if n == 0:
+                return 0.0
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8))
+            acc = Decimal(0)
+            for c in counts[counts > 0].tolist():
+                acc += Decimal(round(c * log2(c / n), 8)).quantize(GRID8)
+            return round(-float(acc) / n, 6)
 
         def decode_dims(payload: bytes) -> tuple[int, int]:
             if Image is not None:
@@ -121,20 +144,13 @@ def extract_features(mm: DataFrame) -> DataFrame:
             dims = []
             for raw in payloads:
                 b = bytes(raw)
-                if b:
-                    counts = np.bincount(
-                        np.frombuffer(b, dtype=np.uint8), minlength=256
-                    )
-                    p = counts[counts > 0] / len(b)
-                    ent.append(float(-(p * np.log2(p)).sum()))
-                else:
-                    ent.append(0.0)
+                ent.append(byte_entropy(b))
                 dims.append(decode_dims(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "byte_entropy": [round(e, 6) for e in ent],
+                    "byte_entropy": ent,
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }

@@ -108,9 +108,9 @@ def test_error_then_no_rerun_stays_prioritized(entry, tmp_path):
 # literal (which went stale twice in round 7).
 ROWS_ONLY_ALLOWLIST = frozenset(
     {
-        "llm_multimodal",  # opaque binary payloads, sha-only check
-        "llm_multimodal_resize",  # same
-        "llm_multimodal_frames",  # same
+        # round 11 flipped the three multimodal keys to full-value
+        # oracles (ASCII byte-slice + decimal-grid entropy contracts,
+        # suite/llm_multimodal.py); only the live-DB sink remains.
         "sink_postgis",  # live-DB side effects
     }
 )

@@ -1,40 +1,22 @@
-"""Round-10 staged work.
+"""Multimodal oracle gates (staged round 10, LIVE since round 11).
 
-1. llm_multimodal_frames oracle, STAGED (round-9 verdict item 6): the
-   frame-sampling key is rows-only today, but its byte-slice formula is
-   codec-INDEPENDENT by construction — sample_frames never consults
-   Pillow (there is no ffmpeg path at all), so frame hashes, byte
-   counts, and the 1→N fan-out are pure functions of the payload bytes
-   and replicable in SQL. The corpus is ASCII-only (pinned below), so
-   DuckDB's VARCHAR substring/sha256 equal byte-slice semantics exactly
-   and the oracle needs no BLOB functions (this DuckDB has none).
+Round 9/10 verdicts item 6/3: the resize and frames keys were rows-only
+with their full-value DuckDB oracles staged HERE (pytest-proven with
+the driver's own compare) while round 10's window budget went to the
+stale burndown. Round 11 flipped them — plus llm_multimodal itself
+(verdict item 8: the numpy pairwise byte-entropy sum was replaced by
+the suite's shared decimal-grid float contract, see
+operators/multimodal.py byte_entropy) — into the ``@query`` decorators
+in suite/llm_multimodal.py. This module remains as the LOCAL gate: the
+ASCII precondition that makes VARCHAR slicing equal byte slicing, and a
+drive_entry-equivalent hash compare for each key so a regression is
+caught before the driver window.
 
-   The oracle ships HERE (pytest-proven, drive_entry-identical compare)
-   instead of in the @query decorator because flipping a rows-only key
-   to oracle-backed re-enters it into the driver window at the
-   oracle-upgrade tier — and round 10's window budget is exactly
-   consumed by the 49 stale r3/r4 re-checks the round-9 verdict made
-   its top item (60 stale keys, 49 non-sentinel slots, zero spare).
-   Round 11 has ~38 free slots: move STAGED_FRAMES_ORACLE into
-   llm_multimodal_frames' @query decorator there, delete this note,
-   and keep the test as the local gate.
-
-2. llm_multimodal_resize oracle, STAGED (round 10, same deferral
-   logic): the resize key is ALSO codec-independent on this corpus —
-   text payloads never parse as images, so even a Pillow-present
-   executor takes the byte-stride stub (operators/multimodal.py
-   fake_resize), and every stub step is a single IEEE op (one double
-   divide for scale, one for width/height, floor-truncations, byte
-   stride b[::stride]) with no accumulation — exactly replicable in
-   SQL. ASCII pinning makes the strided VARCHAR's sha256 equal
-   hashlib's over the strided bytes. Flip with frames in round 11.
-
-   llm_multimodal (the feature-extract key) stays rows-only by
-   necessity even at ASCII: its byte_entropy is a numpy pairwise sum
-   over the byte-histogram probabilities, and numpy's pairwise
-   accumulation order is not expressible as a SQL aggregate — the
-   round(·, 6) would mask most ULP drift but cannot guarantee the
-   hash, and a flaky oracle is worse than a rows-only row.
+Oracle validity preconditions (both pinned below):
+- the corpus is ASCII-only, so substring-by-chars IS substring-by-bytes
+  and sha256(VARCHAR) hashes the same bytes Python's hashlib sees;
+- text payloads never parse as images, so even a Pillow-present
+  executor takes the deterministic byte-stride stubs the SQL mirrors.
 """
 
 from __future__ import annotations
@@ -44,73 +26,6 @@ import hashlib
 import duckdb
 
 from tests.conftest import SF_ORACLE
-
-# Mirrors operators/multimodal.py sample_frames (n_frames=4):
-# step = max(len(b) // 4, 1); frame i = b[i*step : (i+1)*step].
-# Python slices clamp: past-the-end slices are empty — substring with a
-# start beyond the string returns '' and sha256('') == sha256(b'').
-STAGED_FRAMES_ORACLE = """
-WITH d AS (
-  SELECT doc_id, text,
-         GREATEST(octet_length(encode(text)) // 4, 1) AS step
-  FROM documents
-),
-fr AS (
-  SELECT d.doc_id, i.frame_no,
-         sha256(substring(d.text, i.frame_no * d.step + 1, d.step))
-           AS frame_sha,
-         CAST(length(substring(d.text, i.frame_no * d.step + 1, d.step))
-              AS BIGINT) AS n_frame_bytes
-  FROM d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_no) i
-)
-SELECT frame_no,
-       COUNT(*) AS n_frames,
-       COUNT(DISTINCT frame_sha) AS n_distinct_frames,
-       CAST(SUM(n_frame_bytes) AS BIGINT) AS total_bytes
-FROM fr GROUP BY frame_no ORDER BY frame_no
-"""
-
-
-# Mirrors operators/multimodal.py fake_resize (max_dim=64) on the stub
-# path every corpus payload takes: w=(n%640)+1, h=(n%480)+1,
-# scale = max(w,h)/64.0 when max(w,h)>64 else 1.0 (one IEEE divide),
-# width/height = int(w/scale) (floor for positives), stride =
-# max(int(scale),1), resized = b[::stride] → sha256. range(1, n+1,
-# stride) enumerates the 1-based strided character positions.
-STAGED_RESIZE_ORACLE = """
-WITH d AS (
-  SELECT doc_id, text,
-         octet_length(encode(text)) AS n
-  FROM documents
-),
-dims AS (
-  SELECT doc_id, text, n,
-         (n % 640) + 1 AS w,
-         (n % 480) + 1 AS h
-  FROM d
-),
-scaled AS (
-  SELECT doc_id, text, n, w, h,
-         CASE WHEN GREATEST(w, h) > 64
-              THEN GREATEST(w, h) / 64.0 ELSE 1.0 END AS scale
-  FROM dims
-),
-resized AS (
-  SELECT doc_id,
-         CAST(FLOOR(w / scale) AS INT) AS width,
-         CAST(FLOOR(h / scale) AS INT) AS height,
-         sha256(array_to_string(
-           list_transform(range(1, n + 1,
-                                GREATEST(CAST(FLOOR(scale) AS BIGINT), 1)),
-                          i -> text[i:i]), '')) AS resized_sha
-  FROM scaled
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(DISTINCT resized_sha) AS BIGINT) AS n_distinct_payloads,
-       MAX(width) AS max_width,
-       MAX(height) AS max_height
-FROM resized
-"""
 
 
 def _vhash(pdf):
@@ -123,8 +38,32 @@ def _vhash(pdf):
     return hashlib.sha256(str(rows).encode()).hexdigest()[:12]
 
 
+def _oracle_df(name: str):
+    import parquet_importer_spark.suite  # noqa: F401 — populates registry
+    from parquet_importer_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW documents AS
+            SELECT * FROM read_parquet('{SF_ORACLE}/documents.parquet')"""
+    )
+    return con.execute(ORACLES[name]).df()
+
+
+def _drive_compare(spark, name: str, expect_rows: int | None = None):
+    from parquet_importer_spark.suite import QUERIES
+
+    sdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    odf = _oracle_df(name)
+    assert len(sdf) == len(odf)
+    if expect_rows is not None:
+        assert len(sdf) == expect_rows
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _vhash(sdf) == _vhash(odf)
+
+
 def test_corpus_is_ascii_so_varchar_slices_equal_byte_slices():
-    """The oracle's validity precondition: every document's UTF-8 byte
+    """The oracles' validity precondition: every document's UTF-8 byte
     length equals its character length, so substring-by-chars IS
     substring-by-bytes and sha256(VARCHAR) hashes the same bytes
     Python's hashlib sees."""
@@ -136,38 +75,68 @@ def test_corpus_is_ascii_so_varchar_slices_equal_byte_slices():
     assert n_bad == 0
 
 
-def test_multimodal_frames_staged_oracle_hash_matches(spark):
-    """Full drive_entry-equivalent gate for the staged oracle: row
-    count, column names, and value hash all match at the driver's SF."""
-    from parquet_importer_spark.suite import QUERIES
+def test_multimodal_oracles_are_registered():
+    """The round-11 flip actually happened: all three keys carry live
+    oracles in the registry (the driver reads the same dict)."""
+    import parquet_importer_spark.suite  # noqa: F401 — populates registry
+    from parquet_importer_spark.registry import ORACLES
 
-    sdf = QUERIES["llm_multimodal_frames"](spark, SF_ORACLE).toPandas()
-    con = duckdb.connect()
-    con.execute(
-        f"""CREATE VIEW documents AS
-            SELECT * FROM read_parquet('{SF_ORACLE}/documents.parquet')"""
-    )
-    odf = con.execute(STAGED_FRAMES_ORACLE).df()
-    assert len(sdf) == len(odf)
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert _vhash(sdf) == _vhash(odf)
+    for name in (
+        "llm_multimodal",
+        "llm_multimodal_resize",
+        "llm_multimodal_frames",
+    ):
+        assert name in ORACLES, f"{name} regressed to rows-only"
 
 
-def test_multimodal_resize_staged_oracle_hash_matches(spark):
-    """Full drive_entry-equivalent gate for the staged resize oracle:
-    row count, column names, and value hash all match at the driver's
-    SF. Codec-independence precondition: text payloads are not images,
+def test_multimodal_frames_oracle_hash_matches(spark):
+    """Full drive_entry-equivalent gate: row count, column names, and
+    value hash all match at the driver's SF."""
+    _drive_compare(spark, "llm_multimodal_frames")
+
+
+def test_multimodal_resize_oracle_hash_matches(spark):
+    """Codec-independence precondition: text payloads are not images,
     so both Pillow-present and Pillow-absent executors take the
-    deterministic byte-stride stub this SQL mirrors."""
-    from parquet_importer_spark.suite import QUERIES
+    deterministic byte-stride stub the live SQL mirrors."""
+    _drive_compare(spark, "llm_multimodal_resize", expect_rows=1)
 
-    sdf = QUERIES["llm_multimodal_resize"](spark, SF_ORACLE).toPandas()
-    con = duckdb.connect()
-    con.execute(
-        f"""CREATE VIEW documents AS
-            SELECT * FROM read_parquet('{SF_ORACLE}/documents.parquet')"""
-    )
-    odf = con.execute(STAGED_RESIZE_ORACLE).df()
-    assert len(sdf) == len(odf) == 1
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    assert _vhash(sdf) == _vhash(odf)
+
+def test_multimodal_feature_oracle_hash_matches(spark):
+    """Round-10 verdict item 8: byte_entropy under the decimal-grid
+    contract hashes repr-exactly against the DuckDB replication —
+    per-row doubles, not an aggregate, so this is the strictest float
+    gate in the suite."""
+    _drive_compare(spark, "llm_multimodal")
+
+
+def test_byte_entropy_contract_edge_cases():
+    """The Python-side term walk is exact on the grid: empty payload →
+    0.0; single-class payload → entropy 0.0; two equal classes → 1 bit;
+    and the Decimal accumulation is order-free by construction."""
+    from parquet_importer_spark.operators import multimodal as mm  # noqa: F401
+    # the closure is deliberately self-contained inside extract_features;
+    # replicate the contract here to pin its arithmetic
+    from decimal import Decimal
+    from math import log2
+
+    def ref_entropy(b: bytes) -> float:
+        n = len(b)
+        if n == 0:
+            return 0.0
+        counts: dict[int, int] = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        acc = Decimal(0)
+        for c in sorted(counts.values()):
+            acc += Decimal(round(c * log2(c / n), 8)).quantize(
+                Decimal("0.00000001")
+            )
+        return round(-float(acc) / n, 6)
+
+    assert ref_entropy(b"") == 0.0
+    assert ref_entropy(b"aaaa") == 0.0
+    assert ref_entropy(b"aabb") == 1.0
+    assert ref_entropy(b"abcd") == 2.0
+    # 3/4-1/4 split: -(0.75*log2(0.75) + 0.25*log2(0.25)) ≈ 0.811278
+    assert ref_entropy(b"aaab") == 0.811278
