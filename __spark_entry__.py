@@ -242,14 +242,6 @@ _FORCE_RECHECK: dict[str, int] = {
     # Values identical, plan changed at scale only — fifth
     # consciously-spent stale slot, same >1.2-gate reasoning.
     "join_bloom_prefilter": 10,
-    # round-10 second rung-3 widening tranche: the single-window CUSUM
-    # was a constant-parallelism sort (5 series partitions growing
-    # 1000x each; xlin_c 1.68) — now bucketed per (series,
-    # COUNT(*)-adaptive time bucket) with broadcast prefix-offset
-    # chaining. Outputs proven bit-identical to the old form at sf1
-    # (nb=16) and hash-green vs the unchanged oracle at sf0.01 (nb=1);
-    # fourth consciously-spent stale slot, same >1.2-gate reasoning.
-    "ts_change_points": 10,
     # round-11 (verdict item 6): prefix_filter_jaccard_pairs_from_sets
     # now enforces its set-semantics precondition with an internal
     # F.array_distinct on the explode. Both suite callers already feed
@@ -270,6 +262,15 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_multimodal": 11,
     "llm_multimodal_resize": 11,
     "llm_multimodal_frames": 11,
+    # round-11 (round-10 ADVICE on the r10 bucketed rewrite): the CUSUM
+    # core is split out with a testable rows_per_bucket knob (nb>1 now
+    # pinned row-for-row vs the single-window form on a tied-score
+    # fixture), and the bucketed cumsum frame is localCheckpoint'ed —
+    # the measured sf1 plan showed ReuseExchange NOT firing, so the
+    # events scan + window sort ran twice at exactly the scale the
+    # path exists for. nb==1 (every driver SF) output is untouched;
+    # cheap re-check per the changed-code discipline.
+    "ts_change_points": 11,
 }
 
 

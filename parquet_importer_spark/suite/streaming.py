@@ -1215,27 +1215,46 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-parallelism sort that grows 1000× per partition): each
     series is split into COUNT(*)-adaptive time buckets (the smallest
     power-of-2 count holding ≤100k rows per bucket, integer-exact via
-    bit_length — per-bucket rows stay bounded at every decade), the
-    cumsum/ranking windows run per (series, bucket), and per-bucket
-    sums/counts chain through a broadcast offsets frame — the
-    documented prefix-chaining primitive, now implemented. The global
+    bit_length), the cumsum/ranking windows run per (series, bucket),
+    and per-bucket sums/counts chain through a broadcast offsets frame
+    — the documented prefix-chaining primitive, now implemented.
+    Per-bucket rows stay bounded under roughly UNIFORM event-time
+    density: buckets split the time RANGE evenly while nb derives from
+    the total row count, so a heavily time-skewed series (a burst, or
+    strong growth over the span) can still concentrate most rows in
+    few buckets — the residual hazard alongside the nb=65536 cap
+    (round-10 ADVICE; the fixture's generator is uniform). The global
     argmax is the per-bucket argmax of per-bucket rows under the SAME
     (score DESC, ts, rn) comparator, so outputs are bit-identical to
     the single-window form at every SF (rn is unique per series →
-    total order; proven side-by-side at sf1/nb=16). nb == 1 — every
-    driver SF and the bench fixture — keeps the ORIGINAL one-window
-    physical plan, so the small-SF cost is one footer-served count
-    job, not six extra stages. Bucket ids derive from unix_millis so
-    span·nb fits int64 out to century-scale spans; ts is non-null by
-    the events contract."""
-    from pyspark.sql import Window
+    total order; pinned by tests/test_round11_ops.py on a tied-score
+    multi-series fixture with a forced small bucket budget, plus the
+    sf1/nb=16 side-by-side). nb == 1 — every driver SF and the bench
+    fixture — keeps the ORIGINAL one-window physical plan, so the
+    small-SF cost is one footer-served count job, not six extra
+    stages. Bucket ids derive from unix_millis so span·nb fits int64
+    out to century-scale spans; ts is non-null by the events contract.
 
+    NB: CONSTRUCTING this DataFrame runs real Spark jobs (the adaptive
+    COUNT(*), plus min/max ts on the bucketed path) — callers that
+    only want the plan (tools/explain_plans.py) pay those actions.
+    Footer-served at small SF; documented trade (round-10 ADVICE)."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    return change_points_frame(ev)
+
+
+def change_points_frame(ev, rows_per_bucket: int = 100_000):
+    """CUSUM argmax core over a prepared (event_type, ts, event_id,
+    cents) frame — split from the query so the bucketed (nb>1) branch
+    is testable on small fixtures by shrinking ``rows_per_bucket``
+    (round-10 ADVICE: all driver SFs run nb==1, so the bucketed branch
+    previously had no checked-in verification)."""
+    from pyspark.sql import Window
     # accumulate in decimal(38,0): DuckDB promotes SUM(BIGINT) to
     # HUGEINT (int128) so its n·prefix − rn·total stays exact, while
     # Spark's BIGINT would wrap silently under non-ANSI mode on very
@@ -1248,7 +1267,7 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the original one-window-per-series physical plan, so the small-SF
     # (driver/bench) cost is one metadata job, not six extra stages.
     n_rows = ev.count()
-    q = -(-max(n_rows, 1) // 100_000)  # integer ceil(n / 100k)
+    q = -(-max(n_rows, 1) // rows_per_bucket)  # integer ceil
     nb = 1 << min(16, (q - 1).bit_length())
     if nb == 1:
         order = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -1308,15 +1327,22 @@ def ts_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("prefix_w"),
         F.row_number().over(order).alias("rn_w"),
-    )
+    ).localCheckpoint(eager=False)
+    # c feeds BOTH the offsets aggregation and the join probe. The
+    # round-10 comment claimed Catalyst's ReuseExchange would share the
+    # (event_type, bkt) exchange between them; the measured sf1/nb=16
+    # physical plan says otherwise — TWO FileScans and TWO window
+    # sorts (ReuseExchange only matches byte-identical subplans, and
+    # the two consumers diverge above the exchange). The lazy
+    # localCheckpoint materializes c ONCE at first use, so the events
+    # scan + per-bucket cumsum run a single time at exactly the scale
+    # this path exists for (round-10 ADVICE, confirmed + fixed).
     # per-(series, bucket) sums/counts → exclusive running offsets plus
     # the series totals, all over a ≤ |series|·nb-row frame that
     # BROADCASTS back; offset + within-bucket value = the exact global
     # prefix/rank the single-window form computed. The summary derives
     # from c itself (the cumsum's last row per bucket IS the bucket
-    # sum; max_by is deterministic because rn_w is unique in-bucket),
-    # so it reuses c's (event_type, bkt) exchange instead of paying a
-    # third events scan
+    # sum; max_by is deterministic because rn_w is unique in-bucket)
     wt = Window.partitionBy("event_type").orderBy("bkt")
     whole = Window.partitionBy("event_type")
     offs = c.groupBy("event_type", "bkt").agg(

@@ -83,6 +83,69 @@ def test_forced_cap_keeps_lowest_ids_per_bucket(spark):
         assert len(ids) <= 3
 
 
+def _cp_fixture(spark):
+    """Events-shaped frame engineered for the bucketed-path hazards:
+    series 'flat' is all-equal cents → EVERY position's CUSUM score is
+    0, the maximal tie (pick must fall to the (ts, rn) order); series
+    'dupts' carries duplicate timestamps (ties on ts → rn tiebreak,
+    which in turn hangs on the (ts, event_id) window order); series
+    'shift' has a genuine level shift at row 256. 1200 rows total so a
+    small rows_per_bucket forces real multi-bucket chaining."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        rows.append(("flat", base + dt.timedelta(seconds=7 * i), eid, 250))
+        eid += 1
+    for i in range(400):
+        # two events per second → duplicate ts within the series
+        rows.append(
+            ("dupts", base + dt.timedelta(seconds=i // 2), eid, 100 + (i % 3))
+        )
+        eid += 1
+    for i in range(400):
+        rows.append(
+            (
+                "shift",
+                base + dt.timedelta(seconds=11 * i),
+                eid,
+                100 if i < 256 else 900,
+            )
+        )
+        eid += 1
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, cents long"
+    )
+
+
+def test_change_points_bucketed_path_matches_single_window(spark):
+    """Round-10 ADVICE (medium): the nb>1 bucketed branch had no
+    checked-in verification — all driver SFs run nb==1. Force it with
+    a small rows_per_bucket and assert row-for-row equality against
+    the single-window form on the tied-score multi-series fixture,
+    across several bucket counts (including one far above the series
+    row count, so empty buckets and the offsets chain both exercise)."""
+    from parquet_importer_spark.suite.streaming import change_points_frame
+
+    ev = _cp_fixture(spark)
+    single = sorted(
+        tuple(r) for r in change_points_frame(ev, rows_per_bucket=10**9).collect()
+    )
+    assert len(single) == 3
+    for rpb in (400, 64, 17):  # nb = 4, 32, 128
+        bucketed = sorted(
+            tuple(r)
+            for r in change_points_frame(ev, rows_per_bucket=rpb).collect()
+        )
+        assert bucketed == single, f"rows_per_bucket={rpb} diverged"
+    # the flat series' maximal tie resolves to its FIRST row on both
+    # paths — the comparator contract, not an accident of bucketing
+    flat = [r for r in single if r[0] == "flat"][0]
+    assert flat[2] == 1 and flat[4] == 0  # cp_row, score_cents
+
+
 def test_capped_recall_vs_exact_bounded_subcorpus(spark):
     """Recall contract on the bounded sub-corpus (vec_id < 300): the
     production cap is a no-op (recall 1.0); a tight cap of 16 per
