@@ -272,6 +272,16 @@ _FORCE_RECHECK: dict[str, int] = {
     # cheap re-check per the changed-code discipline.
     "ts_change_points": 11,
 }
+# Round-11 window arithmetic (simulated via _driver_order at HEAD):
+# 50 slots = sentinel + 6 forced re-checks (every key whose code or
+# oracle changed this round) + llm_sim_pairs_lsh_capped (new, must
+# land for its verdict-item-2 gate) + 42 stale slots. The stale tier
+# held 15 r4 + 41 r5 keys, so the window clears ALL of r4 and 27 of
+# r5, leaving 14 r5-vintage — four over the round-10 verdict's ≤10
+# ask, because seven slots went to re-confirming changed code and the
+# new operator: the same "green row for changed code outranks the
+# staleness count" trade the round-10 verdict endorsed. One more
+# ~49-slot window clears the r5 tier entirely.
 
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
