@@ -162,6 +162,64 @@ def _rung3(keys: list[str]) -> None:
         print(f"  {r['xlin_c']:5.2f}  {k}  ({r['sf10']}s -> {r['sf100']}s)")
 
 
+def _rung_mid(keys: list[str]) -> None:
+    """sf30 (300x) rung for the keys whose sf100 run is DISK-bound in
+    this sandbox (round-10 verdict item 3: shuffle/sort spill exceeded
+    the ~50 GB single local disk — llm_dedup_minhash_mllib,
+    llm_dedup_near, llm_dedup_containment, graph_pagerank,
+    graph_link_prediction, join_skew_salted). By the sf10 spill
+    measurements a 3x input spills ~1/3.3 of the sf100 volume, which
+    fits the disk with headroom, so the third decade gets a MEASURED
+    partial slope instead of an unmeasured note: xlin_m =
+    sf30/(3·sf10), same ≤1.2 gate semantics as xlin_c. Fresh
+    subprocess per key (heap-poisoning isolation, as rung3)."""
+    import subprocess  # noqa: PLC0415
+
+    for key in keys:
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=RUNG3_MEM)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung-mid-one", key],
+            env=env,
+            check=False,
+        )
+    with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
+        rows = json.load(fh)["results"]
+    over = [(k, r) for k, r in rows.items() if r.get("xlin_m", 0) > 1.2]
+    print(f"mid-rung (sf30) xlin_m > 1.2 ({len(over)}):")
+    for k, r in over:
+        print(f"  {r['xlin_m']:5.2f}  {k}  ({r['sf10']}s -> {r['sf30']}s)")
+
+
+def _rung_mid_one(key: str) -> None:
+    from parquet_importer_spark.session import get_spark
+    from parquet_importer_spark.suite import QUERIES
+
+    sf30 = os.path.join(ROOT, ".scale", "sf30")
+    path = os.path.join(ROOT, "SCALE_LADDER.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    rows = data["results"]
+    if key not in QUERIES or key not in rows:
+        print(f"{key}: skipped (not registered/laddered)", file=sys.stderr)
+        return
+    spark = get_spark("scale-ladder-rung-mid")
+    row = rows[key]
+    row.pop("sf30_error", None)
+    try:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf30).write.format("noop").mode("overwrite").save()
+        row["sf30"] = round(time.perf_counter() - t0, 2)
+        row["xlin_m"] = round(row["sf30"] / (3 * max(row["sf10"], 0.05)), 2)
+        row["rung_mid_mem"] = RUNG3_MEM
+        print(f"{key}: {row}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — record, isolate, move on
+        row["sf30_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        row["rung_mid_mem"] = RUNG3_MEM
+        print(f"{key}: ERROR {row['sf30_error']}", file=sys.stderr)
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+
+
 def _rung3_one(key: str) -> None:
     from parquet_importer_spark.session import get_spark
     from parquet_importer_spark.suite import QUERIES
@@ -210,6 +268,12 @@ def main() -> None:
         return
     if argv and argv[0] == "--rung3-one":
         _rung3_one(argv[1])
+        return
+    if argv and argv[0] == "--rung-mid":
+        _rung_mid(argv[1:])
+        return
+    if argv and argv[0] == "--rung-mid-one":
+        _rung_mid_one(argv[1])
         return
     if argv and argv[0] == "--missing":
         path = os.path.join(ROOT, "SCALE_LADDER.json")
