@@ -77,9 +77,15 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise space ~2^bits×; exact cosine within buckets; top-20
     deterministic. Bit count adapts to corpus size
     (operators.similarity.adaptive_sign_bits; 4 at the test SFs) so the
-    in-bucket pair stage scales linearly; at production scale swap
-    fixed dims for seeded random hyperplanes + multi-probe — same plan
-    shape."""
+    BUCKETING stage scales linearly — but the in-bucket enumeration is
+    workload-bound: whole near-dup clusters share a bucket, so true
+    pair counts (which this exact contract must touch) grow
+    quadratically with cluster size (sf100 rung: xlin_c 4.98). This
+    key is the oracle-pinned exact SPEC; at production scale run
+    ``llm_sim_pairs_lsh_capped`` (round 11), whose per-bucket
+    membership cap restores linearity (xlin_c 0.35) at a measured
+    recall cost. Swap fixed dims for seeded random hyperplanes +
+    multi-probe at production — same plan shape."""
     return bucketed_topk_pairs(
         read_table(spark, sf_dir, "embeddings"),
         "embedding",

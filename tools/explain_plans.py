@@ -63,6 +63,8 @@ SHOWCASE = (
     ("llm_dedup_containment", "same slim LSH band shuffle as llm_dedup_near; only the verify metric differs"),
     ("ts_change_points", "dual physical path on a footer-served count: ≤100k rows (this showcased SF, every driver SF, bench) keeps the original one-exchange single-window plan; above it, cumsum/ranking windows run per (series, COUNT(*)-adaptive time bucket) with broadcast prefix-offset chaining and per-bucket argmax under the identical comparator (WindowGroupLimit top-1) — series cardinality is constant across decades, so the single-window form was a constant-parallelism sort (1000x-rung xlin_c 1.68 → 0.71 bucketed); outputs bit-identical on both paths, decimal(38,0)-exact scores. Round-11 note (round-10 ADVICE confirmed): the bucketed cumsum frame feeds BOTH the offsets agg and the join probe, and the measured sf1/nb=16 plan showed Catalyst ReuseExchange NOT firing (two FileScans, two window sorts) — the frame is now lazily localCheckpoint'ed so scan+cumsum run once"),
     ("llm_rank_fusion", "join-free fusion: rank lists union into (doc,src,rank) rows; one tiny groupBy sums RRF terms — no SortMergeJoin"),
+    # round 11 addition
+    ("llm_sim_pairs_lsh_capped", "the scale-safe LSH pair enumerator (round-10 verdict item 2): per-bucket membership capped at the 256 lowest ids via row_number BEFORE the array build — the plan shows a PARTIAL WindowGroupLimit below the single (bucket) exchange (map-side prune: ≤cap rows per bucket per input partition ever shuffle) and the groupBy reusing the window's partitioning (no second exchange); TakeOrderedAndProject for the top-20; sf100 xlin_c 0.35 vs the uncapped form's 4.98"),
     # round 5 additions
     ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
     ("llm_semdedup", "centroids broadcast; max_by partial-agg assignment (no window over the 64x expansion); [2,256] cluster cap gates the pair join"),
