@@ -110,16 +110,21 @@ def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     at production scale the input already has thousands of splits and
     this is a no-op (never shrink parallelism, never add a shuffle).
 
-    KNOWN HAZARD (round 10, caught by the 1000× ladder): the
-    under-split check counts BYTE-RANGE splits, but Spark's vectorized
-    parquet reader assigns whole ROW GROUPS to splits — a file with
-    few huge row groups (e.g. a 1.3 GB file pyarrow wrote as two
-    1M-row groups) reports 32 partitions while 30 of them read zero
-    rows, and the map stage silently runs at parallelism 2. The
-    fixture writer now emits sane row groups
-    (tools/make_scale_fixture.py); for wild inputs the detection
-    would need footer row-group stats (rows per LOADED split, not
-    split count) — recorded as round-11 work. Symptom to recognize:
+    ROW-GROUP HAZARD, closed round 11 (round 10 recorded it, the sf30
+    rung measured it): the byte-range split count LIES about effective
+    parallelism — Spark's vectorized parquet reader assigns each whole
+    ROW GROUP to the one split containing its start offset, so a
+    189 MB file with six 262k-row groups reports 32 splits while 26 of
+    them read zero rows, and a fused CPU-heavy projection (the minhash
+    md5 passes) silently runs 6-wide (llm_dedup_near read xlin_m 1.86
+    at the sf30 rung from exactly this; stage re-timed 88.5 s → 23.9 s
+    with the repartition). The under-split check therefore counts
+    FOOTER ROW GROUPS too when the input is parquet: effective splits
+    = min(byte-range splits, total row groups across scan files), and
+    the repartition fires when THAT is under target. Driver-SF plans
+    are unchanged (small files are byte-split-starved there, so the
+    repartition already fired); only large few-row-group inputs gain
+    the exchange they always needed. Symptom to recognize elsewhere:
     a CPU-bound stage with N tasks where task time concentrates in
     #row-groups of them."""
     spark = df.sparkSession
@@ -133,10 +138,40 @@ def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # per plan object (read_table hands out stable objects, so repeat
         # constructions of the same query hit this cache)
         n = df.rdd.getNumPartitions()
+        rg = _parquet_row_groups(df)
+        if rg is not None:
+            n = min(n, rg)
         _PARTITIONS_CACHE[key] = (df, n)
     if n < target:
         return df.repartition(target)
     return df
+
+
+def _parquet_row_groups(df: DataFrame) -> int | None:
+    """Total parquet row groups across the plan's scan files, or None
+    when it can't be known cheaply (non-parquet input, non-local URIs,
+    or more files than worth footer-probing — many files means many
+    splits, so the byte-range count is already honest there). Footer
+    reads are driver-side and ~ms each; results ride the same
+    per-plan-object cache as the split count."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming/RDD-backed plans
+        return None
+    if not files or len(files) > 64:
+        return None
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    total = 0
+    for uri in files:
+        if not uri.endswith(".parquet"):
+            return None
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — unreadable footer: stay honest
+            return None
+    return total
 
 
 def footer_rowcount(path: str) -> int:

@@ -101,6 +101,30 @@ def _banded_keys(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select(*other, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def _verify_hash_arr(sh: Column) -> Column:
+    """Shingle-string array → distinct 60-bit md5-prefix BIGINT array,
+    the slim representation the exact-verify joins carry (round 11):
+    the verify stage shuffles one array per CANDIDATE pair side, and at
+    the sf30 rung the ~25-char shingle strings made that exchange the
+    dominant super-linear-looking cost (absolute volume, not row
+    count — candidates measured perfectly linear, 5.35M → 16.16M at
+    3×). 8-byte ints cut the shuffled bytes ~4× and array_intersect
+    compares longs instead of strings (the prefix-filter op measured
+    2.2× on the same swap). Set metrics are IDENTICAL to string-gram
+    metrics unless two distinct grams collide in 60 bits (birthday odds
+    ~1e-15 per doc at 50 grams) — and the SQL oracles apply the same
+    transform, so the engines agree even then. 15 hex chars = 60 bits
+    keeps conv() inside exact BIGINT range in every engine."""
+    return F.array_distinct(
+        F.transform(
+            sh,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -161,11 +185,15 @@ def minhash_lsh_pairs(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    # Exact-Jaccard verify: join shingle sets back onto the (small)
-    # candidate set — both lookups hash-partition `base` by doc, so the
-    # second reuses the first's exchange.
-    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    # Exact-Jaccard verify: join shingle sets back onto the candidate
+    # set, carrying the slim 60-bit int representation (_verify_hash_arr
+    # — the round-11 sf30 fix; same set metrics, ~4× lighter exchange).
+    s1 = base.select(
+        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
+    )
+    s2 = base.select(
+        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
+    )
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -291,8 +319,14 @@ def affine_minhash_lsh_pairs(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    # slim int-array verify sides (round 11, shared with
+    # minhash_lsh_pairs — see _verify_hash_arr)
+    s1 = base.select(
+        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
+    )
+    s2 = base.select(
+        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
+    )
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -361,8 +395,14 @@ def minhash_containment_pairs(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    s1 = base.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = base.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    # slim int-array verify sides (round 11, shared with
+    # minhash_lsh_pairs — see _verify_hash_arr)
+    s1 = base.select(
+        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
+    )
+    s2 = base.select(
+        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
+    )
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter

@@ -33,6 +33,19 @@ _SH2 = (
     "i -> toks[i] || ' ' || toks[i+1]) "
     "ELSE [array_to_string(toks, ' ')] END)"
 )
+# Distinct 60-bit md5-prefix ints of a candidate side's gram list —
+# mirrors operators/dedup.py _verify_hash_arr (round 11: the exact
+# verify joins carry slim BIGINT arrays instead of ~25-char shingle
+# strings; set metrics identical absent 60-bit collisions, and both
+# engines apply the SAME transform so they agree even then)
+_HV1 = (
+    "list_distinct(list_transform(ANY_VALUE(a.grams), "
+    "g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))"
+)
+_HV2 = (
+    "list_distinct(list_transform(ANY_VALUE(b.grams), "
+    "g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))"
+)
 
 
 @query(
@@ -78,7 +91,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              COUNT(*) AS n_shared_bands,
-             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+             {_HV1} AS g1, {_HV2} AS g2
       FROM banded a
       JOIN ok USING (band, key)
       JOIN banded b
@@ -526,7 +539,7 @@ def _pagerank_oracle(n_iter: int = 10) -> str:
     ),
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
-             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+             {_HV1} AS g1, {_HV2} AS g2
       FROM banded a
       JOIN ok USING (band, key)
       JOIN banded b
@@ -862,7 +875,7 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              COUNT(*) AS n_shared_bands,
-             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+             {_HV1} AS g1, {_HV2} AS g2
       FROM banded a
       JOIN ok USING (band, key)
       JOIN banded b
@@ -942,7 +955,7 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2,
              COUNT(*) AS n_shared_bands,
-             ANY_VALUE(a.grams) AS g1, ANY_VALUE(b.grams) AS g2
+             {_HV1} AS g1, {_HV2} AS g2
       FROM banded a
       JOIN ok USING (band, key)
       JOIN banded b

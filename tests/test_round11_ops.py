@@ -83,6 +83,48 @@ def test_forced_cap_keeps_lowest_ids_per_bucket(spark):
         assert len(ids) <= 3
 
 
+def test_parallelize_counts_row_groups_not_byte_splits(spark, tmp_path):
+    """Round-11 fix of the round-10-documented hazard: a parquet file
+    whose byte-range split count satisfies the target but whose ROW
+    GROUP count doesn't must still be repartitioned — the vectorized
+    reader assigns whole row groups to splits, so the extra byte
+    splits read zero rows (llm_dedup_near's sf30 minhash stage ran
+    6-wide instead of 32-wide: 88.5 s vs 23.9 s repartitioned)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_importer_spark.io import _parquet_row_groups, parallelize
+
+    rng = np.random.default_rng(7)
+    # ~6 MB incompressible single-row-group file: byte splits = 2
+    # (4 MB openCost floor), row groups = 1
+    blob = ["".join(map(str, rng.integers(0, 10, 600))) for _ in range(10_000)]
+    one_rg = str(tmp_path / "one_rg.parquet")
+    pq.write_table(pa.table({"v": blob}), one_rg, row_group_size=10_000)
+    df = spark.read.parquet(one_rg)
+    assert _parquet_row_groups(df) == 1
+    n_byte_splits = df.rdd.getNumPartitions()
+    assert n_byte_splits >= 2  # the lying precondition: splits ≥ target
+    out = parallelize(df, min_partitions=2)
+    assert out.rdd.getNumPartitions() >= 2, (
+        "row-group-starved scan was not repartitioned"
+    )
+    assert out.count() == 10_000
+
+    # many-row-group file: helper sums them; no repartition needed when
+    # the row-group count already meets the target
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(pa.table({"v": blob}), many_rg, row_group_size=1_000)
+    df2 = spark.read.parquet(many_rg)
+    assert _parquet_row_groups(df2) == 10
+
+    # non-parquet input: helper declines, byte-split count stands
+    csv = str(tmp_path / "x.csv")
+    spark.createDataFrame([(1,)], "a int").write.mode("overwrite").csv(csv)
+    assert _parquet_row_groups(spark.read.schema("a int").csv(csv)) is None
+
+
 def _cp_fixture(spark):
     """Events-shaped frame engineered for the bucketed-path hazards:
     series 'flat' is all-equal cents → EVERY position's CUSUM score is
