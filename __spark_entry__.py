@@ -177,6 +177,10 @@ _DEFER_ORDER = (
     # round 11: the scale-safe sibling of llm_sim_pairs_lsh (round-10
     # verdict item 2) — the window has free slots, lands same round
     "llm_sim_pairs_lsh_capped",
+    # round 11 second wave: adaptive-k + LSH-bucketed-assignment
+    # SemDeDup (closes the §8.7 "silently drops nothing at scale"
+    # watch item on llm_semdedup)
+    "llm_semdedup_adaptive",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

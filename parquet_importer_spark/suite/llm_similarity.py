@@ -883,6 +883,238 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sign-bucket SQL over the adaptive bit count (bb CTE must define bits)
+_SB = (
+    "array_to_string(list_transform(range(1, 1 + (SELECT bits FROM bb)),"
+    " i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+def _adaptive_k_sql() -> str:
+    """CASE chain deriving the adaptive centroid count from COUNT(*) —
+    the exact integer chain the Spark side walks (k = 64 doubling while
+    n > 32·k, capped at 65536); threshold comparisons only, so both
+    engines agree bit-for-bit (the int_threshold_bucket rationale)."""
+    from parquet_importer_spark.operators.similarity import (
+        int_threshold_bucket_sql,
+    )
+
+    return int_threshold_bucket_sql(
+        "(SELECT n FROM nn)",
+        base=2048,
+        factor=2,
+        max_s=10,
+        values=[64 * 2**s for s in range(11)],
+    )
+
+
+@query(
+    "llm_semdedup_adaptive",
+    oracle=f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    kk AS (SELECT {_adaptive_k_sql()} AS k FROM nn),
+    bb AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(n / 125.0, 1.0))) AS INT))) AS bits
+      FROM nn
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec, {_SB} AS bucket
+      FROM embeddings WHERE vec_id < (SELECT k FROM kk)
+    ),
+    vec AS (
+      SELECT vec_id, embedding AS v, {_SB} AS bucket FROM embeddings
+    ),
+    scored AS (
+      SELECT vec.vec_id, vec.v, c.cid,
+             ROUND({oracle_cosine('vec.v', 'c.cvec')}, 6) AS cosc,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec.vec_id
+               ORDER BY ROUND({oracle_cosine('vec.v', 'c.cvec')}, 6) DESC,
+                        c.cid ASC) AS rn
+      FROM vec JOIN cent c USING (bucket)
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster, v, cosc AS cos_centroid
+      FROM scored WHERE rn = 1
+    ),
+    allv AS (
+      SELECT * FROM assigned
+      UNION ALL
+      SELECT vec_id, -1 AS cluster, v, CAST(NULL AS DOUBLE) AS cos_centroid
+      FROM vec WHERE vec_id NOT IN (SELECT vec_id FROM assigned)
+    ),
+    ok AS (
+      SELECT cluster FROM allv WHERE cluster >= 0
+      GROUP BY cluster HAVING COUNT(*) BETWEEN 2 AND 256
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cos_centroid AS ca, b.cos_centroid AS cb
+      FROM allv a
+      JOIN ok o ON o.cluster = a.cluster
+      JOIN allv b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND({oracle_cosine('a.v', 'b.v')}, 6) >= 0.4
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN (ca, id_a) > (cb, id_b)
+                           THEN id_a ELSE id_b END AS vec_id
+      FROM pairs
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.cos_centroid,
+           d.vec_id IS NULL AS keep
+    FROM allv a LEFT JOIN drops d USING (vec_id)
+    """,
+)
+def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``llm_semdedup`` (the §8.7 watch item: fixed k=64
+    leaves zero clusters inside the [2,256] pair window beyond ~16k
+    vectors, so the spec key silently stops dropping at scale — and
+    scaling k naively makes the exact n×k assignment quadratic,
+    since SemDeDup wants k ∝ n). Two adaptive knobs close both ends:
+
+    - **k adapts to the corpus**: k = 64 doubling while n > 32·k,
+      capped at 65536 (the paper's tens-of-thousands regime) — an
+      integer threshold chain both engines derive from COUNT(*), so
+      mean cluster size stays ~32, inside the pair window, at every
+      decade up to the cap.
+    - **assignment is LSH-bucketed (approximate)**: vectors score only
+      the centroids sharing their adaptive sign bucket
+      (adaptive_sign_bits — the same bit count llm_sim_pairs_lsh
+      uses), ≈ 125·k/n ≈ 4 candidates per vector instead of k, so
+      assignment work is LINEAR in n. A vector whose bucket holds no
+      centroid gets cluster −1 (kept, excluded from pairing) — the
+      documented recall cost of approximate assignment; SemDeDup's
+      own clustering is approximate k-means, so the contract matches
+      the method. Deterministic end to end → full-value oracle.
+
+    Plan shape: ONE footer-served count feeds both knobs; the centroid
+    table broadcasts (≤65536 rows × 64 floats ≈ 16 MB); assignment is
+    the bucket-equi broadcast join collapsed by a map-side-combinable
+    max_by (no window, no row_number — the llm_semdedup plan);
+    orphans are one broadcast anti-join; the pair stage inherits the
+    spec key's [2,256] cluster window, so no degenerate cluster can go
+    quadratic. Drop rule identical: within a ≥0.4-cosine pair the
+    member CLOSER to its centroid drops (diversity-preserving, ties by
+    vec_id)."""
+    from parquet_importer_spark.functions.vectors import cosine
+    from parquet_importer_spark.operators.similarity import (
+        adaptive_sign_bits,
+        sign_bucket,
+    )
+
+    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    bits = adaptive_sign_bits(n)
+    k = 64
+    while k < 65536 and n > 32 * k:
+        k *= 2
+    # BOTH join sides are EAGERLY checkpointed before the bucket
+    # equi-join: with the bucket columns defined by sign_bucket's
+    # higher-order lambdas, Catalyst inlines both definitions into the
+    # join condition and pushes an invalid cross-side filter into the
+    # centroid scan (an `!Filter` whose lambda still references the
+    # probe side's embedding attribute -> INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND at execution; session-config-dependent, reproduced under
+    # the pytest profile). Eager localCheckpoint truncates the lineage
+    # to LogicalRDDs with plain columns, so there is nothing to inline
+    # or mis-push. Construction therefore runs real jobs (the
+    # ts_change_points precedent, documented): cent is k<=65536 rows;
+    # vec is the n-row (id, v, bucket) frame both the assignment join
+    # and the orphan anti-join read anyway.
+    cent = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            sign_bucket(F.col("embedding"), bits).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    vec = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        sign_bucket(F.col("embedding"), bits).alias("bucket"),
+    ).localCheckpoint()
+    scored = vec.join(F.broadcast(cent), "bucket").select(
+        "vec_id",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("cosc"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cosc", "v"),
+                F.struct(F.col("cosc"), -F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cluster"),
+            F.col("best.v").alias("v"),
+            F.col("best.cosc").alias("cos_centroid"),
+        )
+    )
+    orphans = vec.join(
+        F.broadcast(assigned.select("vec_id")), "vec_id", "left_anti"
+    ).select(
+        "vec_id",
+        F.lit(-1).alias("cluster"),
+        F.col("v"),
+        F.lit(None).cast("double").alias("cos_centroid"),
+    )
+    allv = assigned.unionByName(orphans)
+    ok = (
+        allv.filter(F.col("cluster") >= 0)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter((F.col("cn") >= 2) & (F.col("cn") <= 256))
+        .select("cluster")
+    )
+    eligible = allv.join(F.broadcast(ok), "cluster")
+    a = eligible.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cos_centroid").alias("ca"),
+    )
+    b = eligible.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cos_centroid").alias("cb"),
+    )
+    pairs = a.join(b, "cluster").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+    )
+    drops = pairs.select(
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        allv.join(
+            F.broadcast(drops.withColumn("dropped", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "cos_centroid",
+            F.col("dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def _pq_subdist_sql(a: str, b: str, lo: str, hi: str) -> str:
     """DuckDB SQL: rounded squared-L2 distance between slices
     [lo:hi] of two float vectors (same left fold as the Spark side)."""

@@ -125,6 +125,52 @@ def test_parallelize_counts_row_groups_not_byte_splits(spark, tmp_path):
     assert _parquet_row_groups(spark.read.schema("a int").csv(csv)) is None
 
 
+def test_semdedup_adaptive_contract(spark):
+    """llm_semdedup_adaptive (the §8.7 watch-item close): k stays 64 at
+    the driver SF (chain floor), every bucket-orphan row is cluster −1
+    with a NULL centroid cosine and keep=True (approximate assignment's
+    documented recall cost never DROPS a document), and assigned
+    clusters reference real centroid ids below k."""
+    import math
+
+    from parquet_importer_spark.suite import QUERIES
+
+    out = QUERIES["llm_semdedup_adaptive"](spark, SF_ORACLE).collect()
+    n = len(out)
+    assert n == 500  # full corpus, one verdict per vector
+    orphans = [r for r in out if r["cluster"] == -1]
+    for r in orphans:
+        assert r["keep"] is True
+        assert r["cos_centroid"] is None or math.isnan(r["cos_centroid"])
+    assigned = [r for r in out if r["cluster"] >= 0]
+    assert assigned, "no vector got a same-bucket centroid"
+    assert all(r["cluster"] < 64 for r in assigned)  # k = 64 at this SF
+    assert any(not r["keep"] for r in out), "adaptive form dropped nothing"
+
+
+def test_semdedup_adaptive_k_chain():
+    """The integer k chain (k = 64 doubling while n > 32·k, cap 65536)
+    mirrored by the SQL CASE chain — spot the decade boundaries."""
+
+    def k_of(n: int) -> int:
+        k = 64
+        while k < 65536 and n > 32 * k:
+            k *= 2
+        return k
+
+    assert k_of(500) == 64
+    assert k_of(2048) == 64
+    assert k_of(2049) == 128
+    assert k_of(20_000) == 1024  # sf1 embeddings: mean cluster ~20
+    assert k_of(200_000) == 8192  # sf10: mean ~24
+    assert k_of(2_000_000) == 65536  # sf100: the paper's regime, capped
+    assert k_of(10**9) == 65536  # cap holds
+    # mean cluster size n/k stays inside the [2,256] pair window up to
+    # the cap: at the cap boundary n = 32*65536 -> mean 32
+    for n in (2049, 20_000, 200_000, 2_000_000):
+        assert 2 <= n / k_of(n) <= 256
+
+
 def _cp_fixture(spark):
     """Events-shaped frame engineered for the bucketed-path hazards:
     series 'flat' is all-equal cents → EVERY position's CUSUM score is
