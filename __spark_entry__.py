@@ -179,8 +179,11 @@ _DEFER_ORDER = (
     "llm_sim_pairs_lsh_capped",
     # round 11 second wave: adaptive-k + LSH-bucketed-assignment
     # SemDeDup (closes the §8.7 "silently drops nothing at scale"
-    # watch item on llm_semdedup)
+    # watch item on llm_semdedup), and the capped sibling of
+    # llm_dedup_embedding (the sf100 tranche's one workload-bound find,
+    # xlin_c 4.67 — same valve as llm_sim_pairs_lsh_capped)
     "llm_semdedup_adaptive",
+    "llm_dedup_embedding_capped",
 )
 _DEFER_NEW = frozenset(_DEFER_ORDER)
 

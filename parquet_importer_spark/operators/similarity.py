@@ -222,6 +222,51 @@ def bucketed_topk_pairs_capped(
     ``bucket_cap``) the valve is a provable no-op and the output equals
     the exact form's bit-for-bit.
     """
+    return _capped_bucket_scored_pairs(
+        df, vec_col, id_col, bucket_dims, bucket_cap
+    ).orderBy(
+        F.col("cos_sim").desc(), F.col("id_1").asc(), F.col("id_2").asc()
+    ).limit(top)
+
+
+def embedding_near_dup_pairs_capped(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_dims: int | None = None,
+    threshold: float = 0.4,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Scale-safe sibling of :func:`embedding_near_dup_pairs` — the
+    round-11 sf100 tranche measured the exact form at xlin_c 4.67
+    (1004 s): like the LSH pair spec, its contract must EMIT every
+    within-bucket pair ≥ threshold, and true pairs grow ~100×/decade
+    on cluster-growing corpora. Same valve as
+    :func:`bucketed_topk_pairs_capped` (keep-lowest-``bucket_cap``-ids
+    per bucket, map-side WindowGroupLimit, one shared exchange,
+    deterministic ⇒ full-value oracle), same no-op-at-driver-SF
+    argument; the output keeps the exact form's columns
+    (id_1, id_2, cos_sim ≥ threshold)."""
+    return (
+        _capped_bucket_scored_pairs(df, vec_col, id_col, bucket_dims, bucket_cap)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )
+
+
+def _capped_bucket_scored_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bucket_dims: int | None,
+    bucket_cap: int,
+) -> DataFrame:
+    """Shared core of the two capped siblings: adaptive sign buckets,
+    keep the ``bucket_cap`` LOWEST-id vectors per bucket (row_number
+    BEFORE the array build — Spark plans a partial WindowGroupLimit so
+    at most cap rows per bucket per input partition ever shuffle, and
+    the groupBy reuses the window's single exchange), then exact
+    in-bucket pair cosines. Columns (bucket, id_1, id_2, cos_sim)."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     from parquet_importer_spark.functions.vectors import dot, sq_norm
@@ -269,8 +314,6 @@ def bucketed_topk_pairs_capped(
             F.col("p.b.id").alias("id_2"),
             F.round(sim, 6).alias("cos_sim"),
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("id_1").asc(), F.col("id_2").asc())
-        .limit(top)
     )
 
 

@@ -21,6 +21,7 @@ from parquet_importer_spark.operators.similarity import (
     bucketed_topk_pairs,
     bucketed_topk_pairs_capped,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_capped,
     ivf_topk,
     topk_cosine,
 )
@@ -189,6 +190,63 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         bucket_dims=None,
         threshold=0.4,
+    )
+
+
+@query(
+    "llm_dedup_embedding_capped",
+    # Same adaptive-bit bucketing + 0.4 threshold as the exact form,
+    # with the keep-lowest-256-ids-per-bucket valve (QUALIFY
+    # row_number) — deterministic, so a FULL-value oracle; a provable
+    # no-op at every driver SF (expected bucket ~125).
+    oracle=f"""
+    WITH nb AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(CEIL(LOG2(GREATEST(COUNT(*) / 125.0, 1.0))) AS INT)))
+               AS bits
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(range(1, 1 + (SELECT bits FROM nb)),
+               i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings
+    ),
+    capped AS (
+      SELECT vec_id, embedding, bucket
+      FROM b
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 256
+    )
+    SELECT id_1, id_2, cos_sim FROM (
+      SELECT x.vec_id AS id_1, y.vec_id AS id_2,
+             ROUND({oracle_cosine('x.embedding', 'y.embedding')}, 6) AS cos_sim
+      FROM capped x JOIN capped y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def llm_dedup_embedding_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``llm_dedup_embedding`` (round 11: the sf100
+    tranche measured the exact form at xlin_c 4.67 / 1004 s — its
+    contract emits EVERY within-bucket pair ≥ τ and the fixture grows
+    true pairs ~100×/decade, the same workload-bound shape as
+    ``llm_sim_pairs_lsh``). Per-bucket membership capped at the 256
+    lowest ids BEFORE the array build (map-side WindowGroupLimit, one
+    shared bucket exchange); a near-dup CLUSTER keeps its lowest-id
+    members pairing each other, so downstream connected-components
+    still finds the cluster — dropped members' pairs are the recall
+    cost, bounded by the same argument as the LSH capped sibling. At
+    every driver SF the valve is a provable no-op (bit-identical to
+    the exact form); deterministic keep-lowest-ids ⇒ full-value
+    oracle."""
+    return embedding_near_dup_pairs_capped(
+        read_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        bucket_dims=None,
+        threshold=0.4,
+        bucket_cap=256,
     )
 
 

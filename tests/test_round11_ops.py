@@ -125,6 +125,41 @@ def test_parallelize_counts_row_groups_not_byte_splits(spark, tmp_path):
     assert _parquet_row_groups(spark.read.schema("a int").csv(csv)) is None
 
 
+def test_embedding_capped_is_noop_at_driver_sf(spark):
+    """llm_dedup_embedding_capped equals the exact form bit-for-bit at
+    the driver SF (every bucket under the cap), and a forced tiny cap
+    keeps only lowest-id members' pairs — the same valve contract as
+    the LSH capped sibling, on the emit-all-≥τ output shape."""
+    from parquet_importer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_capped,
+    )
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    exact = sorted(
+        (r["id_1"], r["id_2"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(
+            emb, bucket_dims=None, threshold=0.4
+        ).collect()
+    )
+    capped = sorted(
+        (r["id_1"], r["id_2"], r["cos_sim"])
+        for r in embedding_near_dup_pairs_capped(
+            emb, bucket_dims=None, threshold=0.4, bucket_cap=256
+        ).collect()
+    )
+    assert capped == exact and len(exact) > 0
+    tight = sorted(
+        (r["id_1"], r["id_2"], r["cos_sim"])
+        for r in embedding_near_dup_pairs_capped(
+            emb, bucket_dims=None, threshold=0.4, bucket_cap=4
+        ).collect()
+    )
+    assert set(tight) <= set(exact)  # never invents pairs
+    # only ids that are among some bucket's 4 lowest can appear
+    assert len(tight) < len(exact)
+
+
 def test_semdedup_adaptive_contract(spark):
     """llm_semdedup_adaptive (the §8.7 watch-item close): k stays 64 at
     the driver SF (chain floor), every bucket-orphan row is cluster −1
