@@ -49,6 +49,18 @@ DEFAULT_KEYS = (
     "llm_dedup_prefix_filter",
     "spatial_knn_join",
     "spatial_dbscan_core",
+    # round 11: the slim INT-array verify keys, the three new scale
+    # siblings (window caps / adaptive-k knobs), the decimal-grid
+    # entropy flip, and the bucketed change-point rewrite — all probed
+    # bit-identical under local[5]/7 vs local[32]/32 in-round
+    "llm_dedup_near",
+    "llm_dedup_containment",
+    "llm_dedup_affine",
+    "llm_sim_pairs_lsh_capped",
+    "llm_semdedup_adaptive",
+    "llm_dedup_embedding_capped",
+    "llm_multimodal",
+    "ts_change_points",
 )
 
 _CHILD = r"""
