@@ -289,6 +289,16 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_dedup_containment": 11,
     "llm_dedup_affine": 11,
     "graph_pagerank": 11,
+    # round-11 fourth-tranche find: both daily-rollup window keys
+    # pre-repartitioned the RAW events by event_type (|series| is
+    # CONSTANT, so the heavy aggregate ran |series|-wide at every
+    # scale; win_pct_change read xlin_c 2.27 at sf100). The
+    # repartition is dropped — the aggregate partial-combines at scan
+    # parallelism and only the tiny daily rollup crosses the window's
+    # exchange. Values identical (exact_sum is order-free decimal);
+    # post-fix xlin_c 0.26 / 0.25; re-driven green at HEAD.
+    "win_pct_change": 11,
+    "win_moving_zscore": 11,
 }
 # Round-11 window arithmetic (simulated via _driver_order at HEAD):
 # 50 slots = sentinel + 10 forced re-checks (every key whose code or
@@ -298,9 +308,10 @@ _FORCE_RECHECK: dict[str, int] = {
 # verdict item 2's gate — plus the llm_semdedup_adaptive /
 # llm_dedup_embedding_capped scale siblings the round's rungs
 # motivated) + 36 stale slots. The stale tier held 15 r4 + 41 r5
-# keys, so the window clears ALL of r4 and 23 of r5, leaving 18
+# keys, so the window clears ALL of r4 and 21 of r5, leaving 20
 # r5-vintage — over the round-10 verdict's ≤10 ask because THIRTEEN
-# slots went to re-confirming changed code and landing new operators:
+# (now thirteen forced + three new after the fourth-tranche window
+# fixes) slots went to re-confirming changed code and landing new operators:
 # the same "green row for changed code outranks the staleness count"
 # trade the round-10 verdict endorsed, at this round's larger
 # changed-code volume. One more ~49-slot window clears the r5 tier

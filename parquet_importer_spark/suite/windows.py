@@ -259,17 +259,24 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period percent change — the day-over-day delta every
     metrics dashboard computes: daily decimal-exact totals per series,
     then (v - lag(v)) / lag(v) over the series partition (first day
-    NULL). Pre-partitioning on event_type lets the daily aggregate AND
-    the window ride ONE exchange (hashpartitioning on the series key
-    clusters every (series, day) group — plan-tested); the division is
+    NULL). The daily aggregate partial-combines map-side over however
+    many scan splits the events table has and shuffles only (series,
+    day) partials; the window then adds its own exchange over the TINY
+    daily frame (days × |series| rows). History (round 11): the
+    original form pre-repartitioned the RAW events by event_type to
+    "share one exchange" — but event_type has CONSTANT cardinality, so
+    that collapsed the heavy aggregation onto |series| tasks (the
+    sf100 rung read xlin_c 2.27 with 20M rows per task single-
+    threaded). The "saved" exchange moves only the daily rollup; the
+    lost parallelism cost three decades of slope. Post-fix xlin_c
+    in SCALE_LADDER.json. The division is
     identical IEEE on both engines because both operands are
     grid-snapped, and a zero previous-day total is NULLIF-guarded on
     both sides (non-ANSI Spark and DuckDB disagree on 0-divisor
     doubles)."""
     e = read_table(spark, sf_dir, "events")
     daily = (
-        e.repartition("event_type")
-        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(exact_sum("value").alias("v"))
     )
     w = Window.partitionBy("event_type").orderBy("day")
@@ -304,13 +311,15 @@ def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling anomaly score: each day's total against its trailing
     7-day mean/stddev per series — the simplest production anomaly
     detector. Variance accumulation over a frame is order-dependent in
-    doubles, so the z-score rounds to 4 places (the agg_stats rule);
-    pre-partitioning on event_type lets the daily aggregate and the
-    frame ride ONE exchange."""
+    doubles, so the z-score rounds to 4 places (the agg_stats rule).
+    Same round-11 fix as win_pct_change: the daily aggregate partial-
+    combines at full scan parallelism and only the days × |series|
+    rollup crosses the window's exchange — the old raw-events
+    repartition("event_type") collapsed the heavy aggregation onto
+    |series| tasks (constant parallelism at every scale)."""
     e = read_table(spark, sf_dir, "events")
     daily = (
-        e.repartition("event_type")
-        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(exact_sum("value").alias("v"))
     )
     w = (

@@ -299,11 +299,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
 
 
 @pytest.mark.parametrize("name", ["win_pct_change", "win_moving_zscore"])
-def test_series_window_queries_single_exchange(spark, name):
-    """Pre-partitioning on the series key must let the daily aggregate
-    AND the window ride one exchange."""
+def test_series_window_queries_parallel_aggregate(spark, name):
+    """Round 11 inverted this pin: the old form pre-repartitioned the
+    RAW events on event_type to ride one exchange, which collapsed the
+    heavy daily aggregate onto |series| tasks (constant cardinality —
+    win_pct_change read xlin_c 2.27 at the sf100 rung). The scale
+    contract is now: (1) the aggregate PARTIAL-combines map-side at
+    scan parallelism (no pre-shuffle of raw events), and (2) exactly
+    two hash exchanges — the (series, day) partials into the final
+    aggregate, and the tiny daily rollup into the window."""
     plan = plan_of(spark, name)
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:600]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:600]
+    # the partial aggregate must sit BELOW the first exchange
+    first_ex = plan.index("Exchange hashpartitioning")
+    below = plan[first_ex:]
+    assert "partial_" in below, plan[:600]
 
 
 @pytest.mark.parametrize(
