@@ -300,22 +300,21 @@ _FORCE_RECHECK: dict[str, int] = {
     "win_pct_change": 11,
     "win_moving_zscore": 11,
 }
-# Round-11 window arithmetic (simulated via _driver_order at HEAD):
-# 50 slots = sentinel + 10 forced re-checks (every key whose code or
-# oracle changed this round: the multimodal oracle flip ×3, the
-# prefix-filter set-enforcement ×2, the change-point checkpoint, and
-# the minhash slim-verify ×4) + 3 NEW keys (llm_sim_pairs_lsh_capped —
-# verdict item 2's gate — plus the llm_semdedup_adaptive /
-# llm_dedup_embedding_capped scale siblings the round's rungs
-# motivated) + 36 stale slots. The stale tier held 15 r4 + 41 r5
-# keys, so the window clears ALL of r4 and 21 of r5, leaving 20
-# r5-vintage — over the round-10 verdict's ≤10 ask because THIRTEEN
-# (now thirteen forced + three new after the fourth-tranche window
-# fixes) slots went to re-confirming changed code and landing new operators:
-# the same "green row for changed code outranks the staleness count"
-# trade the round-10 verdict endorsed, at this round's larger
-# changed-code volume. One more ~49-slot window clears the r5 tier
-# entirely.
+# Round-11 window arithmetic (recounted against CORRECTNESS_r11.json —
+# round-11 ADVICE flagged the original comment's census as internally
+# inconsistent): 50 slots = sentinel + 12 forced re-checks (the
+# multimodal oracle flip ×3, the prefix-filter set-enforcement ×2, the
+# change-point checkpoint, the minhash slim-verify ×4, and the two
+# daily-rollup window fixes win_pct_change / win_moving_zscore) +
+# 3 NEW keys (llm_sim_pairs_lsh_capped — verdict item 2's gate — plus
+# the llm_semdedup_adaptive / llm_dedup_embedding_capped scale
+# siblings) + 34 stale slots. The stale slots cleared ALL 15 r4 keys
+# and 19 of the r5 tier, leaving 20 r5-vintage — over the round-10
+# verdict's ≤10 ask because 15 slots went to re-confirming changed
+# code and landing new operators: the same "green row for changed
+# code outranks the staleness count" trade the round-10 verdict
+# endorsed. The round-12 window's stale tail clears the remaining
+# 20 r5 keys with room to spare.
 
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:

@@ -175,6 +175,39 @@ def _doc_only_change(base: str, rel: str, fn_name: str) -> bool:
     )
 
 
+def _known_rounds(key: str) -> list[int]:
+    """Rounds whose CORRECTNESS_r{N}.json carries a row for `key`
+    (committed or not — presence in ANY artifact dates the key's
+    existence)."""
+    import json
+
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if key in rows:
+            rounds.append(rnd)
+    return rounds
+
+
+def _new_key_is_current(known_rounds: list[int], base_round: int) -> bool:
+    """Round-11 verdict item 1 — the CLASS fix for keys BORN after the
+    diff base. A key absent from every correctness artifact <= the
+    diff-base round did not exist at the base commit, so the entire
+    flagged diff IS its creation; its first green driver row (> the
+    base round by construction) necessarily measured code at-or-after
+    that creation and certifies it without a ``_FORCE_RECHECK`` entry.
+    The round-10 fix only handled keys WITH a satisfied entry, leaving
+    round-N-born keys reading as "changed since r{N-1}, unscheduled"
+    in the window where CORRECTNESS_r{N}.json is still uncommitted —
+    a false positive two rounds running."""
+    return bool(known_rounds) and min(known_rounds) > base_round
+
+
 def _recheck_covers(entry_round: int, latest_green_round: int) -> bool:
     """True iff a ``_FORCE_RECHECK`` value certifies the key's latest
     green driver row as current: scheduled for a FUTURE round (entry >
@@ -192,6 +225,32 @@ def test_recheck_satisfied_same_round_is_not_an_offender():
     assert _recheck_covers(11, 10)  # scheduled for next round
     assert not _recheck_covers(9, 10)  # stale entry: change postdates it
     assert not _recheck_covers(0, 10)  # absent entry
+
+
+def test_new_key_without_recheck_entry_is_not_an_offender():
+    """Round-11 verdict item 1 (the sibling blind spell of the round-10
+    case): a key born in round N has no _FORCE_RECHECK entry, and while
+    CORRECTNESS_r{N}.json is uncommitted the diff base is the r{N-1}
+    commit — the guard must read its r{N} green row as certifying its
+    creation, not flag it as "changed since r{N-1}, unscheduled"."""
+    # born in r11, diff base r10: current (the round-11 false positive)
+    assert _new_key_is_current([11], 10)
+    # born in r11 and re-checked since: still current vs an r10 base
+    assert _new_key_is_current([11, 12], 10)
+    # existed at the base round: NOT a new key — the normal schedule
+    # discipline applies
+    assert not _new_key_is_current([10, 11], 10)
+    assert not _new_key_is_current([5], 10)
+    # no artifact knows the key at all: not provably new — flag
+    assert not _new_key_is_current([], 10)
+
+
+def test_known_rounds_reads_all_artifacts():
+    """_known_rounds must see every CORRECTNESS_r*.json, committed or
+    not — the sentinel appears in all of them."""
+    rounds = _known_rounds("flagship_pricing_summary")
+    assert rounds, "sentinel missing from every correctness artifact"
+    assert min(rounds) == 1
 
 
 def test_changed_queries_are_scheduled_for_recheck():
@@ -233,6 +292,8 @@ def test_changed_queries_are_scheduled_for_recheck():
             continue  # never driver-checked: already in the priority tier
         if not entry._green(latest[key][1]):
             continue  # errored latest row: already tier 0
+        if _new_key_is_current(_known_rounds(key), rnd):
+            continue  # born after the diff base: green row postdates creation
         # An entry EQUAL to the key's latest green round is SATISFIED,
         # not unscheduled: per the entry's graduation semantics
         # (__spark_entry__._FORCE_RECHECK docstring) a green row in
