@@ -299,6 +299,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # post-fix xlin_c 0.26 / 0.25; re-driven green at HEAD.
     "win_pct_change": 11,
     "win_moving_zscore": 11,
+    # round-12 (round-11 ADVICE): the two O(n) frames in
+    # llm_semdedup_adaptive (orphan anti-join side, final drops side)
+    # lose their F.broadcast hints — a forced broadcast of ~one row
+    # per input vector collects multi-GB to the driver at exactly the
+    # scale the key exists for; AQE now picks the strategy. The n-row
+    # vec localCheckpoint also went lazy (plan-only callers pay no
+    # job). Values identical at every SF; re-driven green at HEAD.
+    "llm_semdedup_adaptive": 12,
 }
 # Round-11 window arithmetic (recounted against CORRECTNESS_r11.json —
 # round-11 ADVICE flagged the original comment's census as internally

@@ -1048,11 +1048,17 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
       the method. Deterministic end to end → full-value oracle.
 
     Plan shape: ONE footer-served count feeds both knobs; the centroid
-    table broadcasts (≤65536 rows × 64 floats ≈ 16 MB); assignment is
-    the bucket-equi broadcast join collapsed by a map-side-combinable
-    max_by (no window, no row_number — the llm_semdedup plan);
-    orphans are one broadcast anti-join; the pair stage inherits the
-    spec key's [2,256] cluster window, so no degenerate cluster can go
+    table is the ONLY explicitly-broadcast frame (≤65536 rows × 64
+    floats ≈ 16 MB — bounded by the k cap, so the hint is safe at any
+    n); assignment is the bucket-equi broadcast join collapsed by a
+    map-side-combinable max_by (no window, no row_number — the
+    llm_semdedup plan); the orphan anti-join and the final drops left
+    join carry NO broadcast hint — both of those sides are O(n)
+    (~one row per input vector), so a forced broadcast would collect
+    multi-GB frames to the driver at exactly the scale this key exists
+    for (round-11 ADVICE); AQE broadcasts them when they measure small
+    and shuffles when they don't. The pair stage inherits the spec
+    key's [2,256] cluster window, so no degenerate cluster can go
     quadratic. Drop rule identical: within a ≥0.4-cosine pair the
     member CLOSER to its centroid drops (diversity-preserving, ties by
     vec_id)."""
@@ -1075,12 +1081,16 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid scan (an `!Filter` whose lambda still references the
     # probe side's embedding attribute -> INTERNAL_ERROR_ATTRIBUTE_NOT_
     # FOUND at execution; session-config-dependent, reproduced under
-    # the pytest profile). Eager localCheckpoint truncates the lineage
-    # to LogicalRDDs with plain columns, so there is nothing to inline
-    # or mis-push. Construction therefore runs real jobs (the
-    # ts_change_points precedent, documented): cent is k<=65536 rows;
-    # vec is the n-row (id, v, bucket) frame both the assignment join
-    # and the orphan anti-join read anyway.
+    # the pytest profile). localCheckpoint truncates the lineage to
+    # LogicalRDDs with plain columns, so there is nothing to inline or
+    # mis-push — and the truncation is in the RETURNED PLAN for lazy
+    # checkpoints too, so only the small bounded cent side is eager
+    # (k<=65536 rows, one cheap construction-time job). The n-row vec
+    # frame checkpoints lazily on first use: plan-only callers
+    # (explain tools) pay no job and no executor storage, and the
+    # materialized footprint appears only when the query actually runs
+    # (round-11 ADVICE — the eager form cached the whole embeddings
+    # projection at DataFrame-construction time).
     cent = (
         emb.filter(F.col("vec_id") < k)
         .select(
@@ -1094,7 +1104,7 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("v"),
         sign_bucket(F.col("embedding"), bits).alias("bucket"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scored = vec.join(F.broadcast(cent), "bucket").select(
         "vec_id",
         "v",
@@ -1116,8 +1126,10 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.cosc").alias("cos_centroid"),
         )
     )
+    # no broadcast hint: assigned is ~n rows (round-11 ADVICE) — AQE
+    # picks broadcast at small SFs and a shuffle join at scale
     orphans = vec.join(
-        F.broadcast(assigned.select("vec_id")), "vec_id", "left_anti"
+        assigned.select("vec_id"), "vec_id", "left_anti"
     ).select(
         "vec_id",
         F.lit(-1).alias("cluster"),
@@ -1158,9 +1170,10 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("id_b"))
         .alias("vec_id")
     ).distinct()
+    # no broadcast hint on drops either — worst case it is O(n) rows
     return (
         allv.join(
-            F.broadcast(drops.withColumn("dropped", F.lit(True))),
+            drops.withColumn("dropped", F.lit(True)),
             "vec_id",
             "left",
         )

@@ -64,7 +64,12 @@ SHOWCASE = (
     ("ts_change_points", "dual physical path on a footer-served count: ≤100k rows (this showcased SF, every driver SF, bench) keeps the original one-exchange single-window plan; above it, cumsum/ranking windows run per (series, COUNT(*)-adaptive time bucket) with broadcast prefix-offset chaining and per-bucket argmax under the identical comparator (WindowGroupLimit top-1) — series cardinality is constant across decades, so the single-window form was a constant-parallelism sort (1000x-rung xlin_c 1.68 → 0.71 bucketed); outputs bit-identical on both paths, decimal(38,0)-exact scores. Round-11 note (round-10 ADVICE confirmed): the bucketed cumsum frame feeds BOTH the offsets agg and the join probe, and the measured sf1/nb=16 plan showed Catalyst ReuseExchange NOT firing (two FileScans, two window sorts) — the frame is now lazily localCheckpoint'ed so scan+cumsum run once"),
     ("llm_rank_fusion", "join-free fusion: rank lists union into (doc,src,rank) rows; one tiny groupBy sums RRF terms — no SortMergeJoin"),
     # round 11 addition
-    ("llm_sim_pairs_lsh_capped", "the scale-safe LSH pair enumerator (round-10 verdict item 2): per-bucket membership capped at the 256 lowest ids via row_number BEFORE the array build — the plan shows a PARTIAL WindowGroupLimit below the single (bucket) exchange (map-side prune: ≤cap rows per bucket per input partition ever shuffle) and the groupBy reusing the window's partitioning (no second exchange); TakeOrderedAndProject for the top-20; sf100 xlin_c 0.35 vs the uncapped form's 4.98"),
+    ("llm_sim_pairs_lsh_capped", "the scale-safe LSH pair enumerator (round-10 verdict item 2): per-bucket membership capped at the 256 lowest ids via row_number BEFORE the array build — the plan shows a PARTIAL WindowGroupLimit below the single (bucket) exchange (map-side prune: ≤cap rows per bucket per input partition ever shuffle; pinned via window_group_limit_partial ≥ 1) and the groupBy reusing the window's partitioning (no second exchange); TakeOrderedAndProject for the top-20; sf100 xlin_c 0.35 vs the uncapped form's 4.98"),
+    # round 12 additions (round-11 verdict item 4: pin the remaining
+    # capped scale siblings, asserting the map-side WindowGroupLimit
+    # the capped docstrings lean on)
+    ("llm_dedup_embedding_capped", "scale form of llm_dedup_embedding (sf100 measured the exact form at xlin_c 4.67): keep-lowest-256-ids-per-bucket valve as a row_number window BEFORE pair expansion — PARTIAL WindowGroupLimit below the single (bucket) exchange (window_group_limit_partial ≥ 1), so at most cap rows per bucket per input partition ever shuffle; sf100 xlin_c 0.46"),
+    ("llm_semdedup_adaptive", "adaptive-k SemDeDup: k and the LSH bit depth derive from ONE footer-served COUNT(*); the ≤65536-row centroid table is the ONLY forced broadcast (BroadcastHashJoin on bucket); assignment collapses by map-combinable max_by (no window); the O(n) orphan anti-join and drops left join carry NO broadcast hint (round-11 ADVICE — AQE decides); [2,256] cluster window gates the pair join; sf100 xlin_c 0.09"),
     # round 5 additions
     ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
     ("llm_semdedup", "centroids broadcast; max_by partial-agg assignment (no window over the 64x expansion); [2,256] cluster cap gates the pair join"),
@@ -151,11 +156,14 @@ MARKERS = (
     "TakeOrderedAndProject",
     "Generate",
     "Window",
+    "WindowGroupLimit",
 )
 
 
 def plan_fingerprint(plan: str) -> dict:
     """Scale-relevant invariants of one formatted plan string."""
+    import re
+
     present = sorted(m for m in MARKERS if m in plan)
     pushed = "PushedFilters: [" in plan and not all(
         seg.startswith("]")
@@ -170,6 +178,20 @@ def plan_fingerprint(plan: str) -> dict:
         # provably bounded inputs (dimension/bucket tables, final top-k)
         # — the per-query SHOWCASE note must say which.
         "single_partition": plan.count("SinglePartition"),
+        # map-side per-group cap (round-11 verdict item 4): a PARTIAL
+        # WindowGroupLimit below the exchange is the capped keys' scale
+        # contract — at most `cap` rows per group per input partition
+        # ever shuffle. A Spark upgrade or refactor that de-fuses the
+        # limit (count drops to 0 while a Final may survive) fails the
+        # pin instead of silently re-inflating the exchange.
+        # (counted per detail block: the node header and its Arguments
+        # line are separated by the Input [...] line in formatted mode)
+        "window_group_limit_partial": sum(
+            1
+            for block in plan.split("\n\n")
+            if re.match(r"\(\d+\) WindowGroupLimit", block)
+            and re.search(r"^Arguments: .*, Partial\s*$", block, re.M)
+        ),
     }
 
 

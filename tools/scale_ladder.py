@@ -138,6 +138,88 @@ def _drain_only(spark, sf_dir: str) -> None:
 RUNG3_MEM = os.environ.get("SPARK_GRAFT_RUNG3_MEM", "48g")
 
 
+def _sweep_sink_tmp() -> None:
+    """Remove the sink keys' tempdirs between rung subprocesses. The
+    sink operators write into tempfile.mkdtemp(prefix='pis_*') and the
+    queries legitimately leave the data for the read-back; at sf100 a
+    single zorder/bucketed write is multiple GB, and a 60-key campaign
+    would otherwise fill the ~34 GB free local disk with dead
+    fixtures."""
+    import glob as _glob  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    for d in _glob.glob(os.path.join(tempfile.gettempdir(), "pis_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _metrics_session(name: str):
+    """Rung session with the UI status store enabled so per-stage
+    TaskMetrics (spill/shuffle bytes) are queryable over the REST API.
+    The suite's default session disables the UI; the rungs re-enable
+    it on a random port — the store is in-memory, costs ~nothing at
+    these stage counts, and turns 'the disk did it' attributions into
+    recorded numbers (round-11 verdict item 3)."""
+    from parquet_importer_spark.session import get_spark
+
+    return get_spark(
+        name,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+    )
+
+
+def _stage_metrics(spark) -> dict:
+    """Cumulative task metrics across all completed stages of this
+    (fresh, single-key) application, via the UI REST API. Values are
+    exactly Spark's TaskMetrics sums: memory/disk spill bytes, shuffle
+    read/write bytes, shuffle write time, executor run time."""
+    import json as _json  # noqa: PLC0415
+    import urllib.request  # noqa: PLC0415
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    agg = dict.fromkeys(
+        (
+            "spill_mem_bytes",
+            "spill_disk_bytes",
+            "shuffle_write_bytes",
+            "shuffle_read_bytes",
+            "shuffle_write_time_ns",
+            "executor_run_time_ms",
+        ),
+        0,
+    )
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete"
+        ) as fh:
+            stages = _json.load(fh)
+    except Exception as exc:  # noqa: BLE001 — metrics are best-effort
+        return {"error": f"{type(exc).__name__}: {exc}"[:120]}
+    for s in stages:
+        agg["spill_mem_bytes"] += s.get("memoryBytesSpilled", 0)
+        agg["spill_disk_bytes"] += s.get("diskBytesSpilled", 0)
+        agg["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        agg["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        agg["shuffle_write_time_ns"] += s.get("shuffleWriteTime", 0)
+        agg["executor_run_time_ms"] += s.get("executorRunTime", 0)
+    gb = 1024.0**3
+    return {
+        "spill_mem_gb": round(agg["spill_mem_bytes"] / gb, 2),
+        "spill_disk_gb": round(agg["spill_disk_bytes"] / gb, 2),
+        "shuffle_write_gb": round(agg["shuffle_write_bytes"] / gb, 2),
+        "shuffle_read_gb": round(agg["shuffle_read_bytes"] / gb, 2),
+        "shuffle_write_time_s": round(agg["shuffle_write_time_ns"] / 1e9, 1),
+        "executor_run_time_s": round(agg["executor_run_time_ms"] / 1e3, 1),
+    }
+
+
+def _metrics_delta(after: dict, before: dict) -> dict:
+    if "error" in after or "error" in before:
+        return after
+    return {k: round(after[k] - before.get(k, 0), 2) for k in after}
+
+
 def _rung3(keys: list[str]) -> None:
     """Add the sf100 (1000x) rung to existing ladder rows in place.
 
@@ -154,6 +236,7 @@ def _rung3(keys: list[str]) -> None:
             env=env,
             check=False,
         )
+        _sweep_sink_tmp()
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
     over = [(k, r) for k, r in rows.items() if r.get("xlin_c", 0) > 1.2]
@@ -182,6 +265,7 @@ def _rung_mid(keys: list[str]) -> None:
             env=env,
             check=False,
         )
+        _sweep_sink_tmp()
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
     over = [(k, r) for k, r in rows.items() if r.get("xlin_m", 0) > 1.2]
@@ -191,7 +275,6 @@ def _rung_mid(keys: list[str]) -> None:
 
 
 def _rung_mid_one(key: str) -> None:
-    from parquet_importer_spark.session import get_spark
     from parquet_importer_spark.suite import QUERIES
 
     sf30 = os.path.join(ROOT, ".scale", "sf30")
@@ -202,13 +285,15 @@ def _rung_mid_one(key: str) -> None:
     if key not in QUERIES or key not in rows:
         print(f"{key}: skipped (not registered/laddered)", file=sys.stderr)
         return
-    spark = get_spark("scale-ladder-rung-mid")
+    spark = _metrics_session("scale-ladder-rung-mid")
     row = rows[key]
     row.pop("sf30_error", None)
     try:
+        before = _stage_metrics(spark)
         t0 = time.perf_counter()
         QUERIES[key](spark, sf30).write.format("noop").mode("overwrite").save()
         row["sf30"] = round(time.perf_counter() - t0, 2)
+        row["sf30_metrics"] = _metrics_delta(_stage_metrics(spark), before)
         row["xlin_m"] = round(row["sf30"] / (3 * max(row["sf10"], 0.05)), 2)
         row["rung_mid_mem"] = RUNG3_MEM
         print(f"{key}: {row}", file=sys.stderr)
@@ -221,7 +306,6 @@ def _rung_mid_one(key: str) -> None:
 
 
 def _rung3_one(key: str) -> None:
-    from parquet_importer_spark.session import get_spark
     from parquet_importer_spark.suite import QUERIES
 
     sf100 = os.path.join(ROOT, ".scale", "sf100")
@@ -232,7 +316,7 @@ def _rung3_one(key: str) -> None:
     if key not in QUERIES or key not in rows:
         print(f"{key}: skipped (not registered/laddered)", file=sys.stderr)
         return
-    spark = get_spark("scale-ladder-rung3")
+    spark = _metrics_session("scale-ladder-rung3")
 
     def timed(sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -242,7 +326,9 @@ def _rung3_one(key: str) -> None:
     row = rows[key]
     row.pop("sf100_error", None)
     try:
+        before = _stage_metrics(spark)
         row["sf100"] = timed(sf100)
+        row["sf100_metrics"] = _metrics_delta(_stage_metrics(spark), before)
         if row["sf10"] > row["sf100"]:
             # inversion = the stored second rung was ambient-inflated
             row["sf10"] = min(row["sf10"], timed(RUNGS[2][1]))
