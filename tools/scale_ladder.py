@@ -29,6 +29,16 @@ Writes SCALE_LADDER.json {key: {sf01, sf1, sf10, xlin_a, xlin_b}}.
 Single-run timings with the sweep's min-of-2 rule per adjacent pair
 (re-time when a smaller SF reads slower than the next rung).
 
+Round-12 instrument rule: any third-decade row reading >1.2 gets a
+``--cold-sf10`` follow-up before it is believed. The sf100/sf30
+numerators run as the FIRST job of a fresh JVM (JIT-cold); the stored
+sf10 denominators were measured in a warmed shared session or
+re-timed in-process AFTER the sf100 run (JIT-hot) — an asymmetry that
+inflated all three of round 11's surviving >1.2 rows (q21 1.45 → 0.68
+cold, llm_dedup_near 1.37 → 0.96, graph_pagerank's sf30 mid-rung
+1.52 → 1.16 with zero spill). Cold re-times land in ``sf10_cold`` with
+``xlin_c_cold``/``xlin_m_cold`` alongside the original fields.
+
 stream_jdbc_import gets a SPLIT row (round-9 verdict item 3): its
 total time includes embedded Derby's insert wall (throughput decays
 56k→30k rows/s as the table grows — an external term), which as a
@@ -305,6 +315,61 @@ def _rung_mid_one(key: str) -> None:
         json.dump(data, fh, indent=1)
 
 
+def _cold_sf10(keys: list[str]) -> None:
+    """Round-12 instrument check: re-time the sf10 rung COLD — fresh
+    subprocess JVM per key, same 48 g heap as the third-decade rungs.
+    The stored sf10 denominators of the >1.2 rows were 'refreshed'
+    inside a JVM that had ALREADY run the sf100 rung (the inversion
+    rule re-times in-process), i.e. fully JIT-warmed with hot code
+    caches, while every sf100/sf30 numerator runs as the first job of
+    its JVM. A systematically deflated denominator inflates xlin —
+    this mode measures that bias instead of arguing about it."""
+    import subprocess  # noqa: PLC0415
+
+    for key in keys:
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=RUNG3_MEM)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-sf10-one", key],
+            env=env,
+            check=False,
+        )
+        _sweep_sink_tmp()
+
+
+def _cold_sf10_one(key: str) -> None:
+    from parquet_importer_spark.suite import QUERIES
+
+    path = os.path.join(ROOT, "SCALE_LADDER.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    rows = data["results"]
+    if key not in QUERIES or key not in rows:
+        print(f"{key}: skipped (not registered/laddered)", file=sys.stderr)
+        return
+    spark = _metrics_session("scale-ladder-cold-sf10")
+    row = rows[key]
+    try:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, RUNGS[2][1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        row["sf10_cold"] = round(time.perf_counter() - t0, 2)
+        if "sf100" in row:
+            row["xlin_c_cold"] = round(
+                row["sf100"] / (10 * max(row["sf10_cold"], 0.05)), 2
+            )
+        if "sf30" in row:
+            row["xlin_m_cold"] = round(
+                row["sf30"] / (3 * max(row["sf10_cold"], 0.05)), 2
+            )
+        print(f"{key}: {row}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        row["sf10_cold_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        print(f"{key}: ERROR {row['sf10_cold_error']}", file=sys.stderr)
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+
+
 def _rung3_one(key: str) -> None:
     from parquet_importer_spark.suite import QUERIES
 
@@ -360,6 +425,12 @@ def main() -> None:
         return
     if argv and argv[0] == "--rung-mid-one":
         _rung_mid_one(argv[1])
+        return
+    if argv and argv[0] == "--cold-sf10":
+        _cold_sf10(argv[1:])
+        return
+    if argv and argv[0] == "--cold-sf10-one":
+        _cold_sf10_one(argv[1])
         return
     if argv and argv[0] == "--missing":
         path = os.path.join(ROOT, "SCALE_LADDER.json")
