@@ -307,6 +307,17 @@ _FORCE_RECHECK: dict[str, int] = {
     # vec localCheckpoint also went lazy (plan-only callers pay no
     # job). Values identical at every SF; re-driven green at HEAD.
     "llm_semdedup_adaptive": 12,
+    # round-12 census find (the third decade catching its third
+    # defect): both keys' moment products multiplied in BIGINT and
+    # threw ANSI ARITHMETIC_OVERFLOW at sf100 — hourly cents totals
+    # grow with corpus density while the hour count stays fixed, so
+    # SUM(y*y) exceeds 2^63 one decade past the driver SFs. Operands
+    # now promote to decimal BEFORE the multiply (oracles mirror via
+    # HUGEINT products); identical integers wherever the old form
+    # didn't throw, cross-engine-pinned in the overflow regime by
+    # tests/test_round12_ops.py. Re-driven green at HEAD.
+    "agg_ols_by_group": 12,
+    "ts_cross_correlation": 12,
 }
 # Round-11 window arithmetic (recounted against CORRECTNESS_r11.json —
 # round-11 ADVICE flagged the original comment's census as internally

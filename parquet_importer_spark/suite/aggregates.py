@@ -1107,9 +1107,9 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
              CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
-             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
       FROM x GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
@@ -1169,13 +1169,23 @@ def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hb") - F.min("hb").over(w)).cast("bigint").alias("x"),
     )
     _D = "decimal(38,0)"
+    # the PRODUCTS promote to decimal BEFORE multiplying (round-12
+    # census find: sf100 threw ARITHMETIC_OVERFLOW — hourly totals y
+    # grow with corpus density while the hour count stays fixed, so
+    # SUM(y*y) exceeds BIGINT one decade after the driver SFs; the
+    # docstring's "every moment is exact in DECIMAL(38,0)" promise now
+    # holds for the multiply too. Same integers at every SF that
+    # didn't throw; the moments frame is |types|x|hours| rows, so the
+    # decimal math costs nothing)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = x.groupBy("event_type").agg(
         F.count(F.lit(1)).cast(_D).alias("n"),
         F.sum("x").cast(_D).alias("sx"),
         F.sum("y").cast(_D).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(_D).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_D).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast(_D).alias("sxy"),
+        F.sum(xd * xd).cast(_D).alias("sxx"),
+        F.sum(yd * yd).cast(_D).alias("syy"),
+        F.sum(xd * yd).cast(_D).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -2164,9 +2164,9 @@ def ts_double_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
              CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
              CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
-             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
       FROM p GROUP BY 1, 2, 3
     )
     SELECT type_a, type_b, CAST(lag AS INT) AS lag,
@@ -2232,13 +2232,19 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _D = "decimal(38,0)"
+    # decimal promotion BEFORE the multiply (round-12 census find:
+    # sf100 threw ARITHMETIC_OVERFLOW — same term as agg_ols_by_group,
+    # see the comment there; the moments frame is |pairs|x|lags| rows,
+    # so the decimal math costs nothing)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     m = p.groupBy("type_a", "type_b", "lag").agg(
         F.count(F.lit(1)).cast(_D).alias("n"),
         F.sum("x").cast(_D).alias("sx"),
         F.sum("y").cast(_D).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast(_D).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast(_D).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast(_D).alias("sxy"),
+        F.sum(xd * xd).cast(_D).alias("sxx"),
+        F.sum(yd * yd).cast(_D).alias("syy"),
+        F.sum(xd * yd).cast(_D).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
