@@ -114,3 +114,192 @@ def test_moment_fix_is_value_preserving_at_driver_sf(spark, key):
     odf = con.execute(ORACLES[key]).df()
     assert len(sdf) == len(odf)
     assert _vhash(sdf) == _vhash(odf)
+
+
+# ---------------------------------------------------------------------------
+# The overflow CLASS, closed (the currency-guard precedent: round-11
+# verdict item 1 asked for classes, not instances). Any F.sum() over a
+# BIGINT product is a latent ANSI ARITHMETIC_OVERFLOW one decade past
+# wherever it was last tested — unless its operands are provably
+# bounded, or the product is decimal-promoted. This test scans every
+# package file's AST: a site must either promote an operand to decimal
+# (directly or via a local bound to a decimal cast, the xd/yd pattern)
+# or appear below with a written boundedness argument. A new
+# unexamined F.sum(a*b) fails the build.
+# ---------------------------------------------------------------------------
+
+#: {(path-suffix, enclosing function): why the BIGINT product cannot
+#: overflow at any plausible decade}. Every entry is also empirically
+#: certified by its sf100/sf30 ladder rung: Spark 4 runs ANSI mode, so
+#: a rung that PASSED proves no overflow happened at that scale.
+BOUNDED_PRODUCT_SITES = {
+    ("suite/aggregates.py", "agg_welch_ttest"):
+        "operands are per-ROW cents of events.value (domain <= ~6e4, "
+        "squares <= ~4e9): the sum overflows only past ~2.3e9 rows per "
+        "(type, arm) group — domain-bounded, unlike the per-BUCKET "
+        "totals that broke agg_ols_by_group; sf100 rung passed",
+    ("suite/aggregates.py", "agg_market_concentration"):
+        "operands are per-supplier revenue cents within one region and "
+        "a dense rank bounded by |suppliers per region|; supplier "
+        "count and per-supplier revenue both stay ~constant under the "
+        "replica fixture; sf100 rung passed",
+    ("suite/aggregates.py", "agg_bootstrap_ci"):
+        "w is a per-(row, replicate) Poisson-ish multiplier (small "
+        "int) and cents is the per-ROW domain-bounded value; sf100 "
+        "rung passed",
+    ("suite/llm_dedup.py", "_supplier_sigma_edges"):
+        "c is a per-node co-occurrence count bounded by the bucket "
+        "caps of the near-dup pipeline; sf100 rung passed",
+    ("suite/llm_dedup.py", "graph_kcore"):
+        "c is a node degree in the bucket-capped near-dup graph; "
+        "sf30 mid-rung passed",
+    ("suite/llm_dedup.py", "graph_lpa_communities"):
+        "c is a per-label neighbor count bounded by degree; sf100 "
+        "rung passed",
+    ("suite/llm_dedup.py", "graph_bfs_distance"):
+        "c is a frontier count bounded by component size in the "
+        "bucket-capped graph; sf100 rung passed",
+    ("suite/llm_dedup.py", "graph_assortativity"):
+        "x/y/c are endpoint degrees of the bucket-capped near-dup "
+        "graph (three sites in this function); sf100 rung passed",
+}
+
+
+def _decimal_bound_names(fn_node):
+    import ast
+
+    out = set()
+    for node in ast.walk(fn_node):
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and any(
+                isinstance(c, ast.Call)
+                and isinstance(c.func, ast.Attribute)
+                and c.func.attr == "cast"
+                and c.args
+                and isinstance(c.args[0], ast.Constant)
+                and str(c.args[0].value).startswith("decimal")
+                for c in ast.walk(node.value)
+            )
+        ):
+            out.add(node.targets[0].id)
+    return out
+
+
+def _has_decimal_cast(expr):
+    import ast
+
+    return any(
+        isinstance(c, ast.Call)
+        and isinstance(c.func, ast.Attribute)
+        and c.func.attr == "cast"
+        and c.args
+        and isinstance(c.args[0], ast.Constant)
+        and str(c.args[0].value).startswith("decimal")
+        for c in ast.walk(expr)
+    )
+
+
+def test_every_sum_of_products_is_promoted_or_justified():
+    import ast
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    for path in sorted(
+        glob.glob(
+            os.path.join(repo, "parquet_importer_spark", "**", "*.py"),
+            recursive=True,
+        )
+    ):
+        rel = os.path.relpath(path, repo).replace("\\", "/")
+        suffix = rel.split("parquet_importer_spark/", 1)[-1]
+        tree = ast.parse(open(path).read())
+        for fn in (
+            n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+        ):
+            dec = _decimal_bound_names(fn)
+            for node in ast.walk(fn):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "sum"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                    and node.args
+                    and isinstance(node.args[0], ast.BinOp)
+                    and isinstance(node.args[0].op, ast.Mult)
+                ):
+                    continue
+                arg = node.args[0]
+
+                def promoted(side):
+                    return (
+                        isinstance(side, ast.Name) and side.id in dec
+                    ) or _has_decimal_cast(side)
+
+                if promoted(arg.left) or promoted(arg.right):
+                    continue
+                if (suffix, fn.name) in BOUNDED_PRODUCT_SITES:
+                    continue
+                offenders.append(f"{rel}:{node.lineno} in {fn.name}()")
+    assert not offenders, (
+        "F.sum() over an unpromoted BIGINT product — promote an operand "
+        "to decimal before the multiply (see agg_ols_by_group) or add a "
+        "boundedness justification to BOUNDED_PRODUCT_SITES: "
+        + ", ".join(offenders)
+    )
+
+
+def test_bounded_product_allowlist_is_not_stale():
+    """Every allowlist entry must still name a real (file, function)
+    that CONTAINS an unpromoted product sum — a promoted or deleted
+    site must drop its entry, so the list can only shrink toward the
+    mechanically-checked default."""
+    import ast
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    live = set()
+    for path in sorted(
+        glob.glob(
+            os.path.join(repo, "parquet_importer_spark", "**", "*.py"),
+            recursive=True,
+        )
+    ):
+        rel = os.path.relpath(path, repo).replace("\\", "/")
+        suffix = rel.split("parquet_importer_spark/", 1)[-1]
+        tree = ast.parse(open(path).read())
+        for fn in (
+            n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+        ):
+            dec = _decimal_bound_names(fn)
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "sum"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                    and node.args
+                    and isinstance(node.args[0], ast.BinOp)
+                    and isinstance(node.args[0].op, ast.Mult)
+                ):
+                    arg = node.args[0]
+                    if not (
+                        (
+                            isinstance(arg.left, ast.Name)
+                            and arg.left.id in dec
+                        )
+                        or _has_decimal_cast(arg.left)
+                        or (
+                            isinstance(arg.right, ast.Name)
+                            and arg.right.id in dec
+                        )
+                        or _has_decimal_cast(arg.right)
+                    ):
+                        live.add((suffix, fn.name))
+    stale = set(BOUNDED_PRODUCT_SITES) - live
+    assert not stale, f"stale BOUNDED_PRODUCT_SITES entries: {sorted(stale)}"
