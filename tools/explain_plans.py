@@ -70,6 +70,8 @@ SHOWCASE = (
     # the capped docstrings lean on)
     ("llm_dedup_embedding_capped", "scale form of llm_dedup_embedding (sf100 measured the exact form at xlin_c 4.67): keep-lowest-256-ids-per-bucket valve as a row_number window BEFORE pair expansion — PARTIAL WindowGroupLimit below the single (bucket) exchange (window_group_limit_partial ≥ 1), so at most cap rows per bucket per input partition ever shuffle; sf100 xlin_c 0.46"),
     ("llm_semdedup_adaptive", "adaptive-k SemDeDup: k and the LSH bit depth derive from ONE footer-served COUNT(*); the ≤65536-row centroid table is the ONLY forced broadcast (BroadcastHashJoin on bucket); assignment collapses by map-combinable max_by (no window); the O(n) orphan anti-join and drops left join carry NO broadcast hint (round-11 ADVICE — AQE decides); [2,256] cluster window gates the pair join; sf100 xlin_c 0.09"),
+    ("agg_ols_by_group", "grouped REGR_SLOPE/REGR_R2 at the minimum plan: one map-combinable rollup to (type, hour) grain is the only full-data pass; window MIN and the moments aggregation ride the tiny hourly frame — where the round-12 census caught the BIGINT product overflow; the moment products now promote to decimal BEFORE multiplying (sf100 8.4 s / xlin_c 0.76, zero spill)"),
+    ("ts_cross_correlation", "lagged cross-correlation: raw events reduce once to (type, hour); the 4-lag fan-out is a broadcast crossJoin of a 4-row frame and the lag join + moments run on |types|x|hours| rows — decimal-promoted products after the round-12 overflow find (sf100 10.2 s / xlin_c 1.01)"),
     # round 5 additions
     ("llm_dedup_affine", "production 128-hash profile: one md5 per shingle + affine re-mix; slim (band,key,doc) shuffle unchanged"),
     ("llm_semdedup", "centroids broadcast; max_by partial-agg assignment (no window over the 64x expansion); [2,256] cluster cap gates the pair join"),
