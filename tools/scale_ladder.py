@@ -348,6 +348,7 @@ def _cold_sf10_one(key: str) -> None:
         return
     spark = _metrics_session("scale-ladder-cold-sf10")
     row = rows[key]
+    row.pop("sf10_cold_error", None)
     try:
         t0 = time.perf_counter()
         QUERIES[key](spark, RUNGS[2][1]).write.format("noop").mode(
