@@ -318,6 +318,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # tests/test_round12_ops.py. Re-driven green at HEAD.
     "agg_ols_by_group": 12,
     "ts_cross_correlation": 12,
+    # round-13 (round-12 verdict item 2): ts_autocorr was the live
+    # instance of the gate's cast-wrapped blind spot — F.sum(dec(c*c))
+    # multiplied in BIGINT and cast the already-computed product.
+    # Operands now promote to decimal(19,0) BEFORE the multiply (the
+    # ts_cross_correlation form); values identical wherever the old
+    # form didn't throw (exact integer arithmetic either way), oracle
+    # unchanged. Re-driven green at HEAD.
+    "ts_autocorr": 13,
 }
 # Round-11 window arithmetic (recounted against CORRECTNESS_r11.json —
 # round-11 ADVICE flagged the original comment's census as internally

