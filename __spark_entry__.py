@@ -327,21 +327,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # unchanged. Re-driven green at HEAD.
     "ts_autocorr": 13,
 }
-# Round-11 window arithmetic (recounted against CORRECTNESS_r11.json —
-# round-11 ADVICE flagged the original comment's census as internally
-# inconsistent): 50 slots = sentinel + 12 forced re-checks (the
-# multimodal oracle flip ×3, the prefix-filter set-enforcement ×2, the
-# change-point checkpoint, the minhash slim-verify ×4, and the two
-# daily-rollup window fixes win_pct_change / win_moving_zscore) +
-# 3 NEW keys (llm_sim_pairs_lsh_capped — verdict item 2's gate — plus
-# the llm_semdedup_adaptive / llm_dedup_embedding_capped scale
-# siblings) + 34 stale slots. The stale slots cleared ALL 15 r4 keys
-# and 19 of the r5 tier, leaving 20 r5-vintage — over the round-10
-# verdict's ≤10 ask because 15 slots went to re-confirming changed
-# code and landing new operators: the same "green row for changed
-# code outranks the staleness count" trade the round-10 verdict
-# endorsed. The round-12 window's stale tail clears the remaining
-# 20 r5 keys with room to spare.
+# Round-13 window arithmetic (verified against _driver_order() at
+# HEAD): 50 slots = sentinel + 1 forced re-check (ts_autocorr, the
+# overflow-gate fix) + 1 rows-only rotation (sink_postgis via the
+# standing 2-round cadence above, last ran r10) + 47 stale slots =
+# ALL 19 r6-vintage keys + the 28 oldest r7 keys. This leaves zero
+# keys with a latest row < r7 after the round-13 driver run — the
+# round-12 verdict item 3 target — and 11 r7 keys for round 14's
+# rotation to clear.
 
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
@@ -423,6 +416,20 @@ def _driver_order() -> list[str]:
     verified = {k for k, (_, row) in latest.items() if _green(row)}
     errored = {k for k, (_, row) in latest.items() if not _green(row)}
     upgraded = _oracle_upgraded()
+    # Rows-only keys are the one tier whose health the local harness
+    # cannot fully prove (no oracle hash — their check IS the driver
+    # run), so they re-confirm on a standing 2-round cadence instead of
+    # competing with the hash-verified tail (round-12 verdict item 3:
+    # sink_postgis, the single rows-only key, had not rotated since
+    # r10). Ranked with the upgraded tier, ahead of the stale rotation.
+    newest = max((rnd for rnd, _ in latest.values()), default=0)
+    rows_only_due = {
+        k
+        for k, (rnd, row) in latest.items()
+        if _green(row)
+        and row.get("err") == "no_oracle"
+        and rnd <= newest - 2
+    }
 
     def forced(name: str) -> bool:
         # code changed in round _FORCE_RECHECK[name]; driver hasn't
@@ -439,7 +446,7 @@ def _driver_order() -> list[str]:
             return 0
         if forced(name):
             return 1
-        if name in upgraded:
+        if name in upgraded or name in rows_only_due:
             return 2
         if name in verified:
             return 5

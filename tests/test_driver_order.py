@@ -247,6 +247,33 @@ def test_oracle_upgraded_detection(entry, tmp_path):
     assert with_oracle in upgraded and other not in upgraded
 
 
+def test_rows_only_keys_reenter_on_cadence(entry):
+    """A green rows-only key (err == "no_oracle", no local hash proof
+    possible) whose latest row is >= 2 rounds older than the newest
+    recorded round must re-enter the 50-slot window ahead of the
+    verified tail (round-12 verdict item 3: sink_postgis sat at r10
+    for two rounds with no standing re-confirmation rule)."""
+    latest = entry._driver_latest()
+    newest = max(rnd for rnd, _ in latest.values())
+    due = [
+        k
+        for k, (rnd, row) in latest.items()
+        if entry._green(row)
+        and row.get("err") == "no_oracle"
+        and rnd <= newest - 2
+    ]
+    if not due:
+        pytest.skip("no rows-only key is due this round")
+    order = entry._driver_order()
+    pos = {k: i for i, k in enumerate(order)}
+    for k in due:
+        assert pos[k] < WINDOW, (
+            f"rows-only key {k} (last ran r{latest[k][0]}, newest "
+            f"r{newest}) at slot {pos[k]} is outside the "
+            f"{WINDOW}-slot window"
+        )
+
+
 def test_verified_tail_is_staleness_ordered(entry):
     """Within the verified tail, keys whose last green row is older
     must sort before more recently confirmed keys, so r1-verified keys
@@ -268,6 +295,13 @@ def test_verified_tail_is_staleness_ordered(entry):
         and not (
             k in entry._FORCE_RECHECK
             and latest[k][0] < entry._FORCE_RECHECK[k]
+        )
+        # rows-only keys on their standing 2-round re-confirmation
+        # cadence rank with the upgraded tier — not part of the tail
+        and not (
+            latest[k][1].get("err") == "no_oracle"
+            and latest[k][0]
+            <= max(r for r, _ in latest.values()) - 2
         )
     ]
     rounds = [latest[k][0] for k in tail]
