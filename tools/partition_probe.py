@@ -61,6 +61,12 @@ DEFAULT_KEYS = (
     "llm_dedup_embedding_capped",
     "llm_multimodal",
     "ts_change_points",
+    # round 12/13: the decimal-promoted moment keys (overflow-class
+    # fixes — the decimal accumulate is order-free by construction,
+    # but the probe list's contract is every round-changed float-heavy
+    # key; agg_ols_by_group already appears above)
+    "ts_cross_correlation",
+    "ts_autocorr",
 )
 
 _CHILD = r"""
