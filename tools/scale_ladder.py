@@ -230,6 +230,36 @@ def _metrics_delta(after: dict, before: dict) -> dict:
     return {k: round(after[k] - before.get(k, 0), 2) for k in after}
 
 
+def _refresh_cold_ratios(row: dict) -> None:
+    """Recompute the cold ratios from ``sf10_cold`` whenever a
+    numerator rung (sf100 / sf30) is re-timed. Round-12 ADVICE: the
+    cold ratios take adjudication precedence over the warm ones, so a
+    re-timed numerator left next to a STALE green ``xlin_c_cold``
+    could mask a real regression."""
+    if "sf10_cold" not in row:
+        return
+    den = max(row["sf10_cold"], 0.05)
+    if "sf100" in row:
+        row["xlin_c_cold"] = round(row["sf100"] / (10 * den), 2)
+    if "sf30" in row:
+        row["xlin_m_cold"] = round(row["sf30"] / (3 * den), 2)
+
+
+def _needs_cold_rebase(row: dict) -> bool:
+    """True when a rung row carries a warm super-linearity ratio >1.2
+    with no cold denominator to adjudicate it. Round-12's census found
+    the warm sf10 denominator is systematically JIT-deflated (it is
+    re-timed in-process after the sf100 run, while every numerator
+    runs as the first job of a cold JVM) — all three round-11 >1.2
+    rows cleared on cold re-bases. The rung drivers auto-trigger a
+    cold sf10 re-time for any such row instead of relying on the
+    operator remembering the discipline (round-12 verdict item 5)."""
+    warm_over = (
+        row.get("xlin_c", 0) > 1.2 or row.get("xlin_m", 0) > 1.2
+    )
+    return warm_over and "sf10_cold" not in row
+
+
 def _rung3(keys: list[str]) -> None:
     """Add the sf100 (1000x) rung to existing ladder rows in place.
 
@@ -247,12 +277,41 @@ def _rung3(keys: list[str]) -> None:
             check=False,
         )
         _sweep_sink_tmp()
+        _auto_cold_rebase(key)
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
     over = [(k, r) for k, r in rows.items() if r.get("xlin_c", 0) > 1.2]
     print(f"third-decade xlin_c > 1.2 ({len(over)}):")
     for k, r in over:
         print(f"  {r['xlin_c']:5.2f}  {k}  ({r['sf10']}s -> {r['sf100']}s)")
+
+
+def _auto_cold_rebase(key: str, path: str | None = None) -> None:
+    """After a rung child finishes, re-read its row; if it recorded a
+    warm ratio >1.2 with no cold denominator, immediately re-time sf10
+    in a fresh JVM (``--cold-sf10-one``) so the >1.2 reading never
+    lands without its same-conditions adjudication."""
+    import subprocess  # noqa: PLC0415
+
+    path = path or os.path.join(ROOT, "SCALE_LADDER.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        row = json.load(fh)["results"].get(key)
+    if row is None or not _needs_cold_rebase(row):
+        return
+    print(
+        f"{key}: warm ratio > 1.2 with no cold denominator — "
+        "auto-triggering --cold-sf10",
+        file=sys.stderr,
+    )
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=RUNG3_MEM)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cold-sf10-one", key],
+        env=env,
+        check=False,
+    )
+    _sweep_sink_tmp()
 
 
 def _rung_mid(keys: list[str]) -> None:
@@ -276,6 +335,7 @@ def _rung_mid(keys: list[str]) -> None:
             check=False,
         )
         _sweep_sink_tmp()
+        _auto_cold_rebase(key)
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
     over = [(k, r) for k, r in rows.items() if r.get("xlin_m", 0) > 1.2]
@@ -305,6 +365,7 @@ def _rung_mid_one(key: str) -> None:
         row["sf30"] = round(time.perf_counter() - t0, 2)
         row["sf30_metrics"] = _metrics_delta(_stage_metrics(spark), before)
         row["xlin_m"] = round(row["sf30"] / (3 * max(row["sf10"], 0.05)), 2)
+        _refresh_cold_ratios(row)
         row["rung_mid_mem"] = RUNG3_MEM
         print(f"{key}: {row}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — record, isolate, move on
@@ -400,6 +461,7 @@ def _rung3_one(key: str) -> None:
             row["sf10"] = min(row["sf10"], timed(RUNGS[2][1]))
             row["xlin_b"] = round(row["sf10"] / (10 * max(row["sf1"], 0.05)), 2)
         row["xlin_c"] = round(row["sf100"] / (10 * max(row["sf10"], 0.05)), 2)
+        _refresh_cold_ratios(row)
         row["rung3_mem"] = RUNG3_MEM
         print(f"{key}: {row}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — record, isolate, move on
