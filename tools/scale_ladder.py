@@ -280,10 +280,17 @@ def _rung3(keys: list[str]) -> None:
         _auto_cold_rebase(key)
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
-    over = [(k, r) for k, r in rows.items() if r.get("xlin_c", 0) > 1.2]
-    print(f"third-decade xlin_c > 1.2 ({len(over)}):")
+    # cold ratios take adjudication precedence over warm ones (the
+    # warm sf10 denominator is JIT-deflated — general rule 10)
+    over = [
+        (k, r)
+        for k, r in rows.items()
+        if r.get("xlin_c_cold", r.get("xlin_c", 0)) > 1.2
+    ]
+    print(f"third-decade xlin (cold-precedence) > 1.2 ({len(over)}):")
     for k, r in over:
-        print(f"  {r['xlin_c']:5.2f}  {k}  ({r['sf10']}s -> {r['sf100']}s)")
+        x = r.get("xlin_c_cold", r.get("xlin_c"))
+        print(f"  {x:5.2f}  {k}  ({r['sf10']}s -> {r['sf100']}s)")
 
 
 def _auto_cold_rebase(key: str, path: str | None = None) -> None:
