@@ -5,8 +5,10 @@ shared code change while the bench session's ambient load doubled
 mid-suite; llm_dedup_near read 1.59× of the fresh clean-session
 reference. This tool re-times a family in an EXCLUSIVE session with the
 headline bench's own protocol (warm-up + best-of-2 with the adaptive
-third run, noop materialization, sf0.1) and appends an attribution
-record to BENCH_DETAIL.json detail — either clearing the movement as
+third run, noop materialization, sf0.1) and prints a timings/vs_ref
+record with ambient snapshots — the operator records the resulting
+attribution in BENCH_DETAIL.json (as a static detail field in bench.py
+so it survives future bench runs), either clearing the movement as
 ambient or confirming a real regression.
 
     python tools/bench_family.py llm_dedup_ llm_line_dedup llm_semdedup
