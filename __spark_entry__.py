@@ -326,6 +326,13 @@ _FORCE_RECHECK: dict[str, int] = {
     # form didn't throw (exact integer arithmetic either way), oracle
     # unchanged. Re-driven green at HEAD.
     "ts_autocorr": 13,
+    # round-13 sf0.001 parity-sweep find: h=3 OR-tables left a ~3e-4
+    # per-pair recall miss to the dice and the sweep caught one (a
+    # J=0.9333 pair missed all 3 seed-42 tables at sf0.001). Base
+    # table count raised to the wide regime's measured 4 — output-
+    # monotone (more OR-tables only add candidates; flags already
+    # TRUE stay TRUE), re-swept green at sf0.001/sf0.01/sf0.1.
+    "llm_dedup_minhash_mllib": 13,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 1 forced re-check (ts_autocorr, the

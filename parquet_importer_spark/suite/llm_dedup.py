@@ -227,21 +227,22 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — but its RECALL contract can. The query computes the exact
     2-gram-Jaccard ≥ 0.9 pair set and flags each pair with whether the
     MLlib LSH join surfaced it. The oracle recomputes the exact pair
-    set and asserts ``found_by_lsh`` literally — with 3 OR-amplified
+    set and asserts ``found_by_lsh`` literally — with 4 OR-amplified
     hash tables a 0.9-similar pair collides with probability
-    ≥ 1 − (1 − s)³ = 0.999, and the fixed seed makes the outcome
+    ≥ 1 − (1 − s)⁴ = 0.9999, and the fixed seed makes the outcome
     deterministic per dataset, so a recall break hash-mismatches.
-    3 tables is MEASURED, not theoretical headroom: h=2 missed 5 of
-    2540 exact ≥0.9 pairs at sf1 (SURVEY §8.4) — borderline s≈0.9
-    pairs miss with probability (1−s)² ≈ 1%, and thousands of pairs
-    make that a near-certain driver mismatch — while h=3 surfaced
-    every exact pair at sf0.01/sf0.1/sf1. The wide-vocab regime below
-    escalates to h=4 because de-aliasing the feature space removes an
-    accidental recall cushion (aliasing inflates feature-Jaccard above
-    true Jaccard). Each extra table costs little here: MLlib computes
-    an exact distance per colliding bucket pair — this query's single
-    largest cost at 1.3M pairs — and the 0.15 distance threshold, not
-    the table count, bounds that set.
+    The table count is MEASURED, not theoretical headroom: h=2 missed
+    5 of 2540 exact ≥0.9 pairs at sf1 (SURVEY §8.4), and h=3 — green
+    at sf0.01/sf0.1/sf1 — was caught by the round-13 sf0.001 parity
+    sweep missing one J=0.9333 pair ((1−s)³ ≈ 3e-4 per pair: the
+    sf0.01 gate passing at h=3 was a ~97% draw, not a bound). h=4 is
+    green at every swept SF and matches what the wide-vocab regime
+    already needed after de-aliasing removed its accidental recall
+    cushion (aliasing inflates feature-Jaccard above true Jaccard).
+    Each extra table costs little here: MLlib computes an exact
+    distance per colliding bucket pair — this query's single largest
+    cost at 1.3M pairs — and the 0.15 distance threshold, not the
+    table count, bounds that set.
 
     Ground truth is AllPairs/PPJoin prefix filtering (shared
     ``prefix_filter_jaccard_pairs`` subtree, t = 9/10), NOT the full
@@ -284,16 +285,26 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("g").alias("v"))
         .first()["v"]
     )
-    num_features, num_tables = 1 << 14, 3
+    # 4 OR-tables UNIFORMLY (round 13): the old narrow-regime h=3 left
+    # a (1-s)^3 ≈ 3e-4 per-pair miss to the dice, and the round-13
+    # sf0.001 parity sweep caught one (a J=0.9333 pair missed all 3
+    # seed-42 tables — the sf0.01 gate passing at h=3 was itself a
+    # ~97% draw, not a guarantee). h=4 tightens the bound to
+    # (1-s)^4 ≤ 2e-5 at s≥0.9 and matches the wide regime's
+    # already-measured table count, so the wide path (sf10/sf30
+    # rungs: 25400/25400 recalled at the 100x rung vs 25399 with 3
+    # tables) executes byte-identically. More OR-tables are
+    # output-monotone here: they can only ADD bucket collisions, and
+    # the result is keyed on the exact pair set, so every
+    # found_by_lsh already TRUE stays TRUE. Re-measured 100% recall
+    # at sf0.001 / sf0.01 / sf0.1 after the change.
+    num_features, num_tables = 1 << 14, 4
     if vocab > (1 << 14):
+        # wide feature space: de-aliasing removes the accidental
+        # recall cushion (aliasing inflates feature-Jaccard above true
+        # Jaccard), which is what originally forced this regime to 4
+        # tables while the narrow regime sat at 3
         num_features = 1 << min(22, math.ceil(math.log2(4.0 * vocab)))
-        # a wide feature space removes the aliasing that INFLATED
-        # feature-Jaccard above true Jaccard, so borderline ~0.90 pairs
-        # lose that accidental recall cushion — one more OR table
-        # ((1-s)^4 vs (1-s)^3) restores it: 25400/25400 recalled at the
-        # 100x rung vs 25399 with 3 tables, at ~the same join cost
-        # because the wide space already collapsed the bucket sizes
-        num_tables = 4
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features)
     feat = tf.transform(docs).filter(F.size("toks") > 0).localCheckpoint(eager=False)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42)

@@ -77,6 +77,37 @@ def test_auto_cold_rebase_triggers_cold_child(tmp_path, monkeypatch):
     assert len(calls) == 1, "linear row must not trigger a cold re-time"
 
 
+def test_base_retime_merges_instead_of_replacing():
+    """Round-13 find: a base ladder re-time (sf01/sf1/sf10) used to
+    REPLACE the key's row wholesale, silently destroying measured
+    third-decade fields (sf100/sf30/metrics/exclusion notes). The merge
+    must preserve them, recompute their warm ratios against the new
+    sf10 denominator, and DELETE the cold-campaign fields (they were
+    measured against the code state of their campaign)."""
+    m = _ladder()
+    old = {
+        "sf01": 10.9, "sf1": 19.4, "sf10": 201.3,
+        "xlin_a": 0.18, "xlin_b": 1.04,
+        "sf100": 900.0, "xlin_c": 0.45, "sf100_metrics": {"x": 1},
+        "sf30": 256.9, "xlin_m": 0.43, "rung_mid_mem": "48g",
+        "sf100_note": "disk-bound",
+        "sf10_cold": 150.0, "xlin_c_cold": 0.6, "xlin_m_cold": 0.57,
+    }
+    new = {"sf01": 15.0, "sf1": 17.1, "sf10": 127.6,
+           "xlin_a": 0.11, "xlin_b": 0.75}
+    merged = m._merge_base_row(old, new)
+    assert merged["sf10"] == 127.6 and merged["xlin_b"] == 0.75
+    assert merged["sf100"] == 900.0 and merged["sf30"] == 256.9
+    assert merged["sf100_metrics"] == {"x": 1}
+    assert merged["sf100_note"] == "disk-bound"
+    assert merged["xlin_c"] == 0.71    # 900 / (10 * 127.6)
+    assert merged["xlin_m"] == 0.67    # 256.9 / (3 * 127.6)
+    for gone in ("sf10_cold", "xlin_c_cold", "xlin_m_cold"):
+        assert gone not in merged
+    # a key with no prior row passes through untouched
+    assert m._merge_base_row({}, dict(new)) == new
+
+
 def test_refresh_cold_ratios_tracks_retimed_numerators():
     """Round-12 ADVICE: _rung3_one re-times sf100 and recomputes
     xlin_c but left xlin_c_cold stale — since cold ratios take

@@ -43,11 +43,52 @@ for t in (
 # tests/test_parity.py on the same data
 from tests.parity import compare  # noqa: E402
 
+#: oracles DOCUMENTED as pinned to the sf0.01 gate path (their SQL
+#: hardcodes it — the driver contract fixes oracle runs at sf0.01, so
+#: an sf_dir-generic Spark side vs a pinned oracle is by-design
+#: asymmetric at any other SF): skip them with a note instead of
+#: reporting a false mismatch.
+SF_PINNED = {
+    "scan_rowgroup_stats": (
+        "oracle reads parquet_metadata('/root/testdata/sf0.01/...') "
+        "by documented design (suite/scans.py)"
+    ),
+}
+
+#: oracles whose SQL is resource-bound ABOVE the gate SF (they stay
+#: authoritative at and below sf0.01): skipped only for larger SFs.
+OVER_GATE_RESOURCE = {
+    "graph_kcore": (
+        "the ORACLE (unrolled iterative k-core peeling in SQL) is "
+        "resource-bound one decade above the gate: DuckDB spills past "
+        "the ~56 GB free local disk at sf0.1 even with a 90 GB memory "
+        "limit (round 13, 195 s to disk-full). The SPARK side is fine "
+        "at this and two more decades (SCALE_LADDER sf10 rung + sf30 "
+        "mid-rung) — an oracle scalability wall, not an engine one; "
+        "the sf0.01 gate pair and the sf0.001 sweep pair stay "
+        "authoritative"
+    ),
+}
+
 only = set(sys.argv[2:])
 if only:
     unknown = only - set(oracles)
     assert not unknown, f"unknown oracle names: {sorted(unknown)}"
     oracles = {k: v for k, v in oracles.items() if k in only}
+import re  # noqa: E402
+
+_sf_m = re.search(r"sf([0-9.]+)", SF)
+_sf_val = float(_sf_m.group(1)) if _sf_m else None
+if "/sf0.01" not in SF.rstrip("/"):
+    for k, why in SF_PINNED.items():
+        if k in oracles:
+            del oracles[k]
+            print(f"{k}: SKIPPED at {SF} — {why}")
+if _sf_val is not None and _sf_val > 0.01:
+    for k, why in OVER_GATE_RESOURCE.items():
+        if k in oracles:
+            del oracles[k]
+            print(f"{k}: SKIPPED at {SF} — {why}")
 
 fails = 0
 for name in oracles:

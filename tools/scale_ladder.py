@@ -230,6 +230,36 @@ def _metrics_delta(after: dict, before: dict) -> dict:
     return {k: round(after[k] - before.get(k, 0), 2) for k in after}
 
 
+def _merge_base_row(old: dict, new: dict) -> dict:
+    """Merge a freshly re-timed base row (sf01/sf1/sf10 + xlin_a/b)
+    into the key's existing ladder row. Round-13 find: the base path
+    used to REPLACE rows wholesale, silently destroying measured
+    third-decade fields (sf100/sf30, metrics, exclusion notes) on any
+    re-time. Preserved numerator rungs get their warm ratios
+    recomputed against the new sf10; the cold-denominator campaign
+    fields are DELETED — they were measured against the code state of
+    their campaign, and a base re-time is the signal that state may
+    have changed (the >1.2 auto-rebase re-creates them on demand)."""
+    keep = {k: v for k, v in old.items() if k not in new}
+    for stale in (
+        "sf10_cold",
+        "xlin_c_cold",
+        "xlin_m_cold",
+        "sf10_cold_error",
+    ):
+        keep.pop(stale, None)
+    merged = {**keep, **new}
+    if "sf100" in merged:
+        merged["xlin_c"] = round(
+            merged["sf100"] / (10 * max(merged["sf10"], 0.05)), 2
+        )
+    if "sf30" in merged:
+        merged["xlin_m"] = round(
+            merged["sf30"] / (3 * max(merged["sf10"], 0.05)), 2
+        )
+    return merged
+
+
 def _refresh_cold_ratios(row: dict) -> None:
     """Recompute the cold ratios from ``sf10_cold`` whenever a
     numerator rung (sf100 / sf30) is re-timed. Round-12 ADVICE: the
@@ -345,10 +375,15 @@ def _rung_mid(keys: list[str]) -> None:
         _auto_cold_rebase(key)
     with open(os.path.join(ROOT, "SCALE_LADDER.json")) as fh:
         rows = json.load(fh)["results"]
-    over = [(k, r) for k, r in rows.items() if r.get("xlin_m", 0) > 1.2]
-    print(f"mid-rung (sf30) xlin_m > 1.2 ({len(over)}):")
+    over = [
+        (k, r)
+        for k, r in rows.items()
+        if r.get("xlin_m_cold", r.get("xlin_m", 0)) > 1.2
+    ]
+    print(f"mid-rung (sf30) xlin (cold-precedence) > 1.2 ({len(over)}):")
     for k, r in over:
-        print(f"  {r['xlin_m']:5.2f}  {k}  ({r['sf10']}s -> {r['sf30']}s)")
+        x = r.get("xlin_m_cold", r.get("xlin_m"))
+        print(f"  {x:5.2f}  {k}  ({r['sf10']}s -> {r['sf30']}s)")
 
 
 def _rung_mid_one(key: str) -> None:
@@ -574,7 +609,8 @@ def main() -> None:
                 prior = json.load(fh).get("results", {})
         except (OSError, ValueError):
             prior = {}
-    prior.update(results)
+    for key, row in results.items():
+        prior[key] = _merge_base_row(prior.get(key, {}), row)
     ordered = dict(sorted(prior.items(), key=lambda kv: -kv[1]["xlin_b"]))
     with open(path, "w") as fh:
         json.dump({"results": ordered, "errors": errors}, fh, indent=1)
