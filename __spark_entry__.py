@@ -333,6 +333,15 @@ _FORCE_RECHECK: dict[str, int] = {
     # monotone (more OR-tables only add candidates; flags already
     # TRUE stay TRUE), re-swept green at sf0.001/sf0.01/sf0.1.
     "llm_dedup_minhash_mllib": 13,
+    # round-13 sf1 parity-sweep finds (both invisible at driver SFs):
+    # agg_stats' rounded corr prints a SIGNED zero whose sign is
+    # double-accumulation noise (one engine 0.0, the other -0.0 on the
+    # replica fixture) — both sides now add +0.0 after the round;
+    # limit_probe's two-key sort prefix is not total on a fixture with
+    # duplicated keys — the ORDER BY now covers all projected columns
+    # (identical rows at every real SF, where the prefix is unique).
+    "agg_stats": 13,
+    "limit_probe": 13,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 2 forced re-checks (ts_autocorr, the

@@ -161,7 +161,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
            ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
-           ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) + 0.0
+             AS corr_bal_key,
            ROUND(MEDIAN(c_acctbal), 6) AS median_bal
     FROM customer GROUP BY c_mktsegment
     """,
@@ -169,14 +170,23 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev/var/corr/percentile. These are rounded (not decimal-exact):
     variance accumulation is inherently order-dependent in doubles, and
-    ROUND(x, 4) absorbs the ulp drift; exact median via percentile."""
+    ROUND(x, 4) absorbs the ulp drift; exact median via percentile.
+
+    The corr adds ``+ 0.0`` AFTER the round on both engines (round-13
+    sf1 parity sweep, SURVEY §7.4.10): a true correlation of ~±1e-15
+    rounds to a SIGNED zero whose sign is accumulation-order noise —
+    one engine prints 0.0, the other -0.0, and the float-repr hash
+    diverges. IEEE −0.0 + 0.0 = +0.0 collapses both."""
     c = read_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
         F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
-            "corr_bal_key"
-        ),
+        (
+            F.round(
+                F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("corr_bal_key"),
         # rounded like the other float columns: percentile/MEDIAN interpolate
         # between two values for even-sized groups and may differ in the
         # last ulp across engines

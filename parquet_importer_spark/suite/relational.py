@@ -234,14 +234,19 @@ def filter_dtype_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "limit_probe",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-    ORDER BY l_orderkey, l_linenumber LIMIT 10
+    ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 10
     """,
 )
 def limit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIMIT n (reference probe rows=1 app.py:72); ordered for determinism."""
+    """LIMIT n (reference probe rows=1 app.py:72); ordered for
+    determinism. The sort is TOTAL over the projected columns
+    (round-13 sf1 parity sweep: the replica fixture reuses
+    (l_orderkey, l_linenumber) pairs with different quantities, so the
+    two-key prefix alone left the LIMIT row set engine-dependent —
+    the repo's own 'sort fully before LIMIT' gotcha, §7.4)."""
     return (
         read_table(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .limit(10)
     )

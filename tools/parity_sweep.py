@@ -24,6 +24,10 @@ spark = (
     SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
+    # per-row projections (cast_coerce, fn_math) return O(n) rows and
+    # the compare collects both sides fully: the 1 g default driver
+    # heap OOMs at sf1's ~6M rows (round 13) while the box has 128 g
+    .config("spark.driver.memory", "16g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
