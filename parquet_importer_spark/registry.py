@@ -47,13 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the exact decimal. The decimal→double CAST is the second trap: DuckDB's
 # int128→double conversion is not correctly rounded once the unscaled value
 # exceeds 2^53 (observed at sf0.1: 7.47e9 summed at scale 8 → ...249999 vs
-# Spark's ...25). Fix: ROUND the double result to the expression's decimal
-# grid (dp) — the true sum sits ON a grid point, never near a rounding
-# midpoint, so a ≤1-ulp conversion difference still rounds to the same
-# representable double in both engines. dp must be ≥ the summed
-# expression's decimal count (money = 2, price*(1-disc) = 4,
-# price*(1-disc)*(1+tax) = 6); the default 4 covers every ≤4-dp input
-# because coarser grids embed in finer ones.
+# Spark's ...25). Two defenses layer here:
+#   (1) the ORACLE routes decimal→double THROUGH VARCHAR (round 13):
+#       DuckDB's string→double parse is correctly rounded, and Spark's
+#       BigDecimal.doubleValue() is correctly rounded, so both engines
+#       derive the IDENTICAL double from the identical exact decimal at
+#       ANY magnitude. The round-13 sf1 sweep proved the old grid-snap
+#       argument has a magnitude ceiling: at sum_charge ≈ 2.8e10 the
+#       double's ulp (≈3.8e-6) exceeds the 6-dp half-grid (5e-7), and
+#       the flagship's oracle drifted one ulp off Spark's value —
+#       invisible at sf0.1, certain at 100-TB magnitudes.
+#   (2) ROUND to the expression's decimal grid (dp) on both sides —
+#       keeps results on the human-meaningful grid and makes the snap
+#       robust where the ulp is still below half the grid spacing. dp
+#       must be ≥ the summed expression's decimal count (money = 2,
+#       price*(1-disc) = 4, price*(1-disc)*(1+tax) = 6); the default 4
+#       covers every ≤4-dp input because coarser grids embed in finer
+#       ones.
 
 _DEC = "decimal(30,8)"
 
@@ -73,11 +83,17 @@ def exact_avg(col: Column | str, dp: int = 4) -> Column:
 
 
 def oracle_exact_sum(expr: str, dp: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {dp})"
+    # decimal → VARCHAR → DOUBLE: strtod is correctly rounded, DuckDB's
+    # direct int128-decimal→double cast is not (defense (1) above)
+    return (
+        f"ROUND(CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS VARCHAR)"
+        f" AS DOUBLE), {dp})"
+    )
 
 
 def oracle_exact_avg(expr: str, dp: int = 4) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE), {dp})"
+        f"ROUND(CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS VARCHAR)"
+        f" AS DOUBLE), {dp})"
         f" / COUNT({expr})"
     )
