@@ -342,6 +342,11 @@ _FORCE_RECHECK: dict[str, int] = {
     # (identical rows at every real SF, where the prefix is unique).
     "agg_stats": 13,
     "limit_probe": 13,
+    # round-13 sf1 sweep, second signed-zero instance (SURVEY
+    # §7.4.10): 3 replica docs' log-ratios cancel exactly and the
+    # rounded avg_llr reads 0.0 in Spark vs -0.0 in DuckDB; both
+    # sides now add +0.0 after the round.
+    "llm_dsir_weights": 13,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 2 forced re-checks (ts_autocorr, the

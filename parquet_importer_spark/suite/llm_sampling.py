@@ -1090,7 +1090,7 @@ _SH2_ALL = (
     SELECT doc_id, ANY_VALUE(lang) AS lang,
            CAST(SUM(cnt) AS BIGINT) AS n_grams,
            ROUND(CAST(SUM(CAST(contrib AS DECIMAL(30,8))) AS DOUBLE)
-                 / SUM(cnt), 6) AS avg_llr
+                 / SUM(cnt), 6) + 0.0 AS avg_llr
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1167,10 +1167,20 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.any_value("lang").alias("lang"),
         F.sum("cnt").cast("bigint").alias("n_grams"),
-        F.round(
-            F.sum(F.col("contrib").cast("decimal(30,8)")).cast("double")
-            / F.sum("cnt"),
-            6,
+        # + 0.0 after the round: a doc whose per-bucket log-ratios
+        # cancel exactly rounds to a SIGNED zero whose sign is
+        # accumulation noise (round-13 sf1 sweep: 3 docs read 0.0 here
+        # vs -0.0 in DuckDB — SURVEY §7.4.10); IEEE −0.0 + 0.0 = +0.0
+        # on both engines
+        (
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.sum("cnt"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("avg_llr"),
     )
 
