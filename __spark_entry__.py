@@ -349,13 +349,15 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_dsir_weights": 13,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
-# HEAD): 50 slots = sentinel + 2 forced re-checks (ts_autocorr, the
-# overflow-gate fix; llm_dedup_minhash_mllib, the h=4 recall fix) +
-# 1 rows-only rotation (sink_postgis via the standing 2-round cadence
-# above, last ran r10) + 46 stale slots = ALL 19 r6-vintage keys +
-# the 27 oldest r7 keys. This leaves zero keys with a latest row <
-# r7 after the round-13 driver run — the round-12 verdict item 3
-# target — and 12 r7 keys for round 14's rotation to clear.
+# HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the
+# overflow-gate fix; llm_dedup_minhash_mllib, the h=4 recall fix;
+# agg_stats / limit_probe / llm_dsir_weights, the sf1-sweep
+# signed-zero and total-order fixes) + 1 rows-only rotation
+# (sink_postgis via the standing 2-round cadence above, last ran
+# r10) + 43 stale slots = ALL 19 r6-vintage keys + the 24 oldest r7
+# keys. This leaves zero keys with a latest row < r7 after the
+# round-13 driver run — the round-12 verdict item 3 target — and 15
+# r7 keys for round 14's rotation to clear.
 
 
 def _driver_latest(root: str | None = None) -> dict[str, tuple[int, dict]]:
