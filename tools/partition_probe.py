@@ -67,6 +67,14 @@ DEFAULT_KEYS = (
     # key; agg_ols_by_group already appears above)
     "ts_cross_correlation",
     "ts_autocorr",
+    # round 13: the sf1-sweep signed-zero fixes (double-accumulated
+    # statistics whose sign at exact-zero is partition-order noise —
+    # the +0.0 normalization is precisely a partition-invariance
+    # repair, so these two belong here permanently) and the
+    # total-ordered LIMIT
+    "agg_stats",
+    "llm_dsir_weights",
+    "limit_probe",
 )
 
 _CHILD = r"""
