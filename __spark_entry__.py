@@ -200,7 +200,7 @@ _FORCE_RECHECK: dict[str, int] = {
     # round-8 rewrites whose driver rows predate the rewrite
     "llm_emb_pca_power": 8,
     "graph_triangle_count": 8,
-    "graph_kcore": 8,
+    # graph_kcore: r8 entry superseded by the r14 oracle rewrite below
     "graph_bfs_distance": 8,
     "graph_lpa_communities": 8,
     "graph_link_prediction": 8,
@@ -256,7 +256,6 @@ _FORCE_RECHECK: dict[str, int] = {
     # but shared-helper edits are outside the currency guard's
     # diff-span scope, so schedule the cheap re-checks explicitly.
     "llm_dedup_prefix_filter": 11,
-    "llm_dedup_minhash_mllib": 11,
     # round-11 multimodal oracle flip (verdict items 3 + 8): resize and
     # frames gained their staged full-value oracles (decorator-only
     # change — the tier-2 oracle-upgrade rotation would pull them in
@@ -285,10 +284,10 @@ _FORCE_RECHECK: dict[str, int] = {
     # metrics identical absent 60-bit collisions; all four keys
     # re-driven green at HEAD via tools/drive_entry.py — scheduled for
     # driver confirmation per the changed-code discipline.
-    "llm_dedup_near": 11,
+    # (llm_dedup_near / graph_pagerank: r11 entries superseded by the
+    # r14 oracle rewrites below)
     "llm_dedup_containment": 11,
     "llm_dedup_affine": 11,
-    "graph_pagerank": 11,
     # round-11 fourth-tranche find: both daily-rollup window keys
     # pre-repartitioned the RAW events by event_type (|series| is
     # CONSTANT, so the heavy aggregate ran |series|-wide at every
@@ -347,6 +346,19 @@ _FORCE_RECHECK: dict[str, int] = {
     # rounded avg_llr reads 0.0 in Spark vs -0.0 in DuckDB; both
     # sides now add +0.0 after the round.
     "llm_dsir_weights": 13,
+    # round-14 (round-13 verdict item 5): bounded-memory ORACLE
+    # rewrites for the three oracle-walled quadratic keys — Spark
+    # sides untouched. llm_dedup_near/graph_pagerank: the shared LSH
+    # candidate SQL hoisted the 60-bit verify arrays to a per-doc
+    # MATERIALIZED CTE instead of re-hashing both gram string arrays
+    # per candidate-pair group (the round-13 sf03 DuckDB OOM);
+    # graph_kcore: every peel round's CTE is MATERIALIZED so the
+    # chain can't be inlined multiplicatively (the round-13 sf0.1
+    # disk wall). Values identical by construction; re-driven green
+    # at HEAD and re-swept over-gate (PARITY.json r14 rows).
+    "llm_dedup_near": 14,
+    "graph_pagerank": 14,
+    "graph_kcore": 14,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the
@@ -432,13 +444,13 @@ def _oracle_upgraded(root: str | None = None) -> frozenset:
     )
 
 
-def _driver_order() -> list[str]:
+def _driver_order(root: str | None = None) -> list[str]:
     from parquet_importer_spark.suite import ORACLES, QUERIES  # noqa: PLC0415
 
-    latest = _driver_latest()
+    latest = _driver_latest(root)
     verified = {k for k, (_, row) in latest.items() if _green(row)}
     errored = {k for k, (_, row) in latest.items() if not _green(row)}
-    upgraded = _oracle_upgraded()
+    upgraded = _oracle_upgraded(root)
     # Rows-only keys are the one tier whose health the local harness
     # cannot fully prove (no oracle hash — their check IS the driver
     # run), so they re-confirm on a standing 2-round cadence instead of

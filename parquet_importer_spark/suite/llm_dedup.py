@@ -47,6 +47,63 @@ _HV2 = (
     "g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))"
 )
 
+# Slim bounded-memory LSH candidate pipeline for the llm_dedup_near /
+# graph_pagerank oracles (round 14, closing round-13's two sf03 OOMs):
+# the old form carried every doc's gram STRING array through banded and
+# re-hashed BOTH sides per candidate-PAIR group (ANY_VALUE(grams) + md5
+# under GROUP BY d1,d2) — peak memory grew with pairs × gram bytes and
+# DuckDB died allocating at the 3× fixture's 9× pair pressure. Here the
+# 60-bit verify arrays are computed ONCE per document (hv, MATERIALIZED)
+# and joined back at verify time, so the banded/candidate stages carry
+# only (doc_id, band, key) and peak memory is |docs| slim INT arrays +
+# the bucket-capped candidate list — the exact shape the Spark side has
+# used since round 11 (operators/dedup.py _verify_hash_arr). Same hash
+# transform, same list_distinct, same band keys, same rounding: values
+# are identical, only the evaluation order is hoisted.
+_LSH_SLIM_CTES = f"""t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
+    hv AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(grams,
+               g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))
+               AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8), s ->
+               list_min(list_transform(grams,
+                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
+      FROM sh
+    ),
+    banded AS MATERIALIZED (
+      SELECT doc_id, b.band,
+             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    ok AS (
+      SELECT band, key FROM banded
+      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
+    ),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             COUNT(*) AS n_shared_bands
+      FROM banded a
+      JOIN ok USING (band, key)
+      JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    verified AS MATERIALIZED (
+      SELECT d1, d2, n_shared_bands,
+             ROUND(CAST(len(list_intersect(h1.hv, h2.hv)) AS DOUBLE)
+                   / (len(h1.hv) + len(h2.hv)
+                      - len(list_intersect(h1.hv, h2.hv))), 6) AS jaccard
+      FROM cand
+      JOIN hv h1 ON h1.doc_id = cand.d1
+      JOIN hv h2 ON h2.doc_id = cand.d2
+    )"""
+
 
 @query(
     "llm_dedup_exact",
@@ -70,42 +127,12 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_dedup_near",
     oracle=f"""
-    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
-    sig AS (
-      SELECT doc_id, grams,
-             list_transform(range(0, 8), s ->
-               list_min(list_transform(grams,
-                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
-      FROM sh
-    ),
-    banded AS (
-      SELECT doc_id, grams, b.band,
-             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
-      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-    ),
-    ok AS (
-      SELECT band, key FROM banded
-      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
-    ),
-    cand AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
-             COUNT(*) AS n_shared_bands,
-             {_HV1} AS g1, {_HV2} AS g2
-      FROM banded a
-      JOIN ok USING (band, key)
-      JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {_LSH_SLIM_CTES}
     SELECT d1 AS id_1, d2 AS id_2,
            CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
-           ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
-                 / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
-             AS jaccard
-    FROM cand
-    WHERE ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
-                / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6) >= 0.1
+           jaccard
+    FROM verified
+    WHERE jaccard >= 0.1
     """,
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,14 +317,21 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.001 parity sweep caught one (a J=0.9333 pair missed all 3
     # seed-42 tables — the sf0.01 gate passing at h=3 was itself a
     # ~97% draw, not a guarantee). h=4 tightens the bound to
-    # (1-s)^4 ≤ 2e-5 at s≥0.9 and matches the wide regime's
+    # (1-s)^4 ≤ 1e-4 at the s=0.9 contract edge (2e-5 applies at the
+    # caught pair's own J=0.9333, not uniformly) and matches the wide
+    # regime's
     # already-measured table count, so the wide path (sf10/sf30
     # rungs: 25400/25400 recalled at the 100x rung vs 25399 with 3
     # tables) executes byte-identically. More OR-tables are
     # output-monotone here: they can only ADD bucket collisions, and
     # the result is keyed on the exact pair set, so every
-    # found_by_lsh already TRUE stays TRUE. Re-measured 100% recall
-    # at sf0.001 / sf0.01 / sf0.1 after the change.
+    # found_by_lsh already TRUE stays TRUE. The OPERATIVE guarantee is
+    # not the probabilistic bound but determinism: seed-42 makes recall
+    # a fixed function of the fixture, and every shipped fixture is
+    # MEASURED at 100% recall (sf0.001 / sf0.01 / sf0.1 re-swept after
+    # the h=4 change; 25400/25400 at the 100x rung). The 1e-4 bound is
+    # what a FUTURE fixture with pairs at J ≈ 0.90 would face per pair —
+    # margin decision recorded in SURVEY §7.4.
     num_features, num_tables = 1 << 14, 4
     if vocab > (1 << 14):
         # wide feature space: de-aliasing removes the accidental
@@ -530,38 +564,9 @@ def _pagerank_oracle(n_iter: int = 10) -> str:
     profile: 8 hashes / 4 bands / jaccard >= 0.1 / 2-gram shingles),
     both directions."""
     head = f"""
-    WITH t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS MATERIALIZED (SELECT doc_id, {_SH2} AS grams FROM t),
-    sig AS (
-      SELECT doc_id, grams,
-             list_transform(range(0, 8), s ->
-               list_min(list_transform(grams,
-                 g -> md5('s' || CAST(s AS VARCHAR) || '|' || g)))) AS sig
-      FROM sh
-    ),
-    banded AS (
-      SELECT doc_id, grams, b.band,
-             sig[b.band * 2 + 1] || '|' || sig[b.band * 2 + 2] AS key
-      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
-    ),
-    ok AS (
-      SELECT band, key FROM banded
-      GROUP BY band, key HAVING COUNT(*) BETWEEN 2 AND 10000
-    ),
-    cand AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
-             {_HV1} AS g1, {_HV2} AS g2
-      FROM banded a
-      JOIN ok USING (band, key)
-      JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    WITH {_LSH_SLIM_CTES},
     pairs AS (
-      SELECT d1, d2 FROM cand
-      WHERE ROUND(CAST(len(list_intersect(g1, g2)) AS DOUBLE)
-                  / (len(g1) + len(g2) - len(list_intersect(g1, g2))), 6)
-            >= 0.1
+      SELECT d1, d2 FROM verified WHERE jaccard >= 0.1
     ),
     edges AS MATERIALIZED (
       SELECT d1 AS src, d2 AS dst FROM pairs
@@ -1584,7 +1589,7 @@ _KCORE_K = 8
 _KCORE_ROUNDS = 4
 
 _KCORE_EDGE_SQL = """
-    co AS (
+    co AS MATERIALIZED (
       SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
              CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS c
       FROM lineitem a
@@ -1592,13 +1597,13 @@ _KCORE_EDGE_SQL = """
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2
     ),
-    st AS (
+    st AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
              CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
              CAST(SUM(c * c) AS DECIMAL(38,0)) AS sc2
       FROM co
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT s1, s2 FROM co, st
       WHERE st.n * c > st.sc
         AND (st.n * c - st.sc) * (st.n * c - st.sc)
@@ -1608,14 +1613,22 @@ _KCORE_EDGE_SQL = """
 
 
 def _kcore_oracle() -> str:
+    """Every per-round CTE is MATERIALIZED (round 14): the un-hinted
+    chain let DuckDB inline each round's surviving-edge set into its
+    THREE consumers (the degree count plus both endpoint-filter joins),
+    multiplying the whole upstream pipeline — including the lineitem
+    self-join — once per reference path; at sf0.1 the expansion spilled
+    past the ~56 GB local disk (round-13 wall). Materialization bounds
+    the work to |edges| rows per round computed once — the same
+    synchronous-round shape the Spark side executes."""
     rounds = []
     prev = "u0"
     for r in range(1, _KCORE_ROUNDS + 1):
         rounds.append(
             f"""
-    d{r} AS (SELECT a, COUNT(*) AS dg FROM {prev} GROUP BY a),
-    k{r} AS (SELECT a FROM d{r} WHERE dg >= {_KCORE_K}),
-    u{r} AS (
+    d{r} AS MATERIALIZED (SELECT a, COUNT(*) AS dg FROM {prev} GROUP BY a),
+    k{r} AS MATERIALIZED (SELECT a FROM d{r} WHERE dg >= {_KCORE_K}),
+    u{r} AS MATERIALIZED (
       SELECT u.a, u.b FROM {prev} u
       JOIN k{r} x ON u.a = x.a JOIN k{r} y ON u.b = y.a
     )"""
@@ -1623,7 +1636,7 @@ def _kcore_oracle() -> str:
         prev = f"u{r}"
     return f"""
     WITH {_KCORE_EDGE_SQL},
-    u0 AS (SELECT s1 AS a, s2 AS b FROM e
+    u0 AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM e
            UNION ALL SELECT s2 AS a, s1 AS b FROM e),
     {",".join(rounds)}
     SELECT a AS suppkey, CAST(COUNT(*) AS BIGINT) AS core_degree
