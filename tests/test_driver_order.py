@@ -79,10 +79,10 @@ def test_rotation_advances_with_new_round(entry, tmp_path):
         "c": {"hash_match": True, "err": None, "spark_rows": 2},
         "d": {"err": "TypeError: ...", "spark_rows": None},
     }
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r97.json").write_text(json.dumps(r1))
     verified, errored = entry._driver_history(str(tmp_path))
     assert verified == {"a", "b"} and errored == {"c"}
-    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(r2))
     verified, errored = entry._driver_history(str(tmp_path))
     assert "c" in verified, "later green row clears the error"
     assert errored == {"d"}
@@ -91,10 +91,10 @@ def test_rotation_advances_with_new_round(entry, tmp_path):
 def test_error_then_no_rerun_stays_prioritized(entry, tmp_path):
     """A key that errored and was never re-run must stay in the errored
     set even when later rounds exist."""
-    (tmp_path / "CORRECTNESS_r01.json").write_text(
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
         json.dumps({"x": {"err": "crash", "spark_rows": None}})
     )
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
         json.dumps({"y": {"hash_match": True, "err": None, "spark_rows": 1}})
     )
     verified, errored = entry._driver_history(str(tmp_path))
@@ -239,7 +239,7 @@ def test_oracle_upgraded_detection(entry, tmp_path):
 
     with_oracle = next(iter(ORACLES))
     other = next(k for k in ORACLES if k != with_oracle)
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+    (tmp_path / "CORRECTNESS_r97.json").write_text(json.dumps({
         with_oracle: {"err": "no_oracle", "spark_rows": 7},
         other: {"hash_match": True, "err": None, "spark_rows": 3},
     }))
@@ -247,30 +247,67 @@ def test_oracle_upgraded_detection(entry, tmp_path):
     assert with_oracle in upgraded and other not in upgraded
 
 
-def test_rows_only_keys_reenter_on_cadence(entry):
+def test_rows_only_keys_reenter_on_cadence(entry, tmp_path):
     """A green rows-only key (err == "no_oracle", no local hash proof
     possible) whose latest row is >= 2 rounds older than the newest
     recorded round must re-enter the 50-slot window ahead of the
     verified tail (round-12 verdict item 3: sink_postgis sat at r10
-    for two rounds with no standing re-confirmation rule)."""
-    latest = entry._driver_latest()
-    newest = max(rnd for rnd, _ in latest.values())
-    due = [
-        k
-        for k, (rnd, row) in latest.items()
-        if entry._green(row)
-        and row.get("err") == "no_oracle"
-        and rnd <= newest - 2
-    ]
-    if not due:
-        pytest.skip("no rows-only key is due this round")
-    order = entry._driver_order()
+    for two rounds with no standing re-confirmation rule).
+
+    Driven by SYNTHETIC CORRECTNESS fixtures so the cadence tier is
+    exercised every round — the live-history variant skipped whenever
+    nothing was due (e.g. right after a rotation), which is exactly
+    when a regression in the due computation would go unseen
+    (round-13 verdict item 8 / round-14 advice)."""
+    from parquet_importer_spark.suite import ORACLES, QUERIES
+
+    rows_only = next(k for k in QUERIES if k not in ORACLES)
+    others = [k for k in QUERIES if k != rows_only]
+
+    # DUE: rows-only green at r01, everything else hash-green at r03
+    # (newest 3 - 2 = 1 >= 1) → must rank ahead of the whole verified
+    # tail, inside the window.
+    (tmp_path / "CORRECTNESS_r97.json").write_text(json.dumps({
+        rows_only: {"err": "no_oracle", "spark_rows": 13},
+    }))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
+        k: {"hash_match": True, "err": None, "spark_rows": 3}
+        for k in others
+    }))
+    order = entry._driver_order(str(tmp_path))
     pos = {k: i for i, k in enumerate(order)}
-    for k in due:
-        assert pos[k] < WINDOW, (
-            f"rows-only key {k} (last ran r{latest[k][0]}, newest "
-            f"r{newest}) at slot {pos[k]} is outside the "
-            f"{WINDOW}-slot window"
+    assert pos[rows_only] < WINDOW, (
+        f"due rows-only key {rows_only} at slot {pos[rows_only]} is "
+        f"outside the {WINDOW}-slot window"
+    )
+    tail_head = min(pos[k] for k in others if k != entry._SENTINEL)
+    assert pos[rows_only] < tail_head, (
+        "due rows-only key must precede the verified tail"
+    )
+
+    # NOT due: rows-only green at r02 against the same r03 tail, with
+    # a control group verified at r01 — staleness ordering must put the
+    # r01 keys first; a due-computation regression would float the
+    # rows-only key ahead of them.
+    stale_ctl = others[: WINDOW // 2]
+    fresh = others[WINDOW // 2:]
+    (tmp_path / "CORRECTNESS_r97.json").write_text(json.dumps({
+        k: {"hash_match": True, "err": None, "spark_rows": 3}
+        for k in stale_ctl
+    }))
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps({
+        rows_only: {"err": "no_oracle", "spark_rows": 13},
+    }))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
+        k: {"hash_match": True, "err": None, "spark_rows": 3}
+        for k in fresh
+    }))
+    order = entry._driver_order(str(tmp_path))
+    pos = {k: i for i, k in enumerate(order)}
+    for k in stale_ctl:
+        assert pos[k] < pos[rows_only], (
+            f"not-yet-due rows-only key {rows_only} (r02) outranks "
+            f"staler verified key {k} (r01) — cadence fired early"
         )
 
 
@@ -316,13 +353,13 @@ def test_regression_reenters_priority_tier(entry, tmp_path):
     """A once-green key whose LATEST row errors or hash-mismatches must
     move back into the errored (re-verify) set — the rotation must not
     be regression-blind."""
-    (tmp_path / "CORRECTNESS_r01.json").write_text(
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
         json.dumps({
             "x": {"hash_match": True, "err": None, "spark_rows": 1},
             "z": {"hash_match": True, "err": None, "spark_rows": 3},
         })
     )
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
         json.dumps({
             "x": {"err": "OOM", "spark_rows": None},
             "z": {"hash_match": False, "err": None, "spark_rows": 3},

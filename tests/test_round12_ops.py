@@ -194,22 +194,38 @@ BOUNDED_PRODUCT_SITES = {
 
 
 def _string_const_names(tree):
-    """{name: value} for every `NAME = "literal"` assignment anywhere
-    in the file (module level or function-local) — the `_D =
-    "decimal(38,0)"` idiom. Round-13 find: `.cast(_D)` was invisible to
-    the cast matcher because the cast argument is a Name, not the
-    string Constant the matcher required."""
+    """{name: value} for every `NAME = "literal"` assignment in `tree`'s
+    OWN scope — nested FunctionDef/Lambda subtrees are skipped, so the
+    map is module-level names when called on a Module and function-local
+    names when called on a FunctionDef (the caller overlays the two).
+    Round-13 find: `.cast(_D)` was invisible to the cast matcher because
+    the cast argument is a Name, not a string Constant. Round-14 advice
+    fix: the old file-wide flatten let two functions binding the same
+    name to DIFFERENT strings mis-resolve `.cast(NAME)` across
+    functions (last-walked assignment wins) — a false negative that
+    could silently exempt an unpromoted BIGINT product."""
     import ast
 
-    return {
-        node.targets[0].id: node.value.value
-        for node in ast.walk(tree)
-        if isinstance(node, ast.Assign)
-        and len(node.targets) == 1
-        and isinstance(node.targets[0], ast.Name)
-        and isinstance(node.value, ast.Constant)
-        and isinstance(node.value.value, str)
-    }
+    out: dict[str, str] = {}
+
+    def visit(node):
+        for child in ast.iter_child_nodes(node):
+            if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+            ):
+                continue
+            if (
+                isinstance(child, ast.Assign)
+                and len(child.targets) == 1
+                and isinstance(child.targets[0], ast.Name)
+                and isinstance(child.value, ast.Constant)
+                and isinstance(child.value.value, str)
+            ):
+                out[child.targets[0].id] = child.value.value
+            visit(child)
+
+    visit(tree)
+    return out
 
 
 def _is_promoting_cast(call, strmap):
@@ -302,12 +318,16 @@ def _unpromoted_product_sites(repo):
         for fn in (
             n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
         ):
-            dec = _decimal_bound_names(fn, strmap)
+            # per-function resolution: this function's own string
+            # bindings overlay the module-level map, so a name rebound
+            # in ANOTHER function can never resolve a cast here
+            fn_strmap = {**strmap, **_string_const_names(fn)}
+            dec = _decimal_bound_names(fn, fn_strmap)
 
             def promoted(side):
                 return (
                     (isinstance(side, ast.Name) and side.id in dec)
-                    or _has_decimal_cast(side, strmap)
+                    or _has_decimal_cast(side, fn_strmap)
                     # scale-by-literal (`value * 100`, `2 * rank`) is
                     # not the moment-product class: the factor is a
                     # fixed small constant, so boundedness is the
