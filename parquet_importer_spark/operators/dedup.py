@@ -151,13 +151,25 @@ def minhash_lsh_pairs(
     per corpus; ``None`` disables (exact, unbounded).
     """
     rows_per_band = num_hashes // bands
-    base = parallelize(df).select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("sh"),
+    # materialize the shingle table + its 60-bit verify digests ONCE:
+    # three branches consume it (band keys, both verify sides) and
+    # would otherwise each re-tokenize and re-shingle the corpus, the
+    # verify sides additionally re-hashing every gram (r14; the
+    # materialize-once discipline bottomk_containment_pairs already
+    # documents — at production scale this IS the written digest
+    # artifact). Lazy: the first consumer's job materializes it.
+    base = (
+        parallelize(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("vh", _verify_hash_arr(F.col("sh")))
+        .localCheckpoint(eager=False)
     )
     # Candidate generation over SLIM (doc, band, key) rows only — the
     # shingle arrays (the wide payload) never enter the band shuffle.
-    banded = _banded_keys(base, num_hashes, bands)
+    banded = _banded_keys(base.select("doc", "sh"), num_hashes, bands)
 
     # Bucket-group pair generation instead of a self-join: one pass over
     # the minhash pipeline, one slim shuffle on (band, key), pairs built
@@ -188,12 +200,8 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify: join shingle sets back onto the candidate
     # set, carrying the slim 60-bit int representation (_verify_hash_arr
     # — the round-11 sf30 fix; same set metrics, ~4× lighter exchange).
-    s1 = base.select(
-        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
-    )
-    s2 = base.select(
-        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
-    )
+    s1 = base.select(F.col("doc").alias("d1"), F.col("vh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("vh").alias("sh2"))
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -292,11 +300,19 @@ def affine_minhash_lsh_pairs(
     shingle with md5 ONCE and derives all ``num_hashes`` values by
     affine re-mixing (see :func:`_affine_banded_keys`). The scale
     choice when signatures dominate (wide production profiles)."""
-    base = parallelize(df).select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("sh"),
+    # materialize-once (same rationale and structure as
+    # minhash_lsh_pairs above: 3 consumers, shingle+digest computed
+    # once, lazily checkpointed)
+    base = (
+        parallelize(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("vh", _verify_hash_arr(F.col("sh")))
+        .localCheckpoint(eager=False)
     )
-    banded = _affine_banded_keys(base, num_hashes, bands)
+    banded = _affine_banded_keys(base.select("doc", "sh"), num_hashes, bands)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
@@ -320,13 +336,10 @@ def affine_minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     # slim int-array verify sides (round 11, shared with
-    # minhash_lsh_pairs — see _verify_hash_arr)
-    s1 = base.select(
-        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
-    )
-    s2 = base.select(
-        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
-    )
+    # minhash_lsh_pairs — see _verify_hash_arr), read from the
+    # materialized digest column
+    s1 = base.select(F.col("doc").alias("d1"), F.col("vh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("vh").alias("sh2"))
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -368,11 +381,19 @@ def minhash_containment_pairs(
     sketch variant that fixes exactly that (recall 1.0 for full
     containment); the verify and output schema are shared.
     """
-    base = parallelize(df).select(
-        F.col(id_col).alias("doc"),
-        shingles(F.col(text_col), k).alias("sh"),
+    # materialize-once (same rationale and structure as
+    # minhash_lsh_pairs: 3 consumers, shingle+digest computed once,
+    # lazily checkpointed)
+    base = (
+        parallelize(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("vh", _verify_hash_arr(F.col("sh")))
+        .localCheckpoint(eager=False)
     )
-    banded = _banded_keys(base, num_hashes, bands)
+    banded = _banded_keys(base.select("doc", "sh"), num_hashes, bands)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
@@ -396,13 +417,10 @@ def minhash_containment_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     # slim int-array verify sides (round 11, shared with
-    # minhash_lsh_pairs — see _verify_hash_arr)
-    s1 = base.select(
-        F.col("doc").alias("d1"), _verify_hash_arr(F.col("sh")).alias("sh1")
-    )
-    s2 = base.select(
-        F.col("doc").alias("d2"), _verify_hash_arr(F.col("sh")).alias("sh2")
-    )
+    # minhash_lsh_pairs — see _verify_hash_arr), read from the
+    # materialized digest column
+    s1 = base.select(F.col("doc").alias("d1"), F.col("vh").alias("sh1"))
+    s2 = base.select(F.col("doc").alias("d2"), F.col("vh").alias("sh2"))
     verified = cand.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -565,6 +583,10 @@ def minhash_lsh_cross_pairs(
 
     Returns (probe_id, corpus_id, n_shared_bands, jaccard).
     """
+    # materialize-once: the two-sided shingle table feeds the band
+    # keys and both verify sides — without a checkpoint each branch
+    # re-tokenizes and re-shingles both corpora (r14; same fix as
+    # minhash_lsh_pairs). Lazy: first consumer materializes.
     base = parallelize(
         probe.select(
             F.col(id_col).alias("doc"),
@@ -577,7 +599,7 @@ def minhash_lsh_cross_pairs(
                 shingles(F.col(text_col), k).alias("sh"),
             )
         )
-    )
+    ).localCheckpoint(eager=False)
     banded = _banded_keys(base, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "key")
@@ -792,7 +814,12 @@ def connected_components(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence action below materializes the
+            # checkpoint in the SAME job — eager=True paid one extra
+            # driver-scheduled job (a full materialization pass) per
+            # round for the identical lineage truncation (r14, guide
+            # §1.2: one pass per round, not two)
+            .localCheckpoint(eager=False)
         )
         cur_sum = new.agg(F.sum("lab")).first()[0]
         labels = new
@@ -866,7 +893,14 @@ def connected_components_twophase(
         return (
             out.filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the per-iteration convergence action materializes
+            # both star outputs in ONE job — the eager form scheduled
+            # a dedicated materialization job per star round (3 jobs/
+            # iteration instead of 1; r14, guide §1.2). The checkpoint
+            # sits directly on the distinct's exchange, so the two
+            # symmetrize branches of the NEXT round share the shuffle
+            # output rather than recomputing the edge build.
+            .localCheckpoint(eager=False)
         )
 
     e = (
@@ -925,22 +959,24 @@ def duplicate_span_stats(
     distinct k-token spans that also occur in at least one OTHER
     document.
 
-    Plan shape (TF-IDF-like, two narrow shuffles):
+    Plan shape (ONE narrow shuffle — the llm_contamination_ngram
+    pattern, r14):
     1. spans are built per-doc inside array expressions (shingles —
        no explode yet), deduped, then exploded to slim
        (doc_id, md5(span)) rows — the 32-hex hash crosses the wire,
        never the span text;
-    2. one groupBy(hash) counts how many docs carry each span (spans
-       are distinct per doc, so COUNT(*) == doc frequency);
-    3. the counts join back to the span rows on the same hash
-       partitioning (exchange reuse) and aggregate per doc.
+    2. one exchange on the hash serves the whole query: a window count
+       over the hash partitioning marks every span with its doc
+       frequency (spans are distinct per doc, so the partition row
+       count == doc frequency), then the per-doc rollup
+       partial-aggregates. The previous groupBy(hash) + join-back
+       formulation ran the span pipeline TWICE (once per branch) and
+       paid a second exchange for the join (r14 measured; the same
+       two-branch shape llm_contamination_ngram already replaced with
+       a window, 1.7× there).
 
     Docs shorter than k tokens are excluded (no spans exist).
-    At 100 TB every stage stays O(total spans) with fixed-width rows;
-    the span-count table can additionally be pruned to counts >= 2
-    before the join-back, shrinking the build side to just the
-    duplicated spans (done below via a filtered broadcast-or-shuffle
-    join candidate)."""
+    At 100 TB every stage stays O(total spans) with fixed-width rows."""
     spans = (
         parallelize(df)
         .filter(F.size(tokens(F.col(text_col))) >= k)
@@ -952,20 +988,15 @@ def duplicate_span_stats(
         )
         .select("doc_id", F.md5(F.col("span")).alias("h"))
     )
-    dup_counts = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("h")
-    )
+    from pyspark.sql import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        spans.join(dup_counts.withColumn("is_dup", F.lit(1)), "h", "left")
+        spans.withColumn("is_dup", F.when(n_docs >= 2, 1).otherwise(0))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_dup_spans"),
+            F.sum(F.col("is_dup")).cast("bigint").alias("n_dup_spans"),
         )
         .select(
             "doc_id",

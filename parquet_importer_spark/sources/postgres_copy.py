@@ -182,7 +182,16 @@ def scratch_server() -> dict | None:
                     "-D",
                     data,
                     "-o",
-                    f"-p 54329 -k {sock} -c listen_addresses=",
+                    # durability off for the throwaway cluster only
+                    # (externally-managed PIS_PG_DSN servers keep their
+                    # own settings): COPY commits were fsync-bound on
+                    # the sandbox's virtio disk, and a scratch cluster
+                    # that is rm -rf'd at exit has nothing to make
+                    # durable (r14 measured: steady-state COPY of the
+                    # sf0.1 lineitem 3.0 s -> see OPTIMIZATION_r14.md)
+                    f"-p 54329 -k {sock} -c listen_addresses= "
+                    "-c fsync=off -c synchronous_commit=off "
+                    "-c full_page_writes=off",
                     "-l",
                     os.path.join(base, "pg.log"),
                     "-w",

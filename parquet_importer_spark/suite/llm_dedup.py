@@ -1165,9 +1165,16 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collapse within-doc repeats map-combinably: keep the first
     # position per (doc, line) and remember how many instances it had
-    segd = seg.groupBy("doc_id", "h").agg(
-        F.min("pos").alias("pos"),
-        F.count(F.lit(1)).cast("bigint").alias("reps"),
+    segd = (
+        seg.groupBy("doc_id", "h").agg(
+            F.min("pos").alias("pos"),
+            F.count(F.lit(1)).cast("bigint").alias("reps"),
+        )
+        # segd feeds the owner aggregate AND the survivor join — the
+        # segment build + first groupBy re-executed per branch without
+        # a checkpoint (r14, guide §2.4). Slim rows, free to hold; the
+        # no-window hash-join shape below is deliberate and unchanged.
+        .localCheckpoint(eager=False)
     )
     owner = segd.groupBy("h").agg(F.min("doc_id").alias("keep_doc"))
     kept = segd.join(owner, "h").select(

@@ -102,6 +102,12 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.filter(F.col("term").isin(*_QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds BOTH the df aggregate and the scoring join — without
+        # a checkpoint the corpus tokenize+explode pipeline upstream
+        # re-executes per branch (r14, guide §2.4). The frame is tiny
+        # (only docs matching a query term), so the materialization is
+        # free at any scale.
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = d.agg(
@@ -166,7 +172,10 @@ def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly |candidates| embedding rows via the broadcast semi-join."""
     from parquet_importer_spark.functions.vectors import cosine
 
-    scores = _bm25_scores(spark, sf_dir)
+    # the BM25 pipeline feeds the candidate list, the top-1 probe and
+    # (via broadcast) the rerank join — checkpoint so it runs once
+    # (guide §2.4; same fix as llm_rank_fusion, measured r14)
+    scores = _bm25_scores(spark, sf_dir).localCheckpoint(eager=False)
     cand = scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(50)
     top1 = cand.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(1)
     emb = read_table(spark, sf_dir, "embeddings")
@@ -248,7 +257,12 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_importer_spark.functions.vectors import cosine
     from pyspark.sql import Window
 
-    scores = _bm25_scores(spark, sf_dir)
+    # the BM25 pipeline (tokenize, explode, df/tf aggregates) feeds two
+    # consumers — the top-50 rank list and the top-1 query-vector probe
+    # — and re-executed once per consumer without a checkpoint
+    # (measured r14: 44 Exchange occurrences / 30 stages at sf0.1,
+    # guide §2.4). One lazy materialization serves both.
+    scores = _bm25_scores(spark, sf_dir).localCheckpoint(eager=False)
     bmrank = (
         scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(50)

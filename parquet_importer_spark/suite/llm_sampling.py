@@ -904,7 +904,12 @@ def llm_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("toks"),
         shingles_all(F.col("text"), 2).alias("grams"),
     ).filter(F.size("toks") >= 2)
-    bg = base.select("doc_id", "split", F.explode("grams").alias("gram"))
+    # bg feeds THREE branches (bigram counts, context counts, test
+    # scoring) — the tokenize+shingle+explode pipeline re-executed per
+    # branch without a checkpoint (r14, guide §2.4). Slim rows.
+    bg = base.select(
+        "doc_id", "split", F.explode("grams").alias("gram")
+    ).localCheckpoint(eager=False)
     train_bg = bg.filter(F.col("split") == "train")
     c2 = train_bg.groupBy("gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
@@ -1017,10 +1022,22 @@ def llm_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dig"),
         )
     )
-    train = g.filter(F.col("split") == "train").select("dig").distinct()
+    # single exchange on the digest serves both sides (the
+    # llm_contamination_ngram plan, measured 1.7× faster there): a
+    # window max over the digest partitioning marks every gram with a
+    # train occurrence — the distinct-train + membership-join
+    # formulation ran the tokenize/md5-explode pipeline TWICE, once per
+    # branch (r14 measured: 10 exchanges / two full gram builds at
+    # sf0.1; guide §2.4). Semantics identical: a test doc is
+    # contaminated iff ANY of its 8-gram digests has ≥1 train-side row.
+    from pyspark.sql import Window
+
+    in_train = F.max(F.when(F.col("split") == "train", F.lit(1))).over(
+        Window.partitionBy("dig")
+    )
     hits = (
-        g.filter(F.col("split") == "test")
-        .join(train, "dig")
+        g.withColumn("hit_row", in_train)
+        .filter((F.col("split") == "test") & F.col("hit_row").isNotNull())
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -893,6 +893,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.v").alias("v"),
             F.col("best.cosc").alias("cos_centroid"),
         )
+        # four plan branches read the assignment (cluster census, both
+        # pair sides, the final verdict join); without a checkpoint the
+        # 64x broadcast-cosine scoring + max_by aggregate re-executes
+        # per branch (measured r14: 35 stages / 4x the assignment
+        # exchange at sf0.1 — guide §2.4, share one computation).
+        # Lazy: the first consumer's job materializes it.
+        .localCheckpoint(eager=False)
     )
     ok = (
         assigned.groupBy("cluster")
@@ -1125,6 +1132,10 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.v").alias("v"),
             F.col("best.cosc").alias("cos_centroid"),
         )
+        # read twice (allv union + the orphan anti-join) — checkpoint
+        # so the bucket-join + max_by assignment executes once
+        # (guide §2.4; same fix as llm_semdedup, measured r14)
+        .localCheckpoint(eager=False)
     )
     # no broadcast hint: assigned is ~n rows (round-11 ADVICE) — AQE
     # picks broadcast at small SFs and a shuffle join at scale
@@ -1136,7 +1147,9 @@ def llm_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v"),
         F.lit(None).cast("double").alias("cos_centroid"),
     )
-    allv = assigned.unionByName(orphans)
+    # four plan branches read allv (cluster census, both pair sides,
+    # the final verdict join) — one materialization instead of four
+    allv = assigned.unionByName(orphans).localCheckpoint(eager=False)
     ok = (
         allv.filter(F.col("cluster") >= 0)
         .groupBy("cluster")
