@@ -271,7 +271,10 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
         doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ base feeds the train digest aggregate AND the test probe side —
+    # the winnowing-fingerprint projection re-executed per branch
+    # without the checkpoint (r14, guide §2.4); slim 3-column rows
     train = (
         base.filter(F.col("split") == "train")
         .groupBy("fingerprint")

@@ -34,6 +34,8 @@ def main() -> None:
     import bench
 
     names = sys.argv[2:] or list(bench.HEADLINE)
+    if names == ["ALL"]:
+        names = list(QUERIES)
 
     spark = get_spark("dump-plans")
     sc = spark.sparkContext
