@@ -305,7 +305,8 @@ _FORCE_RECHECK: dict[str, int] = {
     # scale the key exists for; AQE now picks the strategy. The n-row
     # vec localCheckpoint also went lazy (plan-only callers pay no
     # job). Values identical at every SF; re-driven green at HEAD.
-    "llm_semdedup_adaptive": 12,
+    # (bumped 12 → 14: the r14 assignment/allv checkpoints below)
+    "llm_semdedup_adaptive": 14,
     # round-12 census find (the third decade catching its third
     # defect): both keys' moment products multiplied in BIGINT and
     # threw ANSI ARITHMETIC_OVERFLOW at sf100 — hourly cents totals
@@ -359,6 +360,39 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_dedup_near": 14,
     "graph_pagerank": 14,
     "graph_kcore": 14,
+    # round-14 OPTIMIZATION round: result-preserving plan restructures,
+    # re-driven green at HEAD (tools/drive_entry.py) and re-swept
+    # over-gate at sf0.1 (PARITY.json r14 rows) — scheduled for driver
+    # confirmation per the changed-code discipline. Three change
+    # classes (OPTIMIZATION_r14.md):
+    # (1) materialize-once checkpoints for frames read by 2-4 plan
+    #     branches (the shingle/digest tables, BM25 scores + tf,
+    #     semdedup assignment, contamination fingerprints, KMV
+    #     sketches, line_dedup segments, perplexity bigrams);
+    # (2) single-exchange window markers replacing groupBy+join-back
+    #     two-branch shapes (span stats, decontam membership);
+    # (3) 60-bit md5-prefix BIGINT gram digests on BOTH engine and
+    #     oracle (contamination_ngram, decontam_substring — the r11
+    #     _verify_hash_arr convention, ~4x lighter exchanges).
+    "llm_semdedup": 14,
+    "llm_rank_fusion": 14,
+    "llm_sim_rerank": 14,
+    "llm_index_bm25": 14,
+    "llm_contamination": 14,
+    "llm_contamination_ngram": 14,
+    "llm_ngram_perplexity": 14,
+    "llm_decontam_substring": 14,
+    "agg_kmv_union": 14,
+    "llm_line_dedup": 14,
+    "llm_dedup_affine": 14,
+    "llm_dedup_containment": 14,
+    "llm_contamination_near": 14,
+    "llm_dedup_span": 14,
+    "llm_dedup_clusters": 14,
+    "llm_dedup_cc_bigstar": 14,
+    # scratch-server durability opts only (COPY path; live read-back
+    # unchanged) — conservative re-check like stream_jdbc_import r9
+    "sink_postgres_copy": 14,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the

@@ -49,6 +49,28 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Streaming TEMP checkpoints (memory-sink queries that set no
+    # explicit checkpointLocation — every such query here carries a
+    # uuid queryName, so runs never share state): default java.io.tmpdir
+    # sits on the boot disk and the per-batch state snapshots + commit
+    # logs are fsync-bound there (r14 measured: stream_watermark_run
+    # 4.2 s -> 2.9 s steady at sf0.01 on tmpfs). Parameterised:
+    # SPARK_GRAFT_STREAM_CK overrides; production jobs set an explicit
+    # durable checkpointLocation per query (the two file-sink operators
+    # and incremental_parquet_import already do), which this conf never
+    # touches. PID-scoped + cleaned at exit so repeated sessions don't
+    # accumulate tmpfs dirs.
+    stream_ck = os.environ.get("SPARK_GRAFT_STREAM_CK")
+    if stream_ck is None and os.path.isdir("/dev/shm"):
+        stream_ck = f"/dev/shm/pis_stream_ck_{os.getpid()}"
+        import atexit  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        atexit.register(shutil.rmtree, stream_ck, ignore_errors=True)
+    if stream_ck:
+        builder = builder.config(
+            "spark.sql.streaming.checkpointLocation", stream_ck
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

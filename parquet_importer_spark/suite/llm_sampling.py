@@ -586,10 +586,14 @@ _SH5 = (
     ),
     g AS (SELECT doc_id, split, {_SH5} AS grams FROM t),
     tr AS (
-      SELECT DISTINCT md5(unnest(grams)) AS gh FROM g WHERE split = 'train'
+      SELECT DISTINCT CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+                           AS BIGINT) AS gh
+      FROM g WHERE split = 'train'
     ),
     te AS (
-      SELECT doc_id, md5(unnest(grams)) AS gh FROM g WHERE split = 'test'
+      SELECT doc_id, CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+                          AS BIGINT) AS gh
+      FROM g WHERE split = 'test'
     ),
     hits AS (
       SELECT te.doc_id, COUNT(*) AS n_grams, COUNT(tr.gh) AS n_hit
@@ -634,9 +638,21 @@ def llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < _TRAIN_CUT, "train").otherwise("test").alias("split"),
         shingles(F.col("text"), 5).alias("grams"),
     )
+    # 60-bit md5-prefix BIGINT digests (the r11 verify-array convention,
+    # operators/dedup._verify_hash_arr): the gh exchange is this key's
+    # dominant cost and 8-byte ints shuffle/sort ~4x lighter than
+    # 32-hex strings (guide §2.3 "narrower types"). The oracle applies
+    # the IDENTICAL transform, so both engines agree even on a
+    # (birthday-odds ~1e-15) colliding pair.
     ex = g.select(
         "doc_id", "split", F.explode("grams").alias("gram")
-    ).select("doc_id", "split", F.md5("gram").alias("gh"))
+    ).select(
+        "doc_id",
+        "split",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gh"),
+    )
     in_train = F.max(F.when(F.col("split") == "train", F.lit(1))).over(
         Window.partitionBy("gh")
     )
@@ -968,7 +984,9 @@ def llm_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT doc_id, split,
              unnest(list_transform(range(1, len(toks) - 6),
-               i -> md5(array_to_string(toks[i:i+7], ' ')))) AS dig
+               i -> CAST(concat('0x', substr(
+                      md5(array_to_string(toks[i:i+7], ' ')), 1, 15))
+                    AS BIGINT))) AS dig
       FROM t WHERE len(toks) >= 8
     ),
     train AS (SELECT DISTINCT dig FROM g WHERE split = 'train'),
@@ -1017,10 +1035,14 @@ def llm_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "split",
+            # 60-bit md5-prefix BIGINT digests (same swap + rationale
+            # as llm_contamination_ngram above; oracle mirrors it)
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(toks) - 7), "
-                    "i -> md5(concat_ws(' ', slice(toks, i, 8))))"
+                    "i -> cast(conv(substring("
+                    "md5(concat_ws(' ', slice(toks, i, 8))), 1, 15), "
+                    "16, 10) as bigint))"
                 )
             ).alias("dig"),
         )

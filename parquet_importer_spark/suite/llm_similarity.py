@@ -801,6 +801,41 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_semdedup's (vec_id, cluster, v, cos_centroid) assignment —
+    broadcast centroids, 64× cosine scoring collapsed by a map-side-
+    combinable max_by (no window, no row_number: the round-6 contract
+    tests/test_plans.py pins against THIS un-checkpointed frame, since
+    the query itself reads it through an r14 localCheckpoint)."""
+    from parquet_importer_spark.functions.vectors import cosine
+
+    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("cosc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cosc", "v"),
+                F.struct(F.col("cosc"), -F.col("cid")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cluster"),
+            F.col("best.v").alias("v"),
+            F.col("best.cosc").alias("cos_centroid"),
+        )
+    )
+
+
 @query(
     "llm_semdedup",
     oracle=f"""
@@ -869,37 +904,16 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-zero-embedding cluster can never go quadratic."""
     from parquet_importer_spark.functions.vectors import cosine
 
-    emb = parallelize(read_table(spark, sf_dir, "embeddings"))
-    cent = emb.filter(F.col("vec_id") < 64).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        "cid",
-        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias("cosc"),
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "cosc", "v"),
-                F.struct(F.col("cosc"), -F.col("cid")),
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.cid").alias("cluster"),
-            F.col("best.v").alias("v"),
-            F.col("best.cosc").alias("cos_centroid"),
-        )
-        # four plan branches read the assignment (cluster census, both
-        # pair sides, the final verdict join); without a checkpoint the
-        # 64x broadcast-cosine scoring + max_by aggregate re-executes
-        # per branch (measured r14: 35 stages / 4x the assignment
-        # exchange at sf0.1 — guide §2.4, share one computation).
-        # Lazy: the first consumer's job materializes it.
-        .localCheckpoint(eager=False)
+    # four plan branches read the assignment (cluster census, both
+    # pair sides, the final verdict join); without a checkpoint the
+    # 64x broadcast-cosine scoring + max_by aggregate re-executes
+    # per branch (measured r14: 35 stages / 4x the assignment
+    # exchange at sf0.1 — guide §2.4, share one computation).
+    # Lazy: the first consumer's job materializes it. The assignment
+    # plan itself (broadcast centroids, map-side max_by, no window) is
+    # pinned by tests/test_plans.py against _semdedup_assignment.
+    assigned = _semdedup_assignment(spark, sf_dir).localCheckpoint(
+        eager=False
     )
     ok = (
         assigned.groupBy("cluster")

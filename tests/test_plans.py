@@ -455,11 +455,23 @@ def test_quality_calibrated_single_source_exchange(spark):
     assert "Exchange hashpartitioning(source" in plan
 
 
+def _semdedup_assignment_plan(spark):
+    """The assignment subtree's own plan: since r14 the query reads it
+    through a localCheckpoint, so the consumer plan shows only a Scan
+    ExistingRDD — the round-6 assignment contract is pinned against the
+    un-checkpointed helper the query builds from."""
+    from parquet_importer_spark.suite.llm_similarity import (
+        _semdedup_assignment,
+    )
+
+    df = _semdedup_assignment(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_semdedup_broadcasts_centroids(spark):
     """The centroid table must broadcast into the assignment cross join
     — a shuffled join against a 16-row table is the scale failure."""
-    plan = plan_of(spark, "llm_semdedup")
-    assert "BroadcastExchange" in plan
+    assert "BroadcastExchange" in _semdedup_assignment_plan(spark)
 
 
 def test_semdedup_assignment_is_maxby_not_window(spark):
@@ -467,7 +479,7 @@ def test_semdedup_assignment_is_maxby_not_window(spark):
     expansion with a map-side-combinable groupBy+max_by — a Window/
     row_number over the expansion would shuffle 64 copies of every
     embedding (round-5 verdict, What's wrong #3)."""
-    plan = plan_of(spark, "llm_semdedup")
+    plan = _semdedup_assignment_plan(spark)
     assert "Window" not in plan, "semdedup must not plan a window"
     assert "row_number" not in plan
     # the max_by partial agg must appear below the exchange
@@ -481,8 +493,23 @@ def test_kmv_order_statistic_sort_is_bucketed(spark, name):
     """Round-6 contract: the min-k selection is two-stage — the first
     sort partitions on (grp, bucket) so no whole group is ever sorted
     in one task; the group-level sort only sees the ≤ k·P survivors
-    (round-5 verdict, item #5)."""
-    plan = plan_of(spark, name)
+    (round-5 verdict, item #5). agg_kmv_union reads the selection
+    through an r14 localCheckpoint, so its pin inspects the shared
+    _kmv_pruned subtree directly."""
+    if name == "agg_kmv_union":
+        from parquet_importer_spark.suite.aggregates import (
+            _kmv_base,
+            _kmv_pruned,
+        )
+
+        plan = (
+            _kmv_pruned(_kmv_base(spark, SF))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    else:
+        plan = plan_of(spark, name)
     sorts = [l for l in plan.splitlines() if "Sort [grp" in l]
     assert any(", b#" in l for l in sorts), (
         f"stage-1 bucketed (grp, b) sort missing from {name} plan"

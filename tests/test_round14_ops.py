@@ -105,3 +105,59 @@ def test_kcore_oracle_materializes_every_round():
             assert f"{cte} AS MATERIALIZED" in sql, cte
     for cte in ("co", "e", "u0"):
         assert f"{cte} AS MATERIALIZED" in sql, cte
+
+
+def test_stream_checkpoint_conf_points_at_scratch(spark):
+    """get_spark routes streaming TEMP checkpoints (memory-sink queries
+    with uuid queryNames, no explicit location) to a PID-scoped tmpfs
+    dir — the r14 state-snapshot fsync fix — unless SPARK_GRAFT_STREAM_CK
+    overrides. Explicit per-query checkpointLocation options are
+    untouched by this conf."""
+    import os
+
+    if not os.path.isdir("/dev/shm") and not os.environ.get(
+        "SPARK_GRAFT_STREAM_CK"
+    ):
+        import pytest
+
+        pytest.skip("no tmpfs and no override on this host")
+    ck = spark.conf.get("spark.sql.streaming.checkpointLocation", "")
+    expected = os.environ.get("SPARK_GRAFT_STREAM_CK")
+    if expected:
+        assert ck == expected
+    else:
+        assert ck.startswith("/dev/shm/pis_stream_ck_")
+
+
+def test_minhash_base_materializes_once(spark):
+    """r14 materialize-once contract for the LSH family: the final plan
+    of llm_dedup_near reads the (doc, sh, vh) checkpoint — the band
+    branch and both verify sides scan the SAME materialized RDD, and no
+    parquet scan (i.e. no re-tokenize of the corpus) remains in the
+    consumer plan. A regression that drops the checkpoint re-introduces
+    three full shingle pipelines."""
+    from parquet_importer_spark.suite import QUERIES
+
+    plan = (
+        QUERIES["llm_dedup_near"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan.count("Scan ExistingRDD") >= 3, plan[:2000]
+    assert "Scan parquet" not in plan
+
+
+def test_ngram_digest_oracles_use_60bit_ints():
+    """r14 narrower-shuffle contract: llm_contamination_ngram and
+    llm_decontam_substring hash grams to 60-bit md5-prefix BIGINTs on
+    BOTH sides (the _verify_hash_arr convention) — the oracle SQL must
+    carry the identical transform or a collision would diverge."""
+    from parquet_importer_spark.suite import ORACLES
+
+    for key in ("llm_contamination_ngram", "llm_decontam_substring"):
+        sql = ORACLES[key]
+        assert "substr(md5(" in sql and "AS BIGINT" in sql, key
