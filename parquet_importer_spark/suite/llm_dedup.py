@@ -1228,9 +1228,10 @@ def _supplier_sigma_edges(spark: SparkSession, sf_dir: str):
     a second full lineitem shuffle plus a dedup exchange for the same
     result (4.2 s -> 2.6 s at sf0.1 on graph_triangle_count; every
     oracle remains the independent self-join SQL). Returns the slim
-    (s1, s2) edge frame, lazily localCheckpoint-ed: all five consumers
-    read it from multiple plan branches — at 100 TB this IS the
-    persisted graph artifact."""
+    (s1, s2) edge frame, lazily localCheckpoint-ed: all consumers
+    (triangle, k-core, LPA, BFS, assortativity, link prediction) read
+    it from multiple plan branches — at 100 TB this IS the persisted
+    graph artifact."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -1672,37 +1673,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (most nodes die in round 1); at 100 TB each round reuses the
     node-id partitioning and localCheckpoint truncates the plan, the
     operators/graph.pagerank discipline."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
-    )
-    _D = "decimal(38,0)"
-    st = co.agg(
-        F.count(F.lit(1)).cast(_D).alias("n"),
-        F.sum("c").cast(_D).alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
-    )
-    dev = F.col("n") * F.col("c") - F.col("sc")
-    e = (
-        co.join(F.broadcast(st))
-        .filter(
-            (F.col("n") * F.col("c") > F.col("sc"))
-            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
-        )
-        .select("s1", "s2")
-    )
+    e = _supplier_sigma_edges(spark, sf_dir)
     und = (
         e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
         .unionAll(e.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
@@ -1814,37 +1785,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay 2-column rows end-to-end. At 100 TB: rounds are O(m) slim
     shuffles — the standard LPA cost — and the synchronous variant
     avoids the asynchronous version's update races on purpose."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
-    )
-    _D = "decimal(38,0)"
-    st = co.agg(
-        F.count(F.lit(1)).cast(_D).alias("n"),
-        F.sum("c").cast(_D).alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
-    )
-    dev = F.col("n") * F.col("c") - F.col("sc")
-    e = (
-        co.join(F.broadcast(st))
-        .filter(
-            (F.col("n") * F.col("c") > F.col("sc"))
-            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
-        )
-        .select("s1", "s2")
-    )
+    e = _supplier_sigma_edges(spark, sf_dir)
     sym = (
         e.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
         .unionAll(e.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
@@ -1854,7 +1795,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lab")
     )
     rounds = []
-    for _ in range(3):
+    for rnd in range(3):
         votes = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy(F.col("u").alias("node"), "lab")
@@ -1866,6 +1807,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l")),
             ).alias("lab")
         )
+        # rounds 1..n-1 have TWO consumers — the next round's vote join
+        # and the final trajectory join — so without a lineage cut
+        # round r's vote shuffle re-executes once per downstream branch
+        # (measured: 36 Exchange / 16 SMJ final plan at sf0.1). The
+        # last round has a single consumer; cutting it would only add
+        # a sequential materialization wave.
+        if rnd < 2:
+            labels = labels.localCheckpoint(eager=False)
         rounds.append(labels)
     # every round's label per node lands in the output, so the oracle
     # checks the full propagation TRAJECTORY — the converged state
@@ -2224,37 +2173,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier optimization (propagate only nodes whose dist improved)
     cutting late-round traffic; 3 fixed rounds keep the oracle exact
     here."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.count_distinct("a.l_orderkey").cast("bigint").alias("c"))
-    )
-    _D = "decimal(38,0)"
-    st = co.agg(
-        F.count(F.lit(1)).cast(_D).alias("n"),
-        F.sum("c").cast(_D).alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast(_D).alias("sc2"),
-    )
-    dev = F.col("n") * F.col("c") - F.col("sc")
-    e = (
-        co.join(F.broadcast(st))
-        .filter(
-            (F.col("n") * F.col("c") > F.col("sc"))
-            & (dev * dev > F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc"))
-        )
-        .select("s1", "s2")
-    )
+    e = _supplier_sigma_edges(spark, sf_dir)
     sym = (
         e.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
         .unionAll(e.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
@@ -2353,38 +2272,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a node-grain rollup that joins back onto slim (u,v) pairs;
     the moment rollup is a 1-row reduce. Nothing quadratic, nothing
     collected."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
     _D38 = "decimal(38,0)"
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.countDistinct("a.l_orderkey").cast("bigint").alias("c"))
-    )
-    st = co.agg(
-        F.count(F.lit(1)).cast(_D38).alias("n"),
-        F.sum("c").cast(_D38).alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast(_D38).alias("sc2"),
-    )
-    n_, sc, sc2, c = F.col("n"), F.col("sc"), F.col("sc2"), F.col("c")
-    e = (
-        co.crossJoin(F.broadcast(st))
-        .filter(
-            (n_ * c > sc)
-            & ((n_ * c - sc) * (n_ * c - sc) > n_ * sc2 - sc * sc)
-        )
-        .select("s1", "s2")
-        .localCheckpoint(eager=False)
-    )
+    e = _supplier_sigma_edges(spark, sf_dir)
     deg = (
         e.select(F.col("s1").alias("node"))
         .unionAll(e.select(F.col("s2").alias("node")))

@@ -150,18 +150,14 @@ BOUNDED_PRODUCT_SITES = {
     ("suite/llm_dedup.py", "_supplier_sigma_edges"):
         "c is a per-node co-occurrence count bounded by the bucket "
         "caps of the near-dup pipeline; sf100 rung passed",
-    ("suite/llm_dedup.py", "graph_kcore"):
-        "c is a node degree in the bucket-capped near-dup graph; "
-        "sf30 mid-rung passed",
-    ("suite/llm_dedup.py", "graph_lpa_communities"):
-        "c is a per-label neighbor count bounded by degree; sf100 "
-        "rung passed",
-    ("suite/llm_dedup.py", "graph_bfs_distance"):
-        "c is a frontier count bounded by component size in the "
-        "bucket-capped graph; sf100 rung passed",
+    # (round 14: graph_kcore / graph_lpa_communities / graph_bfs_distance
+    # dropped their inline edge builds for the shared
+    # _supplier_sigma_edges substrate, so their product sites are gone
+    # and their entries with them — the staleness test enforces this.)
     ("suite/llm_dedup.py", "graph_assortativity"):
-        "x/y/c are endpoint degrees of the bucket-capped near-dup "
-        "graph (three sites in this function); sf100 rung passed",
+        "x/y are endpoint degrees of the bucket-capped near-dup "
+        "graph, already DECIMAL(38,0) from the degree rollup (two "
+        "moment sites in this function); sf100 rung passed",
     # --- round-13 gate widening (Call-wrapped products now matched):
     # the six entries below are DOUBLE-operand products, outside the
     # BIGINT ARITHMETIC_OVERFLOW class — an IEEE multiply saturates to
