@@ -359,9 +359,14 @@ def llm_index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
     )
-    d.withColumn("bucket", md5_bucket(F.col("tok"), 11, 1)).write.partitionBy(
+    # repartition ON the partition column before partitionBy: without
+    # it every one of the N input partitions fans out a file into every
+    # bucket directory (N×16 small files; guide §6 output sizing) —
+    # hash-clustering first writes one file per bucket (at warehouse
+    # scale: repartition(n_files_per_bucket × 16, "bucket"))
+    d.withColumn("bucket", md5_bucket(F.col("tok"), 11, 1)).repartition(
         "bucket"
-    ).mode("overwrite").parquet(out)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(out)
 
     term = "spark"
     # driver-side bucket computation — the read lists ONE directory

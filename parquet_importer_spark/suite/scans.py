@@ -144,7 +144,11 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     petabyte table serves a single-partition query at interactive cost."""
     out = _roundtrip_dir("part")
     src = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    src.write.mode("overwrite").partitionBy("lang").parquet(out)
+    # cluster on the partition column first so each lang directory gets
+    # one file instead of one per input partition (guide §6 sizing)
+    src.repartition("lang").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(out)
     back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
     return (
         back.groupBy("lang")
