@@ -393,6 +393,23 @@ _FORCE_RECHECK: dict[str, int] = {
     # scratch-server durability opts only (COPY path; live read-back
     # unchanged) — conservative re-check like stream_jdbc_import r9
     "sink_postgres_copy": 14,
+    # round-14 batches 4-5 (second session): the four graph keys moved
+    # off their inline self-join edge builds onto the shared
+    # _supplier_sigma_edges substrate (identical edge output; oracles
+    # stay the independent self-join SQL — the graph_triangle_count
+    # precedent), LPA additionally cuts lineage on rounds 1..n-1
+    # labels; the two partitioned writes cluster on the partition
+    # column before partitionBy (read-back result unchanged). All six
+    # re-driven green at HEAD and the five oracle-bearing sf0.1 keys
+    # re-swept over-gate (PARITY.json r14 rows). graph_bfs_distance /
+    # graph_lpa_communities / graph_assortativity re-list their r8
+    # entries at 14 (last binding wins — the r8 rows already
+    # graduated).
+    "graph_bfs_distance": 14,
+    "graph_lpa_communities": 14,
+    "graph_assortativity": 14,
+    "llm_index_inverted": 14,
+    "sink_partitioned_parquet": 14,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the
