@@ -201,8 +201,9 @@ _FORCE_RECHECK: dict[str, int] = {
     "llm_emb_pca_power": 8,
     "graph_triangle_count": 8,
     # graph_kcore: r8 entry superseded by the r14 oracle rewrite below
-    "graph_bfs_distance": 8,
-    "graph_lpa_communities": 8,
+    # graph_bfs_distance / graph_lpa_communities: r8 entries superseded
+    # by the r14 substrate rewrites below (r15 ADVICE: comments instead
+    # of shadowed duplicate dict keys, which relied on last-binding-wins)
     "graph_link_prediction": 8,
     "llm_split_kfold": 8,
     # round-9 changes (minhash cost cut + prefix-filter upgrades;
@@ -358,7 +359,7 @@ _FORCE_RECHECK: dict[str, int] = {
     # disk wall). Values identical by construction; re-driven green
     # at HEAD and re-swept over-gate (PARITY.json r14 rows).
     "llm_dedup_near": 14,
-    "graph_pagerank": 14,
+    # graph_pagerank: r14 entry superseded by the r15 loop rewrite below
     "graph_kcore": 14,
     # round-14 OPTIMIZATION round: result-preserving plan restructures,
     # re-driven green at HEAD (tools/drive_entry.py) and re-swept
@@ -410,6 +411,17 @@ _FORCE_RECHECK: dict[str, int] = {
     "graph_assortativity": 14,
     "llm_index_inverted": 14,
     "sink_partitioned_parquet": 14,
+    # round-15 OPTIMIZATION round: graph_pagerank's loop is now the
+    # single-exchange round (operators/graph.py) — the dangling mass
+    # rides the contribution shuffle as the NULL-node sentinel group
+    # and the per-node base rows ride it as presence messages, so the
+    # per-round dedicated dangling aggregate + base-side join are gone
+    # (93 -> 63 driver jobs per run). Float contract preserved
+    # expression by expression (identical decimal-sum-snap; verified
+    # value-hash-identical to the old loop at sf0.1 before shipping);
+    # oracle unchanged; re-driven green at HEAD and re-swept over-gate
+    # at sf0.1 (PARITY.json r15 row).
+    "graph_pagerank": 15,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the

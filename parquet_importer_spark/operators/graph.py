@@ -65,39 +65,89 @@ def pagerank(
     ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
     _D15 = "decimal(38,15)"
+    node_type = dict(ranks.dtypes)["node"]
+    od_type = dict(ranks.dtypes)["out_deg"]
+    # 1-row seed for the sentinel group: guarantees the NULL-node group
+    # exists (so the dangling broadcast is always exactly one row) even
+    # on a graph with no dangling nodes; adding an exact decimal 0 to
+    # the sum changes nothing.
+    sentinel_seed = nodes.sparkSession.range(1).select(
+        F.lit(None).cast(node_type).alias("node"),
+        F.lit(None).cast(od_type).alias("od"),
+        F.lit(0.0).alias("c"),
+    )
     for _ in range(n_iter):
-        # dangling mass stays IN the plan: a 1-row aggregate broadcast
-        # into the rank update — zero extra driver round-trips per
-        # round (a per-round scalar fetch would be O(1) data but 10
-        # driver hops per run). Float contract unchanged: the
-        # decimal-sum-snap gives the identical double, and d/n is the
-        # same single IEEE division on either side of the boundary.
-        dangling = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(
-                F.round(
-                    F.sum(F.col("rank").cast(_D15)).cast("double"), 15
-                ),
-                F.lit(0.0),
-            ).alias("d")
-        )
-        contribs = (
+        # Single-exchange round (r15, guide §2.2/§2.4): the dangling
+        # mass AND the per-node base rows ride the contribution shuffle
+        # instead of running their own per-round passes. Three message
+        # kinds share one (node, od, c) exchange:
+        #   - contributions: (dst, NULL, rank/out_deg)
+        #   - dangling mass: (NULL node sentinel, NULL, rank)
+        #   - node presence: (node, out_deg, NULL) from the base table
+        # One groupBy(node) then yields in_mass = the decimal-sum-snap
+        # over the contribution rows (SUM skips the NULL c of presence
+        # rows; a node with no in-edges sums an all-NULL set to NULL,
+        # which COALESCE maps to 0.0 exactly like the old left join)
+        # and out_deg = MAX(od) (exactly one non-NULL od per node). The
+        # old per-round shape — a dedicated dangling scan + global
+        # aggregate + broadcast, plus a base-side join after the
+        # aggregate (at scale: one extra full-node-set exchange per
+        # round) — collapses into this one exchange. Float contract
+        # unchanged expression by expression: the sentinel group's
+        # in_mass is ROUND(CAST(SUM(CAST(rank AS DEC(38,15))) AS
+        # DOUBLE), 15) over exactly the dangling ranks (plus an exact
+        # decimal 0 from the seed), the identical decimal-sum-snap the
+        # dedicated aggregate computed, and the empty-set case yields
+        # 0.0 just like the old COALESCE.
+        msgs = (
             edges.join(
                 ranks.filter(F.col("out_deg") > 0),
                 edges[src_col] == F.col("node"),
             )
             .select(
                 F.col(dst_col).alias("node"),
+                F.lit(None).cast(od_type).alias("od"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
-            .groupBy("node")
-            .agg(
-                F.round(
-                    F.sum(F.col("c").cast(_D15)).cast("double"), 15
-                ).alias("in_mass")
+            .unionByName(
+                ranks.filter(F.col("out_deg") == 0).select(
+                    F.lit(None).cast(node_type).alias("node"),
+                    F.lit(None).cast(od_type).alias("od"),
+                    F.col("rank").alias("c"),
+                )
             )
+            .unionByName(
+                base.select(
+                    F.col("node"),
+                    F.col("out_deg").alias("od"),
+                    F.lit(None).cast("double").alias("c"),
+                )
+            )
+            .unionByName(sentinel_seed)
+        )
+        agg = msgs.groupBy("node").agg(
+            F.round(
+                F.sum(F.col("c").cast(_D15)).cast("double"), 15
+            ).alias("in_mass"),
+            F.max("od").alias("out_deg"),
+        )
+        # Both consumers below must sit over the byte-identical exchange
+        # so the shuffle runs once (stage skipping / ReuseExchange — the
+        # llm_tfidf shape). Selecting the sentinel group via
+        # isnull(node) would NOT reuse: a predicate on the grouping key
+        # pushes below the aggregate into every union branch, forking a
+        # second, filtered copy of the whole message shuffle (measured:
+        # the expensive edges-join map stage ran twice per round).
+        # out_deg = MAX(od) is an aggregate OUTPUT, so predicates on it
+        # stay above the exchange: the sentinel group is the only group
+        # whose out_deg is NULL (every real node carries exactly one
+        # presence row; edge endpoints are a subset of ``nodes`` per
+        # this function's contract).
+        dangling = agg.filter(F.isnull("out_deg")).select(
+            F.col("in_mass").alias("d")
         )
         ranks = (
-            base.join(contribs, "node", "left")
+            agg.filter(F.isnotnull("out_deg"))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
