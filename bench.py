@@ -99,6 +99,17 @@ HEADLINE = (
     "win_interval_coverage",
 )
 
+#: Ambient-drift sentinels (round 15, r14 verdict item 3): headline keys
+#: whose code and plans have been byte-stable for 5+ rounds, spanning
+#: three plan families (fact agg + broadcast dims, pure sort-merge join,
+#: window ranking). Their round-over-round ratios measure the host-
+#: regime delta between bench sessions, so a reader can normalize the
+#: other keys' ratios instead of reading uniform co-load drift as 29
+#: per-query regressions (the r14 adjudication problem). These keys must
+#: stay UNOPTIMIZED — if one ever has to change, swap in another
+#: long-stable key and record the swap in the round's OPTIMIZATION doc.
+SENTINEL_KEYS = ("q5_local_supplier_volume", "join_inner_eq", "win_ranking")
+
 
 def _ambient_snapshot() -> dict:
     """Machine co-load markers at a point in time: loadavg, the
@@ -352,10 +363,25 @@ def main() -> None:
         "sf": sf,
         "ambient": ambient,
     }
+    # Designated never-optimized keys (names only — their timings are
+    # already in `queries`; repeating values would push the compact
+    # line toward the driver's 2000-char capture for no information).
+    # Additions-only: timing methodology and existing fields unchanged.
+    out["sentinels"] = [k for k in SENTINEL_KEYS if k in timings]
     if sf1_spot:
         out["sf1_spot"] = {
             k: sf1_spot[k] for k in ("n", "max_xlin", "worst")
         }
+    elif sf == 0.1:
+        # r14 verdict item 9: two r14 runs silently lost the sf1 spot
+        # when the replica fixture was absent — make the skip explicit
+        # instead of dropping the key, so a fixture-less run is
+        # distinguishable from a never-attempted one.
+        out["sf1_spot"] = (
+            "SKIPPED - fixture missing (tools/make_scale_fixture.py)"
+            if not os.path.isdir(sf1_dir)
+            else "SKIPPED - no xlin samples (see errors)"
+        )
     if errors:
         # names only in the compact line — full messages would blow the
         # length budget right when the driver most needs a parseable
