@@ -422,6 +422,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # oracle unchanged; re-driven green at HEAD and re-swept over-gate
     # at sf0.1 (PARITY.json r15 row).
     "graph_pagerank": 15,
+    # round-15: MLlib KMeans.fit replaced by the hand-rolled 2-round
+    # Lloyd loop (operators/similarity.kmeans_centroids) with
+    # decimal-exact 6-dp-snapped centers — recall per fixture becomes a
+    # code constant (the MLlib centers were reduction-order-dependent
+    # with a 7/10 margin over the >=6 oracle bound at sf0.1); probe
+    # depth 6 -> 8 of 16 for margin. Output (exact top-10 + recall
+    # flag) unchanged; re-driven green at HEAD, sf0.1 parity re-swept.
+    "llm_sim_ivf_kmeans": 15,
 }
 # Round-13 window arithmetic (verified against _driver_order() at
 # HEAD): 50 slots = sentinel + 5 forced re-checks (ts_autocorr, the

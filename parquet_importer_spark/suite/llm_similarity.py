@@ -307,8 +307,10 @@ def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids — the production swap llm_sim_ivf's
-    docstring promises: MLlib k-means (seeded, distributed fit, KB-scale
-    centers) feeds the identical assignment/probe/exact-score machinery.
+    docstring promises: a hand-rolled distributed Lloyd fit (seeded,
+    KB-scale centers; replaced MLlib's ~25-job fit in r15 — see
+    operators/similarity.kmeans_centroids) feeds the identical
+    assignment/probe/exact-score machinery.
 
     BOUND oracle (round-7 verdict item 7, the llm_dedup_minhash_mllib
     pattern): the learned centroids themselves depend on float
@@ -331,12 +333,15 @@ def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = topk_cosine(emb, qdf, "embedding", "vec_id", k=10)
     cent = kmeans_centroids(emb, "embedding", n_centroids=16, seed=42)
-    # nprobe=6/16: measured recall 10/10 at sf0.01 (nprobe=4 reads 5/10
-    # — learned centroids pack the true neighbors into fewer, hotter
-    # cells than llm_sim_ivf's seed-set index, so the probe list must
-    # reach deeper to cover the same mass)
+    # nprobe=8/16 (r15, with the hand-rolled deterministic fit):
+    # measured recall 10/7/9/10 of 10 at sf0.001/0.01/0.1/sf1-replica —
+    # >=1 of margin over the oracle's >=6 bound at every fixture, and
+    # the decimal-snapped centers make those numbers code constants
+    # rather than reduction-order luck. Learned centroids pack the true
+    # neighbors into fewer, hotter cells than llm_sim_ivf's seed-set
+    # index, so the probe list must reach deeper to cover the same mass.
     ivf = ivf_topk(
-        emb, qdf, "embedding", "vec_id", nprobe=6, k=10, centroids=cent
+        emb, qdf, "embedding", "vec_id", nprobe=8, k=10, centroids=cent
     )
     flag = truth.join(ivf.select("vec_id"), "vec_id").agg(
         (F.count(F.lit(1)) >= 6).alias("ivf_recall_ok")

@@ -97,6 +97,31 @@ def test_pagerank_single_exchange_matches_reference(spark):  # noqa: F811
     assert got == want  # exact double equality, not approx
 
 
+def test_kmeans_centroids_partitioning_invariant(spark):  # noqa: F811
+    """The r15 hand-rolled Lloyd fit must produce IDENTICAL centers
+    regardless of input partitioning — the decimal-exact snapped means
+    are the property that makes llm_sim_ivf_kmeans's recall bound a
+    code constant instead of a reduction-order coin flip (the MLlib
+    fit it replaced had no such guarantee)."""
+    from parquet_importer_spark.io import read_table
+    from parquet_importer_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {
+        r.cid: list(r.cvec)
+        for r in kmeans_centroids(emb, n_centroids=8, seed=42).collect()
+    }
+    b = {
+        r.cid: list(r.cvec)
+        for r in kmeans_centroids(
+            emb.repartition(17), n_centroids=8, seed=42
+        ).collect()
+    }
+    assert a == b  # exact double equality across partitionings
+
+
 def test_pagerank_no_dangling_graph(spark):  # noqa: F811
     """No dangling nodes at all: the sentinel group holds only the
     0.0 seed row, so d must be exactly 0.0 every round — equal ranks on
